@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query smoke check at sf0.001.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2,
+  each ``(spark, sf_dir) -> DataFrame``.
+- ``oracle_sql()``: matching ANSI SQL per key for the DuckDB oracle
+  (keys without SQL get the weaker rows-only check).
+
+Implementation lives in ``reverse_etl_homebrew_spark``; this module is
+a thin adapter.
 """
 
 from __future__ import annotations
@@ -13,26 +16,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from reverse_etl_homebrew_spark import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the reference-shaped sync *plan*: scan → projection +
+    natural-key derivation → tiered identity resolution → outcome
+    labeling → per-outcome counts (SURVEY.md §7 minimum slice).
+    """
+    from reverse_etl_homebrew_spark.plans.patients import patient_sync_outcomes
+
+    return patient_sync_outcomes(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: one warm session; each query is built lazily and
+timed over its full action (plan + execute + collect-to-count). A
+first untimed warmup runs a trivial action so JVM/codegen startup
+isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "groupby-agg",
+    "equi-inner-join",
+    "delta-scan",
+    "topk-sort",
+    "latest-per-group",
+    "window-rank",
+    "dedup-lastwin",
+    "email-match-join",
+    "tiered-match-join",
+    "merge-upsert",
+    "union-all",
+    "approx-distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from reverse_etl_homebrew_spark.session import get_spark
+    from reverse_etl_homebrew_spark import queries as Q
+
+    spark = get_spark("bench")
+    # warmup: JVM + parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in Q.QUERIES:
+            continue
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # foreach-noop forces full materialization of every row without
+        # serializing results to the driver
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline-query-wall-clock",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

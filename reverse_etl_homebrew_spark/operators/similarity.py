@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11;
+top-k literature anchors in PAPERS.md: EDBT 2020 incremental top-k,
+ICDE 2021 distributed top-k, SIGMOD 2020 adaptive similarity).
+
+Two tiers:
+
+- ``topk_brute``: exact scoring of every vector against the query —
+  a map-side projection (no shuffle) + TakeOrderedAndProject. At
+  100 TB this is one full scan but zero shuffle; per-partition heaps
+  keep driver cost at O(k).
+- ``topk_lsh``: random-hyperplane bucketing bounds the scored
+  candidate set: score only vectors whose bucket matches the query's
+  bucket (multi-probe over 1-bit flips for recall). Trades recall for
+  a ~2^planes scan reduction — the scale path when the query rate is
+  high enough to matter.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import vectors as VEC
+from .dedup import _deterministic_planes
+
+
+def topk_brute(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k by cosine (or dot) against a literal query vector.
+    Scores are rounded to 6 decimals for cross-run determinism, with
+    the id as tie-break."""
+    score = (
+        VEC.cosine_literal(F.col(vec_col), query)
+        if metric == "cosine"
+        else VEC.dot_literal(F.col(vec_col), query)
+    )
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_lsh(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: prune to LSH-bucket candidates, then exact
+    cosine on the survivors. Candidate buckets = query bucket plus all
+    1-bit-flip probes."""
+    dim = len(query)
+    hp = _deterministic_planes(planes, dim)
+
+    def bucket_of(vec):
+        return sum(
+            (1 if sum(a * b for a, b in zip(p, vec)) >= 0 else 0) << (planes - 1 - i)
+            for i, p in enumerate(hp)
+        )
+
+    qb = bucket_of([float(x) for x in query])
+    probe_buckets = [qb] + [qb ^ (1 << i) for i in range(planes)]
+    cand = df.withColumn(
+        "__bucket", VEC.random_hyperplane_signs(F.col(vec_col), hp)
+    ).filter(F.col("__bucket").isin(probe_buckets))
+    return topk_brute(cand, query, k, id_col, vec_col)
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k nearest right-vectors for every left-vector (small right side:
+    broadcast + per-left window). Right side must fit in a broadcast;
+    for fact-to-fact ANN use the LSH bucket join instead."""
+    from pyspark.sql import Window as W
+
+    l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
+    r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
+    scored = l.join(F.broadcast(r)).withColumn(
+        "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v")), 6)
+    )
+    w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("l_id", "r_id", "score")
+    )

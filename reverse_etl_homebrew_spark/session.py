@@ -1,0 +1,77 @@
+"""SparkSession construction and normalization.
+
+The engine targets a 1000-executor cluster reading ~100 TB; locally it
+runs on ``local[N]``. Session defaults encode the scale posture:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+shuffle partitions sized to the local core count (the cluster profile
+overrides this to ~2-3x total cores), Arrow enabled for the few
+Pandas-UDF extension operators.
+
+``normalize_session`` is applied to *any* externally provided session
+(e.g. the verification driver's) before running engine queries: it
+pins the session timezone to UTC so naive-timestamp semantics are
+deterministic, and enables the legacy nanos-as-long parquet read that
+the ``events`` table (timestamp[ns]) requires.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs every engine query depends on. Safe to set on a live
+#: session (all are runtime-mutable SQL confs).
+_RUNTIME_CONFS = {
+    # Naive-timestamp determinism: parquet timestamps in the testdata
+    # are NTZ; any cast to TIMESTAMP must mean UTC regardless of the
+    # host's zone.
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet stores timestamp[ns], which Spark's parquet reader
+    # rejects; read the raw int64 and convert in the catalog loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE: runtime shuffle-partition coalescing and skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for the Pandas-UDF extension operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def normalize_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A conf may be static on some builds; queries that depend on
+            # it will fail loudly rather than silently mis-compute.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "reverse-etl-homebrew-spark") -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Locally: one JVM, ``local[$SPARK_GRAFT_CPUS]`` threads. On a real
+    cluster the same code runs unchanged — only master/memory confs
+    differ, and those come from spark-submit, not from here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # One shuffle partition per local core: at sf0.1 each partition
+        # stays well under executor memory; the cluster profile scales
+        # this with total cores (AQE coalesces the excess).
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return normalize_session(spark)
