@@ -154,8 +154,17 @@ def next_birthday(dob: ColumnOrName, today: ColumnOrName) -> Column:
     exactly. ``today`` is an explicit column (no hidden clock) so plans
     stay deterministic and testable."""
     d, t = _c(dob), _c(today)
-    this_year = F.make_date(F.year(t), F.month(d), F.dayofmonth(d))
-    next_year = F.make_date(F.year(t) + 1, F.month(d), F.dayofmonth(d))
+
+    # try_to_date: Feb-29 in a non-leap target year → NULL even under
+    # ANSI mode (Spark 4 default, where make_date raises), mirroring
+    # the reference's raise→except→None path (main.py:200-202)
+    def _safe_date(year: Column) -> Column:
+        return F.try_to_date(
+            F.concat_ws("-", year, F.month(d), F.dayofmonth(d)), "yyyy-M-d"
+        )
+
+    this_year = _safe_date(F.year(t))
+    next_year = _safe_date(F.year(t) + 1)
     return F.when(d.isNull(), F.lit(None).cast("date")).otherwise(
         F.when(this_year < t, next_year).otherwise(this_year)
     )
@@ -174,7 +183,9 @@ def identifier_canon(col: ColumnOrName) -> Column:
     Implemented over a decimal(38,9) rendering so float formatting
     artifacts never leak into keys."""
     c = _c(col)
-    dec = c.cast("decimal(38,9)")
+    # try_cast: non-numeric strings fall through to the string branch
+    # instead of raising under ANSI mode (Spark 4 default)
+    dec = c.cast("string").try_cast("decimal(38,9)")
     s = F.trim(c.cast("string"))
     canonical = F.when(
         dec.isNotNull(),

@@ -1,23 +1,29 @@
-"""Vector math over ``array<float>`` embedding columns — pure Column
-expressions (higher-order functions), computed in double precision.
+"""Vector math over ``array<float>`` embedding columns, computed in
+double precision as FLAT dimension-unrolled expressions.
 
-The left-fold ``F.aggregate`` accumulates strictly left-to-right, so
-results are bit-deterministic and reproducible across runs and
-engines; DuckDB's ``list_sum(list_transform(...))`` over the same
-float data produces bit-identical doubles, which is what makes the
-similarity operators oracle-checkable.
+Why flat and not higher-order functions: stacking several
+``F.aggregate``/``F.zip_with`` lambdas inside one projection was
+observed to be NONDETERMINISTIC on Spark 4.1 local[N] (lambda-variable
+state shared across identically-named lambda params); flat
+element_at chains are plain codegen'd arithmetic — deterministic,
+branch-free, and faster (no per-element function-call overhead).
 
-For the 100 TB path, brute-force scoring is embarrassingly parallel
-(no shuffle: a map-side projection + a top-k TakeOrdered), and the
-LSH-bucketed variant in operators/similarity.py bounds the candidate
-set before scoring.
+Summation order is a strict left fold (t0 + t1 + ...), bit-identical
+to DuckDB's ``list_sum(list_transform(...))`` over the same data —
+which is what makes the similarity operators oracle-checkable.
+
+Scale: these are map-side projections — no shuffle; the embedding
+dimension is fixed per table, so unrolling is bounded (d ≤ a few
+thousand). For very high-d vectors swap in a pandas_udf with numpy
+behind the same signatures.
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence, Union
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 ColumnOrName = Union[Column, str]
 
@@ -26,46 +32,71 @@ def _c(col: ColumnOrName) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
-    """Dot product of two array<float|double> columns, in double."""
-    return F.aggregate(
-        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sum_terms(terms: Sequence[Column]) -> Column:
+    """Left-fold sum — fixed order for bit determinism."""
+    return reduce(lambda a, b: a + b, terms)
+
+
+def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from the first row (fixed per table)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0
+
+
+def dot(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:
+    """Dot product of two array columns, unrolled over ``dim``."""
+    ac, bc = _c(a), _c(b)
+    return _sum_terms(
+        [
+            F.element_at(ac, F.lit(i + 1)).cast("double")
+            * F.element_at(bc, F.lit(i + 1)).cast("double")
+            for i in range(dim)
+        ]
     )
 
 
 def dot_literal(a: ColumnOrName, q: Sequence[float]) -> Column:
-    """Dot product against a fixed query vector (broadcast as an array
-    literal — stays entirely inside codegen, no join needed)."""
-    qcol = F.array(*[F.lit(float(x)) for x in q])
-    return F.aggregate(
-        F.zip_with(_c(a), qcol, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Dot product against a fixed query vector (constants folded into
+    codegen — no join, no array literal materialization)."""
+    ac = _c(a)
+    return _sum_terms(
+        [
+            F.element_at(ac, F.lit(i + 1)).cast("double") * F.lit(float(q[i]))
+            for i in range(len(q))
+        ]
     )
 
 
-def l2_norm(a: ColumnOrName) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: ColumnOrName, dim: int) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
+def cosine(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:
     """Cosine similarity; NULL when either norm is zero."""
-    num = dot(a, b)
-    den = l2_norm(a) * l2_norm(b)
+    num = dot(a, b, dim)
+    den = l2_norm(a, dim) * l2_norm(b, dim)
     return F.when(den > 0, num / den)
 
 
 def cosine_literal(a: ColumnOrName, q: Sequence[float]) -> Column:
     import math
 
-    qn = math.sqrt(sum(float(x) * float(x) for x in q))
-    den = l2_norm(a) * F.lit(qn)
+    qn = math.sqrt(_py_dot(q, q))
+    den = l2_norm(a, len(q)) * F.lit(qn)
     return F.when(den > 0, dot_literal(a, q) / den)
 
 
-def random_hyperplane_signs(a: ColumnOrName, planes: Sequence[Sequence[float]]) -> Column:
+def _py_dot(x: Sequence[float], y: Sequence[float]) -> float:
+    """Driver-side strict left-fold dot (same order as the SQL side)."""
+    acc = 0.0
+    for a, b in zip(x, y):
+        acc += float(a) * float(b)
+    return acc
+
+
+def random_hyperplane_signs(
+    a: ColumnOrName, planes: Sequence[Sequence[float]]
+) -> Column:
     """Sign bits of projections onto fixed hyperplanes → an int bucket
     id (SimHash/LSH family). ``planes`` are deterministic constants
     chosen by the caller; output is a LongType bucket usable as a

@@ -57,19 +57,42 @@ def lastwin_dedup(
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
+#
+# Implementation note: the sketch pipelines deliberately avoid stacking
+# multiple higher-order-function lambdas (transform/aggregate/filter)
+# in one projection — observed to produce NONDETERMINISTIC results on
+# Spark 4.1 local[N] (lambda-variable state races across identical
+# lambda names). The explode → flat-hash-columns → groupBy(min) shape
+# below is also the right one at scale: each shingle is normalized and
+# hashed exactly once, instead of num_hashes times.
 
-def minhash_signature(col: Column, num_hashes: int = 32, shingle_n: int = 5) -> Column:
-    """MinHash signature (array<long>, one min per seeded xxhash64 of
-    the shingle set). Pure Column expressions — each hash family
-    member is xxhash64(seed-prefixed shingle)."""
-    shingles = TX.char_ngrams(col, shingle_n)
-    sig = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.xxhash64(F.concat(F.lit(f"h{i}:"), s)))
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sig)
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """One row per document with columns m0..m{k-1}: the MinHash
+    signature over the distinct character-shingle set (seeded xxhash64
+    family). Single shuffle (groupBy id, partial min map-side)."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(TX.char_ngrams(F.col(text_col), shingle_n))).alias(
+            "g"
+        ),
+    )
+    hashed = shingled.select(
+        "id",
+        *[
+            F.xxhash64(F.concat(F.lit(f"h{i}:"), F.col("g"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -83,18 +106,16 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs via MinHash banding:
     signature → ``bands`` band-hashes → self-join within band buckets.
 
-    Shuffle profile: one explode to (bands × rows) bucket rows, one
-    shuffle on (band, bucket), pairs enumerated only inside buckets.
-    Returns distinct (a_id, b_id, est_jaccard) with a < b, where
-    est_jaccard is the signature-agreement fraction."""
+    Shuffle profile: shingle-hash groupBy, explode to (bands × rows)
+    bucket rows, shuffle on (band, bucket); pairs enumerated only
+    inside buckets — never a cross join. Returns distinct
+    (a_id, b_id, est_jaccard) with a < b, est_jaccard = signature
+    agreement fraction."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
-        "sig",
+        *[F.col(f"m{i}") for i in range(num_hashes)],
         F.posexplode(
             F.array(
                 *[
@@ -103,7 +124,7 @@ def minhash_lsh_pairs(
                             ",",
                             F.lit(b),
                             *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                F.col(f"m{b * rows_per_band + r}").cast("string")
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -113,27 +134,30 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # explicit renames instead of DataFrame aliases: self-join alias
+    # resolution is fragile (can silently rebind both legs to one side)
+    left = banded.select(
+        F.col("id").alias("a_id"),
+        *[F.col(f"m{i}").alias(f"a_m{i}") for i in range(num_hashes)],
+        "band",
+        "bucket",
+    )
+    right = banded.select(
+        F.col("id").alias("b_id"),
+        *[F.col(f"m{i}").alias(f"b_m{i}") for i in range(num_hashes)],
+        "band",
+        "bucket",
+    )
+    agree = sum(
+        (F.col(f"a_m{i}") == F.col(f"b_m{i}")).cast("int") for i in range(num_hashes)
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
         .select(
-            F.col("l.id").alias("a_id"),
-            F.col("r.id").alias("b_id"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("l.sig", "r.sig", lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                ).cast("double")
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
+            "a_id",
+            "b_id",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -144,24 +168,41 @@ def minhash_lsh_pairs(
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash(col: Column, bits: int = 64, shingle_n: int = 4) -> Column:
-    """SimHash over character shingles: per-bit majority vote of
-    shingle hashes, emitted as one LongType fingerprint. Hamming-close
-    fingerprints ⇒ similar documents."""
-    shingles = TX.char_ngrams(col, shingle_n)
-    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    shingle_n: int = 4,
+) -> DataFrame:
+    """One row per document with its SimHash fingerprint (per-bit
+    majority vote over shingle hashes), as (id, sh).
+
+    Explode → single xxhash64 → per-bit conditional sums in one
+    groupBy: flat expressions only (see module note), one shuffle,
+    each shingle hashed once."""
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(TX.char_ngrams(F.col(text_col), shingle_n))).alias(
+            "g"
+        ),
+    ).select("id", F.xxhash64("g").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        F.count(F.lit(1)).alias("total"),
+        *[
+            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long")).alias(
+                f"v{b}"
+            )
+            for b in range(bits)
+        ],
+    )
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        # vote for bit b: count of shingle-hashes with bit set vs total
-        votes = F.size(
-            F.filter(hashed, lambda h, b=b: h.bitwiseAND(F.lit(1).cast("long") << b) != 0)
-        )
-        total = F.size(hashed)
-        bit = F.when(votes * 2 >= total, F.lit(1).cast("long")).otherwise(
+        bit = F.when(F.col(f"v{b}") * 2 >= F.col("total"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        acc = acc + (bit << b)
-    return acc
+        acc = acc + F.shiftleft(bit, b)
+    return votes.select("id", acc.alias("sh"))
 
 
 def simhash_pairs(
@@ -174,17 +215,17 @@ def simhash_pairs(
     """Near-dup candidate pairs by SimHash: block on the top
     ``prefix_bits`` of the fingerprint (cheap LSH for small Hamming
     radii), verify Hamming distance inside blocks via bit_count."""
-    sh = df.select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
-    ).withColumn("block", F.shiftrightunsigned("sh", 64 - prefix_bits))
-    a, b = sh.alias("a"), sh.alias("b")
+    sh = simhash_fingerprints(df, id_col, text_col).withColumn(
+        "block", F.shiftrightunsigned("sh", 64 - prefix_bits)
+    )
+    a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("a_sh"), "block")
+    b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("b_sh"), "block")
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn(
-            "hamming", F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-        )
+        a.join(b, ["block"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"), "hamming")
+        .select("a_id", "b_id", "hamming")
     )
 
 
@@ -254,8 +295,7 @@ def embedding_near_dup_pairs(
     by random-hyperplane LSH buckets (vectors this similar almost
     always agree on all ``planes`` sign bits; multi-probe raises recall
     by also joining each vector's 1-bit-flip neighbor buckets)."""
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"] if dim_row else 0
+    dim = VEC.infer_dim(df, vec_col)
     hyperplanes = _deterministic_planes(planes, dim)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -274,7 +314,7 @@ def embedding_near_dup_pairs(
         probed.join(anchors, ["bucket"])
         .filter(F.col("id") < F.col("b_id"))
         .dropDuplicates(["id", "b_id"])
-        .withColumn("cos", VEC.cosine(F.col("v"), F.col("b_v")))
+        .withColumn("cos", VEC.cosine(F.col("v"), F.col("b_v"), dim))
         .filter(F.col("cos") >= threshold)
         .select(F.col("id").alias("a_id"), "b_id", "cos")
     )

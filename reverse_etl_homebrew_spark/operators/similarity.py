@@ -69,7 +69,14 @@ def topk_lsh(
         )
 
     qb = bucket_of([float(x) for x in query])
-    probe_buckets = [qb] + [qb ^ (1 << i) for i in range(planes)]
+    # multi-probe to Hamming radius 2: recall on near-orthogonal
+    # neighbor sets stays useful while still scanning only
+    # (1 + p + p(p-1)/2) of 2^p buckets
+    probe_buckets = (
+        [qb]
+        + [qb ^ (1 << i) for i in range(planes)]
+        + [qb ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i)]
+    )
     cand = df.withColumn(
         "__bucket", VEC.random_hyperplane_signs(F.col(vec_col), hp)
     ).filter(F.col("__bucket").isin(probe_buckets))
@@ -89,10 +96,11 @@ def knn_join_brute(
     for fact-to-fact ANN use the LSH bucket join instead."""
     from pyspark.sql import Window as W
 
+    dim = VEC.infer_dim(right, vec_col)
     l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
     r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
     scored = l.join(F.broadcast(r)).withColumn(
-        "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v")), 6)
+        "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
     )
     w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
     return (

@@ -517,14 +517,22 @@ def q_set_intersect(spark, sf_dir):
 @register(
     "set-except",
     sql="""
-    SELECT c_custkey AS k FROM customer
+    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
     EXCEPT
-    SELECT o_custkey AS k FROM orders
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
     """,
 )
 def q_set_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("k"))
+    )
     return c.subtract(o)
 
 
@@ -560,3 +568,10 @@ def q_merge_upsert(spark, sf_dir):
         (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("updated_at"),
     )
     return MG.upsert_merge(existing, incoming, ["key"], "updated_at")
+
+
+# Extended registries (same QUERIES/ORACLE dicts) — imported for their
+# registration side effects.
+from . import queries_scalar  # noqa: E402,F401
+from . import queries_window  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401

@@ -1,0 +1,289 @@
+"""Text-analysis, dedup, and similarity-search operator queries
+(SURVEY.md §2.11 — the training-data-pipeline tier) over the
+``documents`` and ``embeddings`` tables.
+
+Oracle-checkable ops carry exact DuckDB SQL; the sketch-based near-dup
+ops (MinHash banding, SimHash blocks, hyperplane LSH) are registered
+rows-only — their correctness is asserted structurally in pytest
+(tests/test_dedup.py) instead, since no independent engine reproduces
+the same sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import text as TX, vectors as VEC
+from .operators import dedup as DD, similarity as SIM
+from .sources.catalog import load_table
+from .queries import register
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "token-count",
+    sql=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(trim(text), '\S+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (extension op; SNIPPETS.md
+    Arrow patterns deliberately avoided — pure JVM regex)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars"),
+    )
+
+
+@register(
+    "text-analysis",
+    sql=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(regexp_extract_all(trim(text), '\S+'))) AS total_tokens,
+           SUM(length(text)) AS total_chars,
+           CAST(SUM(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+                         AS DECIMAL(38,6))) AS DOUBLE) AS total_punct_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_analysis(spark, sf_dir):
+    """Corpus statistics per language: doc/token/char totals and
+    punctuation mass — the aggregate form of the quality pre-filter."""
+    d = _t(spark, sf_dir, "documents")
+    punct_chars = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(F.length(F.col("text"))).alias("total_chars"),
+        F.sum(punct_chars.cast("decimal(38,6)")).cast("double").alias("total_punct_chars"),
+    )
+
+
+@register(
+    "quality-score",
+    sql=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(trim(text), '\S+')) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+                            AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           0.4::DOUBLE * (CASE WHEN n_chars >= 50 AND n_chars <= 20000
+                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+         + 0.3::DOUBLE * (CASE WHEN n_tok > 0 AND n_chars / n_tok >= 3.0
+                                    AND n_chars / n_tok <= 12.0
+                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+         + 0.3::DOUBLE * (CASE WHEN punct_ratio <= 0.2
+                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+    FROM m
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite [0,1] text-quality score (length / word-shape /
+    punctuation gates with fixed weights)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "doc-fingerprint",
+    sql=f"""
+    SELECT doc_id, sha256({_NORM_SQL.format(c='text')}) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Canonical-form content fingerprint (sha-256 over normalized
+    text) — the exact-dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.sha_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "exact-dedup",
+    sql=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY sha256({_NORM_SQL.format(c='text')})
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """Exact-content dedup: one survivor (lowest doc_id) per
+    normalized-text fingerprint."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return DD.content_dedup(d, "text").select("doc_id", "lang", "source")
+
+
+@register(
+    "lang-id",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(trim(text), '\S+'), t -> lower(t)) AS tt
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+             len(list_filter(tt, t -> t IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS h_de,
+             len(list_filter(tt, t -> t IN ('the','and','of','to','is','in','that','it','for','with'))) AS h_en,
+             len(list_filter(tt, t -> t IN ('el','la','los','y','es','no','por','que','las','una'))) AS h_es,
+             len(list_filter(tt, t -> t IN ('le','la','les','et','est','pas','pour','que','des','une'))) AS h_fr
+      FROM toks
+    ), unpivoted AS (
+      SELECT doc_id, 'de' AS lang, h_de AS hits FROM hits
+      UNION ALL SELECT doc_id, 'en', h_en FROM hits
+      UNION ALL SELECT doc_id, 'es', h_es FROM hits
+      UNION ALL SELECT doc_id, 'fr', h_fr FROM hits
+    )
+    SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM unpivoted
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 1
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Stopword-marker language identification (deterministic n-gram
+    heuristic; the production swap-in is a model UDF with the same
+    column signature)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+
+@register(
+    "topk-similarity",
+    sql=f"""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id,
+             {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dp,
+             sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS na,
+             sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nq
+      FROM embeddings e, q
+    )
+    SELECT vec_id,
+           ROUND(CASE WHEN na * nq > 0 THEN dp / (na * nq) END, 6) AS score
+    FROM scored
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_topk_similarity(spark, sf_dir):
+    """Exact top-k cosine similarity against a query vector (vec_id 0)
+    — brute-force baseline: map-side scoring in double precision plus
+    TakeOrderedAndProject; zero shuffle (EDBT 2020 / ICDE 2021 anchors,
+    PAPERS.md)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    import math
+
+    qn = math.sqrt(VEC._py_dot(query, query))
+    norm = VEC.l2_norm(F.col("embedding"), len(query))
+    score = F.when(
+        norm * F.lit(qn) > 0,
+        VEC.dot_literal(F.col("embedding"), query) / (norm * F.lit(qn)),
+    )
+    return (
+        emb.select("vec_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "knn-join",
+    sql=f"""
+    WITH l AS (
+      SELECT vec_id AS l_id, embedding AS l_v FROM embeddings WHERE vec_id < 20
+    ), r AS (
+      SELECT vec_id AS r_id, embedding AS r_v FROM embeddings
+    ), scored AS (
+      SELECT l_id, r_id,
+             ROUND({_DOT_SQL.format(a='l_v', b='r_v')}
+                   / (sqrt({_DOT_SQL.format(a='l_v', b='l_v')})
+                      * sqrt({_DOT_SQL.format(a='r_v', b='r_v')})), 6) AS score
+      FROM l, r
+    )
+    SELECT l_id, r_id, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY l_id ORDER BY score DESC, r_id) <= 3
+    """,
+)
+def q_knn_join(spark, sf_dir):
+    """k-NN join: 3 nearest neighbors (cosine) for each of 20 query
+    vectors against the whole embedding table — broadcast + per-query
+    window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    return SIM.knn_join_brute(left, emb, k=3)
+
+
+# --- rows-only sketch-based operators (no cross-engine oracle) -------------
+
+@register("fuzzy-dedup")
+def q_fuzzy_dedup(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs (shingle → minhash
+    signature → band buckets → in-bucket join). Rows-only check;
+    structural invariants asserted in tests/test_dedup.py."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(d, num_hashes=16, bands=4)
+
+
+@register("simhash-dedup")
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup candidate pairs (64-bit fingerprint,
+    prefix-block LSH, Hamming ≤ 3)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d)
+
+
+@register("ngram-jaccard")
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs ≥ 0.5 with hot-shingle
+    prefix-filter pruning."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register("embedding-near-dup")
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding near-duplicate pairs (cosine ≥ 0.95) bounded by
+    random-hyperplane LSH buckets with 1-bit multi-probe."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(emb)
+
+
+@register("topk-similarity-lsh")
+def q_topk_similarity_lsh(spark, sf_dir):
+    """Approximate top-k: hyperplane-LSH candidate pruning before
+    exact scoring (the 100 TB scale path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return SIM.topk_lsh(emb, query, k=10)
