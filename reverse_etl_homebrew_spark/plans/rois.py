@@ -1,0 +1,119 @@
+"""The ROI-sync plan, re-based onto driver testdata (FIXTURES.md role
+mapping: ``orders`` plays ROIs, ``customer`` plays patients;
+o_custkey is the ROI→patient FK).
+
+Reference lifecycle being re-expressed (upsert_rois, main.py:731-794):
+
+1. processed-skip (main.py:736-742): already-processed rows are
+   counted and dropped from the write set;
+2. patient resolution via the tiered cascade (main.py:743-745 →
+   find_patient_contact main.py:613-633); unresolved ROIs quarantine
+   with attempt tracking (main.py:746-774);
+3. override-skip (main.py:777-785): existing remote ROIs flagged
+   roi_manual_override='true' are never rewritten;
+4. projection to custom-object properties (map_roi_to_custom,
+   main.py:635-661) and create-vs-update decision.
+
+Everything is one lazy outcome-labeled DataFrame; the branch ladder
+becomes a single CASE cascade evaluated set-oriented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import scalars as SC
+from ..operators import joins as J
+from ..sources.catalog import load_table
+
+
+def roi_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ROI-shaped rows. Synthetic processed/override markers
+    are deterministic functions of the key so every branch populates:
+    - o_orderkey % 11 == 0 → processing_status='Processed' with a
+      completion stamp (skip branch);
+    - o_orderkey % 13 == 0 → remote override flag (skip branch);
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        SC.identifier_canon(F.col("o_orderkey")).alias("natural_key"),
+        F.col("o_custkey"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("Processed"))
+        .otherwise(F.lit("pending"))
+        .alias("processing_status"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_orderdate")).alias(
+            "processing_datetime"
+        ),
+        SC.epoch_millis_utc(F.col("o_orderdate")).alias("accepted_epoch_ms"),
+        SC.eastern_date(F.col("o_orderdate")).alias("completed_eastern_date"),
+        F.col("o_orderpriority").alias("template_name"),
+        F.col("o_orderdate").alias("updated_at"),
+        F.col("o_orderkey"),
+    )
+
+
+def synthetic_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote ROI store: every % 7 key exists remotely (update path),
+    and % 13 keys carry the manual-override lock."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0)).select(
+        SC.identifier_canon(F.col("o_orderkey")).alias("natural_key"),
+        F.concat(F.lit("ROI-"), F.col("o_orderkey").cast("string")).alias("hubspot_id"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("true"))
+        .otherwise(F.lit("false"))
+        .alias("roi_manual_override"),
+    )
+
+
+def roi_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outcome-labeled ROI plan:
+    skip_processed / skip_override / dlq_unresolved / update / create.
+    """
+    rois = roi_rows(spark, sf_dir)
+    patients = load_table(spark, sf_dir, "customer")
+
+    # tiered patient resolution: tier-0 high-balance, tier-1 any
+    # (find_patient_contact's idmap→search fallback, main.py:613-633)
+    tiers = [
+        (
+            patients.filter(F.col("c_acctbal") > 0).withColumn(
+                "pid", F.col("c_custkey")
+            ),
+            "o_custkey",
+            "c_custkey",
+            "pid",
+        ),
+        (patients.withColumn("pid", F.col("c_custkey")), "o_custkey", "c_custkey", "pid"),
+    ]
+    resolved = J.tiered_match_join(rois, tiers, out_col="patient_id")
+
+    snapshot = synthetic_roi_snapshot(spark, sf_dir)
+    with_remote = resolved.join(F.broadcast(snapshot), ["natural_key"], "left")
+
+    processed = (F.lower(F.col("processing_status")) == "processed") & F.col(
+        "processing_datetime"
+    ).isNotNull()
+    outcome = (
+        F.when(processed, "skip_processed")
+        .when(F.lower(F.col("roi_manual_override")) == "true", "skip_override")
+        .when(F.col("patient_id").isNull(), "dlq_unresolved")
+        .when(F.col("hubspot_id").isNotNull(), "update")
+        .otherwise("create")
+    )
+    props = F.to_json(
+        F.struct(
+            "patient_id", "accepted_epoch_ms", "completed_eastern_date", "template_name"
+        )
+    )
+    return with_remote.withColumn("outcome", outcome).withColumn(
+        "properties_json", props
+    )
+
+
+def roi_sync_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        roi_sync_plan(spark, sf_dir)
+        .groupBy("outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("outcome")
+    )

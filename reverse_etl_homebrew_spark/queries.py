@@ -575,3 +575,4 @@ def q_merge_upsert(spark, sf_dir):
 from . import queries_scalar  # noqa: E402,F401
 from . import queries_window  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401

@@ -1,0 +1,107 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference's incremental model is batch micro-runs gated by a
+ledger watermark; Structured Streaming with ``Trigger.AvailableNow``
+is the idiomatic Spark expression of the same daily-micro-batch shape
+(README.md:98): file source → event-time transforms → sink, with
+checkpointed exactly-once progress instead of a hand-rolled ledger.
+
+Provided pipelines:
+- ``stream_events_tumbling``: watermarked tumbling-window counts over
+  an events directory — late rows beyond the watermark are dropped,
+  which the reference never needed (keyed upserts absorb late data);
+  both policies are available to callers.
+- ``stream_upsert_sync``: the reverse-ETL write plan as a
+  ``foreachBatch`` stream — each micro-batch runs the same pure plan +
+  isolated writer the batch path uses, giving at-least-once external
+  writes deduplicated by natural-key idempotency.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events parquet files (ns → µs NTZ
+    conversion identical to the batch catalog loader)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(events_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def stream_events_tumbling(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """Watermarked tumbling counts, AvailableNow (drain-and-stop).
+    State is bounded by the watermark horizon — at 100 TB/day the
+    state store holds only ~watermark/window per-key windows."""
+    ev = read_events_stream(spark, events_dir)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_upsert_sync(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    batch_handler: Callable[[DataFrame, int], None],
+) -> None:
+    """foreachBatch bridge: every micro-batch DataFrame is handed to
+    the same batch-side plan/writer machinery (streaming/incremental
+    composition), keeping external side effects out of the streaming
+    plan itself."""
+    ev = read_events_stream(spark, events_dir)
+    q = (
+        ev.writeStream.foreachBatch(batch_handler)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,127 @@
+"""End-to-end pipeline tests (SURVEY.md §5.2 items 4-5): fake
+transport, run counters, idempotency, watermark hold-on-failure,
+retry/backoff."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark.sinks.control import ControlTables
+from reverse_etl_homebrew_spark.sinks.transport import (
+    FakeHubSpot,
+    compute_backoff,
+)
+from reverse_etl_homebrew_spark.streaming.incremental import run_sync
+
+SF = "/root/testdata/sf0.001"
+
+
+# note: sleeper/factory args must be lambdas (pickled by value) — a
+# module-level function would be pickled by reference and executors
+# cannot import the tests module
+NO_SLEEP = lambda _s: None  # noqa: E731
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "ctl")
+
+
+def test_backoff_schedule():
+    # min(30, 0.5 * 2^(k-1)) — main.py:441
+    assert [compute_backoff(k) for k in range(1, 9)] == [
+        0.5, 1.0, 2.0, 4.0, 8.0, 16.0, 30.0, 30.0,
+    ]
+
+
+def test_patient_sync_counts_and_idempotency(spark, workdir):
+    fake = FakeHubSpot()
+    r1 = run_sync(spark, "patients", SF, workdir, lambda: FakeHubSpot(
+        spool_dir=os.path.join(workdir, "spool")
+    ), sleeper=NO_SLEEP)
+    assert r1["status"] == "success"
+    assert r1["read"] == 150
+    # every outcome class realized (plans/patients.py synthetic state)
+    assert r1["created"] > 0 and r1["updated"] > 0
+    assert r1["errors"] > 0  # dlq_ambiguous + dlq_no_email
+
+    ctl = ControlTables(spark, workdir)
+    # idmap gained the created/adopted ids
+    assert ctl.idmap().count() == r1["created"] + r1["updated"]
+
+    # second run: every previously-created key now resolves via the
+    # engine idmap... but the synthetic snapshot/idmap of the plan are
+    # static, so counts must simply be reproducible run-over-run
+    r2 = run_sync(spark, "patients", SF, workdir, lambda: FakeHubSpot(), sleeper=NO_SLEEP)
+    assert r2["status"] == "success"
+    assert (r2["created"], r2["updated"], r2["errors"]) == (
+        r1["created"],
+        r1["updated"],
+        r1["errors"],
+    )
+    # DLQ attempt numbers advanced for repeating failures (main.py:404-420)
+    att = ctl.dlq().groupBy("natural_key").agg(F.max("attempt").alias("m"))
+    assert att.agg(F.max("m")).first()[0] == 2
+
+
+def test_roi_sync_outcomes(spark, workdir):
+    r = run_sync(spark, "rois", SF, workdir, lambda: FakeHubSpot(), sleeper=NO_SLEEP)
+    assert r["status"] == "success"
+    assert r["read"] == 1500
+    assert r["skipped"] > 0  # processed + override branches
+    assert r["created"] > 0 and r["updated"] > 0
+    # no unresolved ROIs in this mapping (every o_custkey exists)
+    assert r["errors"] == 0
+
+
+def test_watermark_advances_on_success_and_holds_on_failure(spark, workdir):
+    ctl = ControlTables(spark, workdir)
+    r1 = run_sync(spark, "rois", SF, workdir, lambda: FakeHubSpot(), sleeper=NO_SLEEP)
+    wm1 = ctl.read_high_watermark("rois")
+    assert r1["status"] == "success" and wm1 is not None
+
+    def explode_plan(plan):
+        raise RuntimeError("injected failure")
+
+    with pytest.raises(RuntimeError):
+        run_sync(
+            spark, "rois", SF, workdir, lambda: FakeHubSpot(),
+            sleeper=NO_SLEEP, fail_injector=explode_plan,
+        )
+    # ledger has the failed row, watermark unchanged (main.py:838-844)
+    assert ctl.read_high_watermark("rois") == wm1
+    statuses = [r["status"] for r in ctl.ledger().select("status").collect()]
+    assert "failed" in statuses
+
+    # delta scan after success reads only rows >= wm1 → nothing new
+    r3 = run_sync(spark, "rois", SF, workdir, lambda: FakeHubSpot(), sleeper=NO_SLEEP)
+    assert r3["status"] == "success"
+    assert r3["read"] < r1["read"]
+
+
+def test_retry_exhaustion_routes_to_dlq(spark, workdir):
+    # one key fails with 429 forever → 5 attempts → 599 → DLQ
+    plan_key = "1"  # roi natural_key '1'
+
+    def factory():
+        return FakeHubSpot(fail_statuses={plan_key: [429] * 10})
+
+    r = run_sync(spark, "rois", SF, workdir, factory, sleeper=NO_SLEEP)
+    assert r["status"] == "partial"
+    ctl = ControlTables(spark, workdir)
+    dlq = ctl.dlq().filter(F.col("natural_key") == plan_key).collect()
+    assert dlq and "599" in dlq[0]["error"]
+
+
+def test_transient_retry_succeeds(spark, workdir):
+    # two 503s then success → no DLQ, still counted as written
+    def factory():
+        return FakeHubSpot(fail_statuses={"2": [503, 503]})
+
+    r = run_sync(spark, "rois", SF, workdir, factory, sleeper=NO_SLEEP)
+    assert r["status"] == "success"
+    assert r["errors"] == 0
