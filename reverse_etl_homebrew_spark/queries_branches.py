@@ -1,0 +1,495 @@
+"""Branch/filter/remote-snapshot operator queries completing the
+SURVEY.md §2 inventory: remote-search/get, lock-projection,
+override-skip, ambiguity branches, three-tier composite cascade,
+coalesce chains, json-coerce, drop-null-props, protected-drop, and
+multimodal array/map column manipulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions import scalars as SC
+from .operators import joins as J
+from .sources.catalog import load_table
+from .queries import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "remote-search",
+    sql="""
+    SELECT c_custkey AS hubspot_id, c_name AS email, c_acctbal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5
+    """,
+)
+def q_remote_search(spark, sf_dir):
+    """Remote store search: conjunctive EQ property filters over the
+    snapshot (HubSpot.search_contacts, main.py:460-468) — modeled as a
+    filtered projection of the snapshot DataFrame."""
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_nationkey") == 5)
+    ).select(
+        F.col("c_custkey").alias("hubspot_id"),
+        F.col("c_name").alias("email"),
+        "c_acctbal",
+    )
+
+
+@register(
+    "remote-get",
+    sql="""
+    SELECT c_custkey AS hubspot_id, c_name, c_mktsegment
+    FROM customer WHERE c_custkey = 77 LIMIT 1
+    """,
+)
+def q_remote_get(spark, sf_dir):
+    """Fetch one remote object by id with column projection
+    (HubSpot.get_contact, main.py:470-478)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") == 77)
+        .select(F.col("c_custkey").alias("hubspot_id"), "c_name", "c_mktsegment")
+        .limit(1)
+    )
+
+
+@register(
+    "ledger-watermark-read",
+    sql="""
+    SELECT ts AS high_watermark, event_id FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def q_ledger_watermark_read(spark, sf_dir):
+    """Latest successful watermark: filter + ORDER BY ... DESC LIMIT 1
+    (read_high_watermark, main.py:330-345) — events as the ledger,
+    'purchase' as the success status."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select(F.col("ts").alias("high_watermark"), "event_id")
+    )
+
+
+@register(
+    "dlq-attempt-read",
+    sql="""
+    SELECT l_orderkey AS natural_key,
+           COALESCE(MAX(l_linenumber), 0) AS attempts
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_orderkey
+    """,
+)
+def q_dlq_attempt_read(spark, sf_dir):
+    """IFNULL(MAX(attempt),0) per failing key under predicate
+    (read_failure_attempts, main.py:404-420) — the scan/agg half of
+    dlq-attempt-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return li.groupBy(F.col("l_orderkey").alias("natural_key")).agg(
+        F.coalesce(F.max("l_linenumber"), F.lit(0)).alias("attempts")
+    )
+
+
+@register(
+    "coalesce-chain",
+    sql="""
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END,
+                    CASE WHEN c_custkey % 5 = 0 THEN NULL
+                         ELSE CONCAT('pref_', c_name) END,
+                    'unknown') AS display_name
+    FROM customer
+    """,
+)
+def q_coalesce_chain(spark, sf_dir):
+    """First-non-null across alternate columns (preferred/legal name
+    chains, main.py:574-577, 586, 597)."""
+    c = _t(spark, sf_dir, "customer")
+    primary = F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(F.col("c_name"))
+    preferred = F.when(F.col("c_custkey") % 5 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("pref_"), F.col("c_name"))
+    )
+    return c.select(
+        "c_custkey",
+        SC.coalesce_first(primary, preferred, F.lit("unknown")).alias("display_name"),
+    )
+
+
+@register(
+    "json-coerce",
+    sql="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_float,
+           strftime(timezone('America/New_York', timezone('UTC', o_orderdate)),
+                    '%Y-%m-%dT%H:%M:%S') AS eastern_iso,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_iso
+    FROM orders
+    """,
+)
+def q_json_coerce(spark, sf_dir):
+    """JSON-safe scalar coercion (clean_value, main.py:103-112):
+    Decimal→float, naive-UTC timestamp→Eastern ISO string, date→ISO."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_float"),
+        F.date_format(
+            F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("o_orderdate")),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("eastern_iso"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("date_iso"),
+    )
+
+
+@register(
+    "drop-null-props",
+    sql="""
+    SELECT o_orderkey,
+           NULLIF(o_orderpriority, '') AS priority,
+           NULLIF(CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE o_orderstatus END, '')
+             AS status,
+           (NULLIF(o_orderpriority, '') IS NOT NULL)::BIGINT
+             + (NULLIF(CASE WHEN o_orderkey % 4 = 0 THEN ''
+                            ELSE o_orderstatus END, '') IS NOT NULL)::BIGINT
+             AS props_kept
+    FROM orders
+    """,
+)
+def q_drop_null_props(spark, sf_dir):
+    """Blank/None property dropping before write (main.py:610, 656):
+    ''→NULL per column plus a kept-property count."""
+    o = _t(spark, sf_dir, "orders")
+    status_raw = F.when(F.col("o_orderkey") % 4 == 0, F.lit("")).otherwise(
+        F.col("o_orderstatus")
+    )
+    prio = SC.blank_to_null(F.col("o_orderpriority"))
+    status = SC.blank_to_null(status_raw)
+    return o.select(
+        "o_orderkey",
+        prio.alias("priority"),
+        status.alias("status"),
+        (prio.isNotNull().cast("long") + status.isNotNull().cast("long")).alias(
+            "props_kept"
+        ),
+    )
+
+
+@register(
+    "protected-drop",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    """,
+)
+def q_protected_drop(spark, sf_dir):
+    """Protected-property exclusion (ROI_PROTECTED_PROPERTIES,
+    main.py:61-63, 657-658): configured columns never reach the write
+    payload — df.drop compiles to a narrower ReadSchema, so protected
+    columns are not even scanned."""
+    protected = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    return _t(spark, sf_dir, "orders").drop(*protected)
+
+
+@register(
+    "const-columns",
+    sql="""
+    SELECT c_custkey, 'customer' AS lifecyclestage, 'true' AS amd_synced,
+           42 AS batch_no
+    FROM customer
+    """,
+)
+def q_const_columns(spark, sf_dir):
+    """Literal constant columns (main.py:603, 606)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lit("customer").alias("lifecyclestage"),
+        F.lit("true").alias("amd_synced"),
+        F.lit(42).alias("batch_no"),
+    )
+
+
+@register(
+    "watermark-filter",
+    sql="""
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def q_watermark_filter(spark, sf_dir):
+    """The bare incremental predicate (main.py:537-538) — pushed into
+    the parquet scan (PushedFilters)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "override-skip",
+    sql="""
+    WITH snapshot AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'TRUE' ELSE 'false' END AS roi_manual_override
+      FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+    )
+    SELECT CASE WHEN LOWER(roi_manual_override) = 'true' THEN 'skip' ELSE 'write' END
+             AS branch,
+           COUNT(*) AS n
+    FROM orders LEFT JOIN snapshot ON o_orderkey = k
+    GROUP BY 1
+    """,
+)
+def q_override_skip(spark, sf_dir):
+    """Manual-override lock: existing remote rows flagged 'true'
+    (case-insensitive) are never rewritten (main.py:777-785)."""
+    o = _t(spark, sf_dir, "orders")
+    snapshot = o.filter((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0)).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("TRUE"))
+        .otherwise(F.lit("false"))
+        .alias("roi_manual_override"),
+    )
+    joined = o.join(F.broadcast(snapshot), o.o_orderkey == snapshot.k, "left")
+    branch = F.when(F.lower(F.col("roi_manual_override")) == "true", "skip").otherwise(
+        "write"
+    )
+    return joined.select(branch.alias("branch")).groupBy("branch").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "lock-projection",
+    sql="""
+    WITH base AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 6 = 0 THEN 'true' ELSE 'false' END AS locked
+      FROM customer
+    )
+    SELECT c_custkey,
+           CASE WHEN locked = 'true' THEN NULL
+                ELSE CAST(c_custkey AS VARCHAR) END AS patient_id,
+           CASE WHEN locked = 'true' THEN NULL
+                ELSE CONCAT('CH', CAST(c_custkey AS VARCHAR)) END AS patient_chart,
+           'true' AS amd_synced
+    FROM base
+    """,
+)
+def q_lock_projection(spark, sf_dir):
+    """Field-level write protection (main.py:675-687; README.md:156-157):
+    when the matched contact is locked (amd_synced='true'), identity
+    fields are dropped from the update; otherwise the lock is set."""
+    c = _t(spark, sf_dir, "customer")
+    locked = F.when(F.col("c_custkey") % 6 == 0, F.lit("true")).otherwise("false")
+    base = c.select("c_custkey", locked.alias("locked"))
+    is_locked = F.col("locked") == "true"
+    return base.select(
+        "c_custkey",
+        F.when(is_locked, F.lit(None)).otherwise(F.col("c_custkey").cast("string")).alias(
+            "patient_id"
+        ),
+        F.when(is_locked, F.lit(None))
+        .otherwise(F.concat(F.lit("CH"), F.col("c_custkey").cast("string")))
+        .alias("patient_chart"),
+        F.lit("true").alias("amd_synced"),
+    )
+
+
+@register(
+    "ambiguity-no-key",
+    sql="""
+    SELECT CAST(c_custkey AS VARCHAR) AS natural_key,
+           'ambiguous_no_email_unmapped' AS error
+    FROM customer
+    WHERE c_custkey % 17 = 0 AND c_custkey % 5 != 0
+    """,
+)
+def q_ambiguity_no_key(spark, sf_dir):
+    """Unmapped row with no email → quarantine, never written
+    (main.py:688-692): %17 keys are email-less, %5 keys are mapped."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter((F.col("c_custkey") % 17 == 0) & (F.col("c_custkey") % 5 != 0))
+        .select(
+            SC.identifier_canon(F.col("c_custkey")).alias("natural_key"),
+            F.lit("ambiguous_no_email_unmapped").alias("error"),
+        )
+    )
+
+
+@register(
+    "ambiguity-multi",
+    sql="""
+    WITH snapshot AS (
+      SELECT CONCAT(LOWER(c_name), '@example.com') AS email FROM customer
+      WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT CONCAT(LOWER(c_name), '@example.com') FROM customer
+      WHERE c_custkey % 21 = 0
+    )
+    SELECT email, COUNT(*) AS match_count
+    FROM snapshot GROUP BY email HAVING COUNT(*) > 1
+    """,
+)
+def q_ambiguity_multi(spark, sf_dir):
+    """>1 remote match for one email → ambiguous quarantine
+    (main.py:702-706), as a per-key aggregate."""
+    from .plans.patients import synthetic_snapshot
+
+    snap = synthetic_snapshot(spark, sf_dir)
+    return (
+        snap.groupBy("email")
+        .agg(F.count(F.lit(1)).alias("match_count"))
+        .filter(F.col("match_count") > 1)
+    )
+
+
+@register(
+    "roi-patient-anti-join",
+    sql="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def q_roi_patient_anti_join(spark, sf_dir):
+    """ROIs whose patient cannot be resolved → DLQ branch
+    (main.py:743-774): left-anti against the resolvable-patient set."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    resolvable = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return J.anti_join(o, resolvable, ["o_custkey"])
+
+
+@register(
+    "threetier-composite",
+    sql="""
+    SELECT o_orderkey,
+           COALESCE(t0.id, t1.id, t2.id) AS resolved_id
+    FROM orders
+    LEFT JOIN (SELECT CAST(c_custkey AS VARCHAR) AS k, MIN(c_custkey + 1000000) AS id
+               FROM customer WHERE c_acctbal > 7000 GROUP BY 1) t0
+      ON CAST(o_custkey AS VARCHAR) = t0.k
+    LEFT JOIN (SELECT CONCAT(c_mktsegment, '|', CAST(c_nationkey AS VARCHAR)) AS k,
+                      MIN(c_custkey + 2000000) AS id
+               FROM customer GROUP BY 1) t1
+      ON CONCAT(o_orderpriority, '|', CAST(o_custkey % 25 AS VARCHAR)) = t1.k
+    LEFT JOIN (SELECT CAST(c_nationkey AS VARCHAR) AS k, MIN(c_custkey + 3000000) AS id
+               FROM customer GROUP BY 1) t2
+      ON CAST(o_custkey % 25 AS VARCHAR) = t2.k
+    """,
+)
+def q_threetier_composite(spark, sf_dir):
+    """README-declared three-tier composite-key cascade (README.md:38-42:
+    email → name+DOB → address): each tier matches on a different
+    composite key set; first hit wins. (The reference code implements
+    only the email tier — main.py:694-706; the full cascade is built
+    here as declared.)"""
+    o = _t(spark, sf_dir, "orders").withColumns(
+        {
+            "k0": F.col("o_custkey").cast("string"),
+            "k1": F.concat_ws("|", F.col("o_orderpriority"), (F.col("o_custkey") % 25).cast("string")),
+            "k2": (F.col("o_custkey") % 25).cast("string"),
+        }
+    )
+    c = _t(spark, sf_dir, "customer")
+    tiers = [
+        (
+            c.filter(F.col("c_acctbal") > 7000).select(
+                F.col("c_custkey").cast("string").alias("ck"),
+                (F.col("c_custkey") + 1000000).alias("tid"),
+            ),
+            "k0",
+            "ck",
+            "tid",
+        ),
+        (
+            c.select(
+                F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("ck"),
+                (F.col("c_custkey") + 2000000).alias("tid"),
+            ),
+            "k1",
+            "ck",
+            "tid",
+        ),
+        (
+            c.select(
+                F.col("c_nationkey").cast("string").alias("ck"),
+                (F.col("c_custkey") + 3000000).alias("tid"),
+            ),
+            "k2",
+            "ck",
+            "tid",
+        ),
+    ]
+    return J.tiered_match_join(o, tiers).select("o_orderkey", "resolved_id")
+
+
+@register(
+    "multimodal-cols",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_component,
+           CAST(list_max(embedding) AS DOUBLE) AS max_component,
+           json_extract(props, '$.k')::BIGINT AS prop_k
+    FROM embeddings
+    JOIN events ON vec_id = event_id % 500
+    WHERE event_id < 200
+    """,
+)
+def q_multimodal_cols(spark, sf_dir):
+    """First-class nested-type columns (SURVEY.md §2.11
+    `multimodal-cols`): array length / element access / array max over
+    array<float>, and JSON map extraction from a string column —
+    joined across modalities."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    joined = emb.join(ev, emb.vec_id == ev.event_id % 500)
+    return joined.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", F.lit(1)).cast("double").alias("first_component"),
+        F.array_max("embedding").cast("double").alias("max_component"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@register("multimodal-decode")
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched media decode/feature-extraction over binary
+    columns via mapInPandas (stubbed codec, real plumbing — see
+    multimodal/binary.py). Rows-only: features are deterministic
+    but not SQL-reproducible."""
+    from .multimodal import decode_and_featurize, fake_media_table
+
+    media = fake_media_table(spark, 120)
+    feats = decode_and_featurize(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "decode_ok",
+        F.round(F.element_at("feature", F.lit(1)).cast("double"), 6).alias("f0"),
+    )
+
+
+@register("similarity-join")
+def q_similarity_join(spark, sf_dir):
+    """All-pairs similarity join within a cosine threshold, candidate-
+    bounded by hyperplane LSH (SURVEY.md §2.11; alias surface of the
+    embedding near-dup operator at a looser threshold)."""
+    from .operators import dedup as DD
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_near_dup_pairs(emb, threshold=0.5)

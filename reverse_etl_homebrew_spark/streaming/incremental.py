@@ -53,6 +53,7 @@ def run_sync(
     updated_col: str = "updated_at",
     sleeper: Callable[[float], None] = time.sleep,
     fail_injector: Optional[Callable[[DataFrame], DataFrame]] = None,
+    alert_sink=None,
 ) -> dict:
     """One incremental sync run; returns the reference's status dict
     shape {"status", "read", "created", "updated", "skipped",
@@ -159,6 +160,12 @@ def run_sync(
         n_dlq = dlq_rows.count()
         if n_dlq:
             ctl.append_dlq(dlq_rows)
+            if alert_sink is not None:
+                # records crossing 5 attempts alert (main.py:714-727,
+                # 748-773; README.md:78)
+                from ..observability import collect_alerts
+
+                collect_alerts(dlq_rows, alert_sink, threshold=5)
         counts["errors"] = n_dlq
         status = "success" if failed_writes == 0 else "partial"
     finally:
