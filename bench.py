@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "groupby-agg",
     "equi-inner-join",
     "delta-scan",
@@ -32,6 +33,17 @@ HEADLINE = [
     "merge-upsert",
     "union-all",
     "approx-distinct",
+    # reverse-ETL pipelines end-to-end
+    "patient-sync-pipeline",
+    "roi-sync-pipeline",
+    # event-time windows
+    "tumbling-window",
+    "session-window",
+    # training-data extension tier
+    "exact-dedup",
+    "fuzzy-dedup",
+    "text-analysis",
+    "topk-similarity",
 ]
 
 
@@ -41,17 +53,20 @@ def main() -> None:
     from reverse_etl_homebrew_spark import queries as Q
 
     spark = get_spark("bench")
-    # warmup: JVM + parquet footer caches
-    spark.range(1000).selectExpr("sum(id)").collect()
+    names = [n for n in HEADLINE if n in Q.QUERIES]
+
+    # One untimed warmup pass: pays JVM startup, parquet footer reads,
+    # and whole-stage-codegen compilation once, so the timed pass
+    # measures steady-state engine throughput (what a long-running
+    # cluster job experiences), not first-query JIT latency.
+    for name in names:
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in Q.QUERIES:
-            continue
-        fn = Q.QUERIES[name]
+    for name in names:
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # foreach-noop forces full materialization of every row without
+        df = Q.QUERIES[name](spark, sf_dir)
+        # noop sink forces full materialization of every row without
         # serializing results to the driver
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -142,21 +142,39 @@ def sha_fingerprint(col: ColumnOrName) -> Column:
     return F.sha2(normalized_text(col), 256)
 
 
-def char_ngrams(col: ColumnOrName, n: int = 5) -> Column:
-    """Character n-gram (shingle) array over normalized text — the
-    input to MinHash / Jaccard dedup. Sequence generated JVM-side."""
-    s = normalized_text(col)
+def char_ngrams_from(norm_col: ColumnOrName, n: int = 5) -> Column:
+    """Character n-gram (shingle) array over an ALREADY-NORMALIZED
+    string column. The input must be a cheap expression (ideally a
+    bare column): outer expressions referenced inside a transform
+    lambda are re-evaluated per element, so an inline normalization
+    here would be O(len²) per document."""
+    s = _c(norm_col)
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))),
         lambda i: s.substr(i, F.lit(n)),
     )
 
 
-def word_ngrams(col: ColumnOrName, n: int = 3) -> Column:
-    """Word n-gram array ('a b c' strings) over normalized tokens."""
-    toks = F.split(normalized_text(col), " ")
+def char_ngrams(col: ColumnOrName, n: int = 5) -> Column:
+    """Shingle array over normalized text — the input to MinHash /
+    Jaccard dedup. HOT-PATH CALLERS: project ``normalized_text`` into
+    a column first and call ``char_ngrams_from`` on it (see note
+    there); this convenience form normalizes inline."""
+    return char_ngrams_from(normalized_text(col), n)
+
+
+def word_ngrams_from(toks_col: ColumnOrName, n: int = 3) -> Column:
+    """Word n-gram array over an already-materialized token-array
+    column (same per-element re-evaluation caveat as
+    char_ngrams_from)."""
+    toks = _c(toks_col)
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), count - F.lit(1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
     )
+
+
+def word_ngrams(col: ColumnOrName, n: int = 3) -> Column:
+    """Word n-gram array ('a b c' strings) over normalized tokens."""
+    return word_ngrams_from(F.split(normalized_text(col), " "), n)

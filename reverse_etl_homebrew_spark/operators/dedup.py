@@ -77,18 +77,21 @@ def minhash_signatures(
     """One row per document with columns m0..m{k-1}: the MinHash
     signature over the distinct character-shingle set (seeded xxhash64
     family). Single shuffle (groupBy id, partial min map-side)."""
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(TX.char_ngrams(F.col(text_col), shingle_n))).alias(
+    normalized = df.select(
+        F.col(id_col).alias("id"), TX.normalized_text(F.col(text_col)).alias("__nt")
+    )
+    shingled = normalized.select(
+        "id",
+        F.explode(F.array_distinct(TX.char_ngrams_from(F.col("__nt"), shingle_n))).alias(
             "g"
         ),
     )
-    hashed = shingled.select(
+    # one string hash per shingle, then the k-member family as cheap
+    # fixed-width hashes of (base_hash, i) — O(len + k) per shingle
+    # instead of O(k·len)
+    hashed = shingled.select("id", F.xxhash64("g").alias("h")).select(
         "id",
-        *[
-            F.xxhash64(F.concat(F.lit(f"h{i}:"), F.col("g"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
@@ -181,12 +184,18 @@ def simhash_fingerprints(
     Explode → single xxhash64 → per-bit conditional sums in one
     groupBy: flat expressions only (see module note), one shuffle,
     each shingle hashed once."""
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(TX.char_ngrams(F.col(text_col), shingle_n))).alias(
-            "g"
-        ),
-    ).select("id", F.xxhash64("g").alias("h"))
+    hashed = (
+        df.select(
+            F.col(id_col).alias("id"), TX.normalized_text(F.col(text_col)).alias("__nt")
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(TX.char_ngrams_from(F.col("__nt"), shingle_n))
+            ).alias("g"),
+        )
+        .select("id", F.xxhash64("g").alias("h"))
+    )
     votes = hashed.groupBy("id").agg(
         F.count(F.lit(1)).alias("total"),
         *[
@@ -252,7 +261,13 @@ def ngram_jaccard_pairs(
     grams = (
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(TX.word_ngrams(F.col(text_col), n))).alias("g"),
+            F.split(TX.normalized_text(F.col(text_col)), " ").alias("__toks"),
+        )
+        .select(
+            "id",
+            F.explode(F.array_distinct(TX.word_ngrams_from(F.col("__toks"), n))).alias(
+                "g"
+            ),
         )
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
