@@ -577,3 +577,4 @@ from . import queries_window  # noqa: E402,F401
 from . import queries_text  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_branches  # noqa: E402,F401
+from . import queries_analytic  # noqa: E402,F401

@@ -1,0 +1,259 @@
+"""Analytic extension queries: as-of/range temporal joins, OLAP
+grouping (cube/rollup/grouping sets/pivot), running and offset window
+aggregates, and the salted skew join (whose oracle is the PLAIN join —
+proving salting is semantically transparent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .operators import aggregates as AG
+from .operators.skew import salted_inner_join
+from .operators.temporal_joins import asof_join, range_join
+from .sources.catalog import load_table
+from .queries import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "asof-join",
+    sql="""
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(event_id) AS prev_purchase_id,
+             arg_max(value, event_id) AS prev_purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           p.prev_purchase_id AS asof_prev_purchase_id,
+           p.prev_purchase_value AS asof_prev_purchase_value
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join: for every event, the user's latest preceding
+    purchase (inclusive). Spark side is the union-merge single-shuffle
+    implementation; DuckDB side is its native ASOF JOIN — two
+    completely independent algorithms, same rows."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("prev_purchase_id"),
+            F.max_by("value", "event_id").alias("prev_purchase_value"),
+        )
+    )
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["prev_purchase_id", "prev_purchase_value"],
+    )
+
+
+@register(
+    "range-join",
+    sql="""
+    SELECT o_orderkey, e.event_id
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey % 1500
+     AND e.ts >= TIMESTAMP '2024-01-01 00:00:00' + (o.o_orderkey % 20) * INTERVAL 1 DAY
+     AND e.ts <  TIMESTAMP '2024-01-01 00:00:00' + ((o.o_orderkey % 20) + 1) * INTERVAL 1 DAY
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Equi-key + time-range join: events inside each order's
+    synthetic 1-day window. The equi conjunct keeps the plan a hash
+    join with a residual range filter — no cross product."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1500).alias("uk"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+            + (F.col("o_orderkey") % 20) * F.expr("INTERVAL 1 DAY")
+        ).alias("win_start"),
+    ).withColumn("win_end", F.col("win_start") + F.expr("INTERVAL 1 DAY"))
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = range_join(
+        o,
+        e,
+        key_cond=e.user_id == o.uk,
+        range_cond=(e.ts >= o.win_start) & (e.ts < o.win_end),
+    )
+    return joined.select("o_orderkey", "event_id")
+
+
+@register(
+    "cube-agg",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    """CUBE: all grouping-key subsets in one pass (Catalyst expands
+    map-side; still a single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        AG.dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rollup-agg",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        AG.dec_sum(F.col("l_extendedprice"), "sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "grouping-sets",
+    sql="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "pivot-agg",
+    sql="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(38,6)) END) AS DOUBLE) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot_agg(spark, sf_dir):
+    """Pivot on a known value set (explicit values → no extra
+    distinct-discovery job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"))
+    )
+
+
+@register(
+    "running-window",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def q_running_window(spark, sf_dir):
+    """Running (cumulative) aggregate per key — frame-bounded window,
+    exact decimal accumulation."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "lag-lead",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+)
+def q_lag_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "skew-salted-join",
+    sql="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Salted skew join — the oracle is the PLAIN SQL join: salting
+    must be semantically invisible (operators/skew.py)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_inner_join(o, c, on="o_custkey", salt=8)
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            AG.dec_sum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
