@@ -44,6 +44,11 @@ HEADLINE = [
     "fuzzy-dedup",
     "text-analysis",
     "topk-similarity",
+    # analytic tier
+    "asof-join",
+    "cube-agg",
+    "running-window",
+    "skew-salted-join",
 ]
 
 

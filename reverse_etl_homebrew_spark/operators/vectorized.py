@@ -1,0 +1,122 @@
+"""Arrow/pandas vectorized variants of the vector-math operators —
+the high-dimensional scale path (SURVEY.md §2.10; SNIPPETS.md [1]-[3]
+Arrow patterns).
+
+The flat unrolled expressions in functions/vectors.py are ideal up to
+a few hundred dimensions (pure codegen, bit-deterministic vs the
+oracle). Past that, expression size grows linearly and JVM codegen
+falls back to interpretation — so the engine provides numpy-backed
+Pandas UDFs: one Arrow batch in, one matrix multiply out. ~10-100×
+over row-at-a-time Python, and dimension-independent plan size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def cosine_scores_pandas(
+    df: DataFrame,
+    query: Sequence[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine similarity of every row vector against ``query`` via a
+    scalar Pandas UDF (Arrow-batched numpy matmul)."""
+    import numpy as np
+
+    q = np.asarray(list(query), dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    @F.pandas_udf(T.DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1)) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(norms > 0, dots / norms, np.nan)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), score(F.col(vec_col)).alias("score"))
+
+
+def topk_pandas(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via the vectorized scorer + TakeOrdered."""
+    scored = cosine_scores_pandas(df, query, id_col, vec_col)
+    return (
+        scored.select(id_col, F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign_pandas(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (dot-product argmax) — the partitioning step of an
+    IVF-flat ANN index. Centroids are deterministic constants chosen
+    by the caller (e.g. a prior k-means job or a hash-seeded sample).
+
+    At query time, scoring is restricted to the probe centroids'
+    inverted lists — the scan-reduction analog of LSH bucketing with
+    better geometry for clustered data."""
+    import numpy as np
+
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)  # (k, d)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, d)
+        sims = m @ C.T  # (n, k)
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    return df.select(F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell"))
+
+
+def topk_ivf(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: score only vectors whose cell is
+    among the query's ``n_probe`` nearest centroids."""
+    import numpy as np
+
+    C = np.asarray([list(c) for c in centroids], dtype=np.float64)
+    q = np.asarray(list(query), dtype=np.float64)
+    probe_cells = [int(i) for i in (C @ q).argsort()[::-1][:n_probe]]
+    assigned = ivf_assign_pandas(df, centroids, id_col, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe_cells)).select(id_col, vec_col)
+    return topk_pandas(cand, query, k, id_col, vec_col)
+
+
+def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Cheap deterministic centroid picks: the vectors whose ids hash
+    lowest (a seeded reservoir stand-in for k-means; swap for MLlib
+    KMeans offline when geometry matters)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .withColumn("__h", F.xxhash64(F.col(id_col)))
+        .orderBy("__h")
+        .limit(n)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]

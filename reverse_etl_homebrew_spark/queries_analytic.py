@@ -228,6 +228,31 @@ def q_lag_lead(spark, sf_dir):
     )
 
 
+@register("topk-similarity-pandas")
+def q_topk_similarity_pandas(spark, sf_dir):
+    """Arrow-batched numpy top-k (the high-dimensional scale path —
+    plan size independent of vector dimension). Rows-only: numpy's
+    pairwise/SIMD summation rounds differently from the oracle's
+    strict left fold in the last bits."""
+    from .operators.vectorized import topk_pandas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    return topk_pandas(emb, [float(x) for x in qrow["embedding"]], k=10)
+
+
+@register("topk-similarity-ivf")
+def q_topk_similarity_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k: coarse-quantize to deterministic
+    centroids, probe the 3 nearest cells, exact-score the survivors."""
+    from .operators.vectorized import deterministic_centroids, topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    cents = deterministic_centroids(emb, 8)
+    return topk_ivf(emb, [float(x) for x in qrow["embedding"]], cents, k=10, n_probe=3)
+
+
 @register(
     "skew-salted-join",
     sql="""

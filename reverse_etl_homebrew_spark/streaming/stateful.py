@@ -1,0 +1,132 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.8; the task's 'custom stateful operators' tier).
+
+``streaming_sessionize`` maintains per-user session state across
+micro-batches: events within ``gap`` seconds of the previous event
+extend the open session; a larger gap (or state timeout) closes it
+and emits a session summary row. This is the semantics
+``F.session_window`` gives declaratively — implemented here as an
+explicit GroupState machine to prove the engine supports operators
+Spark has no built-in for (the escape hatch for bespoke reference
+semantics).
+
+State per key is O(1) (open-session aggregate only), so state-store
+size is bounded by active keys — the property that keeps custom
+stateful ops viable at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start", T.DoubleType()),  # epoch seconds
+        T.StructField("last", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def make_sessionizer(gap_seconds: float):
+    """Returns the applyInPandasWithState callback closing sessions
+    after ``gap_seconds`` of inactivity."""
+
+    def _emit(closed):
+        return pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": [dt.datetime.utcfromtimestamp(c[1]) for c in closed],
+                "session_end": [dt.datetime.utcfromtimestamp(c[2]) for c in closed],
+                "n_events": [c[3] for c in closed],
+                "total_value": [c[4] for c in closed],
+            }
+        )
+
+    def sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        # timeout path: the open session expired with no new data —
+        # close it, emit, and REMOVE state (re-arming here would spin
+        # the cleanup batch forever)
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield _emit([(user_id, start, last + gap_seconds, n, total)])
+            return
+
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        closed = []
+        chunks = [p for p in pdfs if len(p)]
+        rows = (
+            pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame(columns=["ts", "value"])
+        )
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = ts.timestamp()
+            if last is not None and t - last >= gap_seconds:
+                closed.append((user_id, start, last + gap_seconds, n, total))
+                start, n, total = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            total += float(value)
+        if last is not None:
+            state.update((start, last, n, total))
+            # event-time timeout: close when the watermark passes
+            # last_event + gap (fires deterministically as data drains,
+            # unlike processing-time timers which would stall an
+            # availableNow trigger for the full gap duration)
+            state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
+        if closed:
+            yield _emit(closed)
+
+    return sessionize
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_seconds: float = 600.0, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """events (user_id, ts TIMESTAMP, value) stream → closed-session
+    summaries, one state machine per user. Sessions close either when
+    a same-user event arrives past the gap, or when the event-time
+    watermark passes session_end (EventTimeTimeout)."""
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,107 @@
+"""Tests for the Arrow/pandas vectorized scale path and the custom
+stateful streaming operator."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark.operators import similarity as SIM, vectorized as VZ
+from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    row = emb.filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+def test_pandas_topk_matches_flat_topk(spark, emb, query_vec):
+    """The numpy Pandas-UDF scorer must agree with the codegen flat
+    scorer to 6 decimals (identical ranking)."""
+    flat = [(r["vec_id"], r["score"]) for r in SIM.topk_brute(emb, query_vec, k=10).collect()]
+    pand = [(r["vec_id"], r["score"]) for r in VZ.topk_pandas(emb, query_vec, k=10).collect()]
+    assert [v for v, _ in flat] == [v for v, _ in pand]
+    for (_, a), (_, b) in zip(flat, pand):
+        assert abs(a - b) < 1e-6
+
+
+def test_ivf_assign_partitions_all_vectors(spark, emb):
+    cents = VZ.deterministic_centroids(emb, 8)
+    assigned = VZ.ivf_assign_pandas(emb, cents)
+    n = assigned.count()
+    assert n == emb.count()
+    cells = {r["ivf_cell"] for r in assigned.select("ivf_cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) >= 2
+
+
+def test_ivf_topk_contains_query_and_overlaps_exact(spark, emb, query_vec):
+    cents = VZ.deterministic_centroids(emb, 8)
+    exact = [r["vec_id"] for r in SIM.topk_brute(emb, query_vec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in VZ.topk_ivf(emb, query_vec, cents, k=10, n_probe=3).collect()
+    ]
+    assert 0 in approx  # the query vector itself
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_streaming_sessionize_closes_sessions(spark, tmp_path):
+    """Drive the applyInPandasWithState operator with availableNow
+    over the real events file; sessions must close deterministically
+    and line up with the batch gaps-and-islands count for closed
+    sessions."""
+    from reverse_etl_homebrew_spark.streaming.stateful import streaming_sessionize
+    from reverse_etl_homebrew_spark.streaming.structured import read_events_stream
+
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    shutil.copy(os.path.join(SF, "events.parquet"), events_dir)
+
+    ev = read_events_stream(spark, events_dir)
+    sessions = streaming_sessionize(ev, gap_seconds=600.0)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = out.collect()
+    assert rows, "no sessions closed"
+    # session integrity: end - start >= 0; n_events >= 1
+    for r in rows:
+        assert r["n_events"] >= 1
+        assert r["session_end"] >= r["session_start"]
+
+    # batch cross-check: every streamed session must be one of the
+    # batch gaps-and-islands sessions (same start + event count), and
+    # at least all gap-closed sessions must have been emitted (the
+    # event-time timeout may close more as the watermark drains)
+    from reverse_etl_homebrew_spark.operators import windows as WIN
+
+    batch = WIN.session(
+        load_table(spark, SF, "events"), "ts", "10 minutes", keys=["user_id"]
+    )
+    batch_keys = {
+        (r["user_id"], str(r["window_start"]), r["n"]) for r in batch.collect()
+    }
+    stream_keys = {
+        (r["user_id"], str(r["session_start"]), r["n_events"]) for r in rows
+    }
+    assert stream_keys <= batch_keys, stream_keys - batch_keys
+    n_users = batch.select("user_id").distinct().count()
+    assert out.count() >= batch.count() - n_users
