@@ -1,0 +1,169 @@
+"""Remaining built-in surface queries: quantiles, string-function
+suite, null-safe equality join, distinct counting, and conditional
+expressions — rounding out the engine's general-purpose SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import aggregates as AG
+from .sources.catalog import load_table
+from .queries import register
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "quantiles",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    """Exact continuous quantiles (linear interpolation on order
+    statistics — same definition in both engines; rounded to 4
+    decimals to absorb interpolation-arithmetic ordering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "string-funcs",
+    sql="""
+    SELECT c_custkey,
+           CONCAT_WS('|', c_name, c_mktsegment) AS joined,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           REPLACE(c_name, 'Customer', 'Cust') AS replaced,
+           levenshtein(c_mktsegment, 'BUILDING') AS seg_distance,
+           LEFT(c_name, 4) AS prefix,
+           REVERSE(c_mktsegment) AS seg_rev,
+           LENGTH(TRIM(c_name)) AS name_len,
+           CONTAINS(c_name, '00') AS has_00,
+           split_part(c_name, '#', 2) AS name_num
+    FROM customer
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    """General string-function surface (concat/pad/replace/edit
+    distance/slicing/containment) — all JVM-side codegen."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_distance"),
+        F.substring("c_name", 1, 4).alias("prefix"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.length(F.trim("c_name")).alias("name_len"),
+        F.contains("c_name", F.lit("00")).alias("has_00"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+@register(
+    "null-safe-join",
+    sql="""
+    WITH l AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders
+    ), r AS (
+      SELECT DISTINCT CASE WHEN o_orderkey % 15 = 0 THEN NULL
+                           ELSE o_orderstatus END AS k
+      FROM orders
+    )
+    SELECT l.o_orderkey, l.k
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def q_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — required when natural keys can be legitimately
+    absent on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    left = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    right = o.select(
+        F.when(F.col("o_orderkey") % 15 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("rk")
+    ).distinct()
+    return left.join(right, left.k.eqNullSafe(right.rk)).select("o_orderkey", "k")
+
+
+@register(
+    "distinct-agg",
+    sql="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Multiple distinct aggregates in one group-by (expand-based
+    plan; each distinct adds one shuffle leg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "conditional-agg",
+    sql="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN o_totalprice > 200000
+                         THEN CAST(o_totalprice AS DECIMAL(38,6)) END) AS DOUBLE)
+             AS big_revenue,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           CAST(AVG(CASE WHEN o_orderstatus = 'O' THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+                AS DOUBLE) AS open_rate
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_conditional_agg(spark, sf_dir):
+    """Filtered/conditional aggregation over a dim join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice").cast("decimal(38,6)"))
+        )
+        .cast("double")
+        .alias("big_revenue"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.avg(
+            F.when(F.col("o_orderstatus") == "O", F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("open_rate"),
+    )

@@ -51,6 +51,24 @@ def normalize_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def cluster_conf(
+    executors: int = 1000, cores_per_executor: int = 4
+) -> dict:
+    """Recommended submit-time conf profile for the 100 TB target
+    (see SCALE.md). Returned as a dict for spark-submit --conf
+    generation; the engine code itself is identical in both modes."""
+    total_cores = executors * cores_per_executor
+    return {
+        **_RUNTIME_CONFS,
+        "spark.sql.shuffle.partitions": str(total_cores * 2),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.parquet.compression.codec": "zstd",
+    }
+
+
 def get_spark(app_name: str = "reverse-etl-homebrew-spark") -> SparkSession:
     """Build (or fetch) the engine session.
 
