@@ -73,12 +73,28 @@ def synthetic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(dupes)
 
 
-def patient_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def patient_sync_plan(
+    spark: SparkSession, sf_dir: str, extra_idmap: DataFrame | None = None
+) -> DataFrame:
     """Full outcome-labeled plan: one row per patient with its write
     decision (update / adopt / create / dlq_ambiguous / dlq_no_email),
-    mirroring the branch ladder of main.py:667-729."""
+    mirroring the branch ladder of main.py:667-729.
+
+    ``extra_idmap`` is the engine's accumulated idempotency ID map
+    (sinks/control.py): ids created by previous runs resolve as
+    updates, which is what makes re-runs converge instead of
+    re-creating (README.md:113-115)."""
     rows = patient_rows(spark, sf_dir)
-    mapped = J.idmap_join(rows, synthetic_idmap(spark, sf_dir), "contact")
+    idmap = synthetic_idmap(spark, sf_dir)
+    if extra_idmap is not None:
+        prior = extra_idmap.filter(F.col("hubspot_object_type") == "contact").select(
+            "hubspot_object_type", "natural_key", "hubspot_id"
+        )
+        # deterministic precedence: the synthetic (remote-truth) map
+        # wins; engine-accumulated ids fill the remaining keys
+        prior = prior.join(idmap.select("natural_key"), ["natural_key"], "left_anti")
+        idmap = idmap.unionByName(prior)
+    mapped = J.idmap_join(rows, idmap, "contact")
     matched = J.email_match_join(mapped, synthetic_snapshot(spark, sf_dir))
     outcome = (
         F.when(F.col("mapped_hubspot_id").isNotNull(), "update")

@@ -65,10 +65,15 @@ def synthetic_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def roi_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def roi_sync_plan(
+    spark: SparkSession, sf_dir: str, extra_idmap: DataFrame | None = None
+) -> DataFrame:
     """Outcome-labeled ROI plan:
     skip_processed / skip_override / dlq_unresolved / update / create.
-    """
+
+    ``extra_idmap``: engine ID map — ROIs created by previous runs
+    resolve to their remote ids and become updates (idempotent
+    re-runs, README.md:113-115)."""
     rois = roi_rows(spark, sf_dir)
     patients = load_table(spark, sf_dir, "customer")
 
@@ -88,6 +93,16 @@ def roi_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved = J.tiered_match_join(rois, tiers, out_col="patient_id")
 
     snapshot = synthetic_roi_snapshot(spark, sf_dir)
+    if extra_idmap is not None:
+        prior = extra_idmap.filter(F.col("hubspot_object_type") == "roi").select(
+            "natural_key",
+            F.col("hubspot_id"),
+            F.lit("false").alias("roi_manual_override"),
+        )
+        # deterministic precedence: the remote snapshot (with its
+        # override flags) wins; engine-accumulated ids fill the rest
+        prior = prior.join(snapshot.select("natural_key"), ["natural_key"], "left_anti")
+        snapshot = snapshot.unionByName(prior)
     with_remote = resolved.join(F.broadcast(snapshot), ["natural_key"], "left")
 
     processed = (F.lower(F.col("processing_status")) == "processed") & F.col(

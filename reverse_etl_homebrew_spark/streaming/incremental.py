@@ -67,7 +67,10 @@ def run_sync(
     status = "failed"
     results_dir = os.path.join(workdir, f"results-{job_type}-{started.timestamp()}")
     try:
-        plan = PLAN_BUILDERS[job_type](spark, sf_dir)
+        # feed the accumulated ID map back into the plan: previously
+        # created objects resolve as updates on re-runs — the
+        # idempotency guarantee (README.md:113-115)
+        plan = PLAN_BUILDERS[job_type](spark, sf_dir, extra_idmap=ctl.idmap())
         if watermark is not None and updated_col in plan.columns:
             plan = plan.filter(F.col(updated_col) >= F.lit(watermark))
         if fail_injector is not None:

@@ -53,16 +53,14 @@ def test_patient_sync_counts_and_idempotency(spark, workdir):
     # idmap gained the created/adopted ids
     assert ctl.idmap().count() == r1["created"] + r1["updated"]
 
-    # second run: every previously-created key now resolves via the
-    # engine idmap... but the synthetic snapshot/idmap of the plan are
-    # static, so counts must simply be reproducible run-over-run
+    # second run: every key written in run 1 now resolves via the
+    # accumulated engine ID map → zero re-creates, all updates
+    # (idempotent re-runs, README.md:113-115)
     r2 = run_sync(spark, "patients", SF, workdir, lambda: FakeHubSpot(), sleeper=NO_SLEEP)
     assert r2["status"] == "success"
-    assert (r2["created"], r2["updated"], r2["errors"]) == (
-        r1["created"],
-        r1["updated"],
-        r1["errors"],
-    )
+    assert r2["created"] == 0
+    assert r2["updated"] == r1["created"] + r1["updated"]
+    assert r2["errors"] == r1["errors"]
     # DLQ attempt numbers advanced for repeating failures (main.py:404-420)
     att = ctl.dlq().groupBy("natural_key").agg(F.max("attempt").alias("m"))
     assert att.agg(F.max("m")).first()[0] == 2
