@@ -66,14 +66,31 @@ def coalesce_first(*cols: ColumnOrName) -> Column:
 # string / bool normalization
 # ---------------------------------------------------------------------------
 
+#: Python str.strip()'s whitespace set (what the reference's .strip()
+#: calls actually remove): ASCII whitespace + \x1c-\x1f + NEL + NBSP +
+#: Unicode Zs + line/para separators. Spark's F.trim removes ONLY
+#: 0x20, which silently diverges on tab-padded or unicode-padded input.
+_PY_WS = "\\t\\n\\x0b\\f\\r\\x1c\\x1d\\x1e\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000"
+
+
+def python_strip(col: ColumnOrName) -> Column:
+    """str.strip()-faithful trim (see _PY_WS)."""
+    c = _c(col)
+    return F.regexp_replace(
+        F.regexp_replace(c, f"^[{_PY_WS}]+", ""), f"[{_PY_WS}]+$", ""
+    )
+
+
 def blank_to_null(col: ColumnOrName) -> Column:
     """'' → NULL (prop dropping, main.py:610,656)."""
     return F.nullif(_c(col), F.lit(""))
 
 
 def email_normalize(col: ColumnOrName) -> Column:
-    """strip + lowercase, blank → NULL (main.py:573)."""
-    return F.nullif(F.lower(F.trim(_c(col))), F.lit(""))
+    """strip + lowercase, blank → NULL (main.py:573). Uses the
+    Python-faithful strip so tab/unicode padding normalizes exactly as
+    the reference would."""
+    return F.nullif(F.lower(python_strip(_c(col))), F.lit(""))
 
 
 def bool_normalize(col: ColumnOrName) -> Column:
@@ -82,7 +99,7 @@ def bool_normalize(col: ColumnOrName) -> Column:
     in the truthy/falsy token sets; unknown strings pass through
     lowercased; blanks → NULL. Numeric inputs: non-zero → 'true'."""
     c = _c(col)
-    s = F.lower(F.trim(c.cast("string")))
+    s = F.lower(python_strip(c.cast("string")))
     return (
         F.when(c.isNull() | (s == ""), F.lit(None).cast("string"))
         .when(s.isin(*_TRUE_TOKENS), F.lit("true"))
@@ -186,7 +203,7 @@ def identifier_canon(col: ColumnOrName) -> Column:
     # try_cast: non-numeric strings fall through to the string branch
     # instead of raising under ANSI mode (Spark 4 default)
     dec = c.cast("string").try_cast("decimal(38,9)")
-    s = F.trim(c.cast("string"))
+    s = python_strip(c.cast("string"))
     canonical = F.when(
         dec.isNotNull(),
         F.when(
@@ -200,7 +217,7 @@ def identifier_canon(col: ColumnOrName) -> Column:
             )
         ),
     ).otherwise(s)
-    return F.nullif(F.trim(canonical), F.lit(""))
+    return F.nullif(python_strip(canonical), F.lit(""))
 
 
 def phi_redact(col: ColumnOrName) -> Column:
