@@ -24,7 +24,7 @@ likewise (main.py:164). Both policies are exposed here; callers pick.
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Union
+from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 

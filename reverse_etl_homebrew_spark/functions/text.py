@@ -11,7 +11,7 @@ fingerprinting over the ``documents`` table.
 
 from __future__ import annotations
 
-from typing import Sequence, Union
+from typing import Union
 
 from pyspark.sql import Column, functions as F
 

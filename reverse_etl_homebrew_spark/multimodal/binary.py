@@ -16,7 +16,7 @@ swapping the stub for PIL/torchaudio/pyav changes one function.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, Iterator
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 

@@ -15,9 +15,9 @@ main.py:460-468 at 694-706; DLQ attempt read main.py:404-420 at
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
 def equi_join(

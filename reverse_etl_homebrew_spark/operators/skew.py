@@ -10,8 +10,6 @@ transparent.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 from pyspark.sql import DataFrame, functions as F
 
 

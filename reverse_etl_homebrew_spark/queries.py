@@ -17,14 +17,12 @@ sound (see SURVEY.md §5.2):
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
 
-from .functions import scalars as SC, text as TX, vectors as VEC
 from .operators import aggregates as AG, dedup as DD, joins as J, merge as MG
-from .operators import scans as SCN, similarity as SIM, windows as WIN
+from .operators import scans as SCN
 from .sources.catalog import load_table
 from .session import normalize_session
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators import aggregates as AG
 from .sources.catalog import load_table
 from .queries import register
 

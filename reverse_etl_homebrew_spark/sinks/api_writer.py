@@ -27,7 +27,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Iterable, Optional
+from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame
 

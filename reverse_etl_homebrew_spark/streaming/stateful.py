@@ -18,11 +18,11 @@ stateful ops viable at 100 TB/day.
 from __future__ import annotations
 
 import datetime as dt
-from typing import Any, Iterable, Iterator, Tuple
+from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = T.StructType(

@@ -19,8 +19,7 @@ Provided pipelines:
 
 from __future__ import annotations
 
-import os
-from typing import Callable, Optional
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
