@@ -1,0 +1,84 @@
+"""Connected components over near-duplicate candidate pairs — the
+step that turns pairwise similarity (MinHash/SimHash/Jaccard/cosine)
+into dedup decisions: each duplicate CLUSTER keeps exactly one
+survivor.
+
+Algorithm: alternating min-label propagation (large-star/small-star
+style) to a fixpoint — each node repeatedly adopts the smallest label
+in its neighborhood. Iterative, converges in O(log n) rounds on
+real near-dup graphs (components are small and dense); each round is
+one groupBy shuffle. This is the canonical Spark shape for iterative
+graph algorithms without GraphX/graphframes dependencies.
+
+Scale notes: label state is (node, label) — linear in nodes; rounds
+localCheckpoint to cut lineage (otherwise plan depth grows per
+iteration and planning dominates). Max-iteration cap + convergence
+count guard against pathological chains (a path graph needs O(n)
+rounds — real near-dup clusters are cliques-ish from LSH banding, so
+this does not occur in practice; the cap fails loudly rather than
+looping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(a_id, b_id) undirected edges → (id, component) with component
+    = min node id in the component. Deterministic."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels.withColumnRenamed("id", "dst"), ["dst"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_labels, ["id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["id"])
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one survivor (min id) per duplicate cluster; rows not in
+    any pair survive untouched. The standard last stage of a corpus
+    near-dedup pipeline."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, [id_col], "left_anti")

@@ -279,6 +279,20 @@ def q_embedding_near_dup(spark, sf_dir):
     return DD.embedding_near_dup_pairs(emb)
 
 
+@register("fuzzy-dedup-clusters")
+def q_fuzzy_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dedup: MinHash candidate pairs → connected
+    components (iterative min-label propagation) → one survivor per
+    duplicate cluster. Rows-only (iterative algorithm)."""
+    from .operators.components import dedup_survivors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = DD.minhash_lsh_pairs(d, num_hashes=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.8
+    )
+    return dedup_survivors(d, pairs).select("doc_id")
+
+
 @register("topk-similarity-lsh")
 def q_topk_similarity_lsh(spark, sf_dir):
     """Approximate top-k: hyperplane-LSH candidate pruning before
