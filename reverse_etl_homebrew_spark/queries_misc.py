@@ -132,6 +132,83 @@ def q_distinct_agg(spark, sf_dir):
 
 
 @register(
+    "array-ops",
+    sql="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
+           CAST(list_sort(embedding)[1] AS DOUBLE) AS min_val,
+           CAST(list_sort(embedding)[len(embedding)] AS DOUBLE) AS max_val,
+           CAST(embedding[3] AS DOUBLE) AS third_val,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark, sf_dir):
+    """First-class array-column manipulation: length, element access,
+    sort-based min/max, filtered counts — the nested-type surface
+    multimodal schemas rely on."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", F.lit(1)).cast("double").alias("first_val"),
+        F.element_at("embedding", F.lit(-1)).cast("double").alias("last_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.element_at("embedding", F.lit(3)).cast("double").alias("third_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "struct-json-ops",
+    sql="""
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))
+             AS packed,
+           json_extract(props, '$.k')::BIGINT AS k_value,
+           CASE WHEN json_extract(props, '$.k')::BIGINT > 50 THEN 'high'
+                ELSE 'low' END AS k_band
+    FROM events
+    """,
+)
+def q_struct_json_ops(spark, sf_dir):
+    """Struct packing → JSON and JSON-string field extraction (the
+    props column of the events stream)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("packed"),
+        k.alias("k_value"),
+        F.when(k > 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "explode-posexplode",
+    sql="""
+    SELECT vec_id, (pos - 1) AS pos, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT vec_id, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+      WHERE vec_id < 20
+    )
+    """,
+)
+def q_explode_posexplode(spark, sf_dir):
+    """Array → rows with position (posexplode ≡ unnest WITH
+    ORDINALITY) — the pivot from columnar vectors to long format."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+
+
+@register(
     "conditional-agg",
     sql="""
     SELECT n_name,
