@@ -30,11 +30,18 @@ def exact_dedup(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.dropDuplicates(list(keys))
 
 
-def content_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+def content_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str | None = None
+) -> DataFrame:
     """Exact-content dedup by normalized-text fingerprint: keeps the
-    lowest-id row per fingerprint so the result is deterministic."""
+    lowest-``id_col`` row per fingerprint so the survivor is
+    deterministic. ``id_col`` must be unique per row; it defaults to
+    the frame's first column only for backward compatibility — pass it
+    explicitly (a non-unique first column would make the survivor
+    partition-order dependent)."""
+    order_col = id_col if id_col is not None else df.columns[0]
     fp = df.withColumn("__fp", TX.sha_fingerprint(text_col))
-    w = W.partitionBy("__fp").orderBy(*[F.col(c) for c in df.columns[:1]])
+    w = W.partitionBy("__fp").orderBy(F.col(order_col))
     return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
         "__rn", "__fp"
     )
@@ -248,16 +255,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int = 100,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for candidate pairs sharing
-    at least one n-gram: explode n-grams → shuffle on n-gram → pairs
-    per posting list → exact |A∩B| / |A∪B| from per-doc set sizes.
+    """Word-n-gram Jaccard similarity for candidate pairs sharing at
+    least one n-gram: explode n-grams → shuffle on n-gram → pairs per
+    posting list → |A∩B| / |A∪B| from per-doc set sizes.
 
     At corpus scale the posting-list join is bounded by dropping
     ultra-common n-grams (document frequency cap) — the standard
-    prefix-filter trick; df_cap here keeps hot shingles from
-    quadratic blowup."""
-    df_cap = 100
+    prefix-filter trick; df_cap keeps hot shingles from quadratic
+    blowup. Jaccard is therefore computed over the PRUNED gram sets —
+    a well-defined approximation of full-set Jaccard (both numerator
+    and denominator exclude grams with document frequency > df_cap;
+    pairs sharing only hot grams are not candidates). Per-doc sizes
+    join back via plain shuffle joins: one row per document is
+    fact-sized, never broadcast."""
     grams = (
         df.select(
             F.col(id_col).alias("id"),
@@ -270,11 +282,15 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") > df_cap
     )
-    pruned = grams.join(F.broadcast(hot.select("g")), ["g"], "left_anti")
+    # hot-gram list size follows the corpus (Zipf tail over df_cap), so
+    # no forced broadcast — AQE broadcasts it only while it is small
+    pruned = grams.join(hot.select("g"), ["g"], "left_anti")
+    # sizes from the SAME pruned set the intersections are counted on,
+    # so numerator and denominator are consistent
+    sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a, b = pruned.alias("a"), pruned.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -282,8 +298,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "a_id", "set_size": "a_size"})), ["a_id"])
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "b_id", "set_size": "b_size"})), ["b_id"])
+        inter.join(sizes.withColumnsRenamed({"id": "a_id", "set_size": "a_size"}), ["a_id"])
+        .join(sizes.withColumnsRenamed({"id": "b_id", "set_size": "b_size"}), ["b_id"])
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

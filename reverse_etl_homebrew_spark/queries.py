@@ -183,9 +183,9 @@ def q_max_ifnull(spark, sf_dir):
 @register(
     "run-counters",
     sql="""
-    SELECT SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS created_count,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS updated_count,
-           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS skipped_count,
+    SELECT CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS created_count,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS updated_count,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS skipped_count,
            COUNT(*) AS read_count
     FROM orders
     """,

@@ -55,8 +55,8 @@ def q_token_count(spark, sf_dir):
     sql=r"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(regexp_extract_all(trim(text), '\S+'))) AS total_tokens,
-           SUM(length(text)) AS total_chars,
+           CAST(SUM(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
            CAST(SUM(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
                          AS DECIMAL(38,6))) AS DOUBLE) AS total_punct_chars
     FROM documents

@@ -48,7 +48,39 @@ def normalize_session(spark: SparkSession) -> SparkSession:
             # A conf may be static on some builds; queries that depend on
             # it will fail loudly rather than silently mis-compute.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of the
+    driver's cwd: Pandas-UDF / mapInPandas closures deserialize by
+    module reference on the Python workers, which share neither the
+    driver's ``sys.path`` edits nor its working directory. Shipping a
+    zip via ``addPyFile`` is the same mechanism a real cluster submit
+    uses (``--py-files``), so local and 1000-executor behavior match.
+    Zipped once per process, added once per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_reverse_etl_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"reverse_etl_homebrew_spark_pyfiles_{os.getpid()}"
+    )
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(
+            zip_base, "zip", root_dir=pkg_root, base_dir="reverse_etl_homebrew_spark"
+        )
+    try:
+        sc.addPyFile(zip_base + ".zip")
+    except Exception:
+        # e.g. a session that forbids adding files mid-flight; UDF-free
+        # queries still work, UDF ones will raise ModuleNotFoundError
+        pass
+    sc._reverse_etl_pkg_shipped = True
 
 
 def cluster_conf(

@@ -68,6 +68,50 @@ def test_email_match_join_broadcasts_per_key_aggregate(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_broadcast_gate_scales_with_build_side(spark):
+    """maybe_broadcast contract (VERDICT r1 #3): a data-proportional
+    build side must NOT be pinned to broadcast — small sides broadcast
+    (stats/AQE), fact-sized sides fall back to sort-merge, and the
+    explicit flags override both ways."""
+    from pyspark.sql import functions as F
+
+    from reverse_etl_homebrew_spark.operators import joins as J
+
+    rows = spark.range(1000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("email")
+    )
+    big_snapshot = spark.range(5_000_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("email"),
+        F.col("id").alias("hubspot_id"),
+    )
+    small_snapshot = big_snapshot.limit(500)
+
+    # fact-sized snapshot (≈40 MB estimate) → no broadcast in the plan
+    big_plan = explain(spark, J.email_match_join(rows, big_snapshot))
+    assert "SortMergeJoin" in big_plan or "ShuffledHashJoin" in big_plan
+    assert "BroadcastHashJoin" not in big_plan
+
+    # small snapshot → planner may broadcast on its own
+    small_plan = explain(spark, J.email_match_join(rows, small_snapshot))
+    assert "BroadcastHashJoin" in small_plan
+
+    # explicit overrides win in both directions
+    forced = explain(spark, J.email_match_join(rows, big_snapshot, broadcast=True))
+    assert "BroadcastHashJoin" in forced
+    denied = explain(spark, J.email_match_join(rows, small_snapshot, broadcast=False))
+    assert "BroadcastHashJoin" not in denied
+
+    # tiered cascade: every tier's join obeys the same gate
+    facts = spark.range(1000).select(F.col("id").alias("k"))
+    tier_src = spark.range(5_000_000).select(
+        F.col("id").alias("ck"), (F.col("id") + 10).alias("cid")
+    )
+    tiered = explain(
+        spark, J.tiered_match_join(facts, [(tier_src, "k", "ck", "cid")])
+    )
+    assert "BroadcastHashJoin" not in tiered
+
+
 def test_semi_and_anti_join_shapes(spark):
     semi = explain(spark, Q.QUERIES["semi-join"](spark, SF))
     anti = explain(spark, Q.QUERIES["roi-patient-anti-join"](spark, SF))
