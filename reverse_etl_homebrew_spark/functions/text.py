@@ -142,25 +142,38 @@ def sha_fingerprint(col: ColumnOrName) -> Column:
     return F.sha2(normalized_text(col), 256)
 
 
-def char_ngrams_from(norm_col: ColumnOrName, n: int = 5) -> Column:
-    """Character n-gram (shingle) array over an ALREADY-NORMALIZED
-    string column. The input must be a cheap expression (ideally a
-    bare column): outer expressions referenced inside a transform
-    lambda are re-evaluated per element, so an inline normalization
-    here would be O(len²) per document."""
-    s = _c(norm_col)
+def char_array(norm_col: ColumnOrName) -> Column:
+    """Split a string into its character array — materialize this as a
+    projected column before calling ``char_ngrams_from`` on it."""
+    return F.split(_c(norm_col), "")
+
+
+def char_ngrams_from(chars_col: ColumnOrName, n: int = 5) -> Column:
+    """Character n-gram (shingle) array over an ALREADY-SPLIT char
+    array column (``char_array``). Array indexing is O(1) per
+    character; the substring form is O(position) on UTF8 strings,
+    which makes shingling quadratic per document (measured 1.55× on
+    the corpus map stage). The input must be a cheap expression
+    (ideally a bare column): outer expressions referenced inside a
+    transform lambda are re-evaluated per element. Documents shorter
+    than ``n`` chars yield their whole text as the single shingle
+    (missing positions pad as empty strings)."""
+    ch = _c(chars_col)
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))),
-        lambda i: s.substr(i, F.lit(n)),
+        F.sequence(F.lit(0), F.greatest(F.size(ch) - F.lit(n), F.lit(0))),
+        lambda i: F.concat(
+            *[F.coalesce(F.get(ch, i + F.lit(j)), F.lit("")) for j in range(n)]
+        ),
     )
 
 
 def char_ngrams(col: ColumnOrName, n: int = 5) -> Column:
     """Shingle array over normalized text — the input to MinHash /
-    Jaccard dedup. HOT-PATH CALLERS: project ``normalized_text`` into
-    a column first and call ``char_ngrams_from`` on it (see note
-    there); this convenience form normalizes inline."""
-    return char_ngrams_from(normalized_text(col), n)
+    Jaccard dedup. HOT-PATH CALLERS: project ``normalized_text`` and
+    ``char_array`` into columns first and call ``char_ngrams_from``
+    (see note there); this convenience form is only safe on small
+    frames because the inline split re-evaluates per element."""
+    return char_ngrams_from(char_array(normalized_text(col)), n)
 
 
 def word_ngrams_from(toks_col: ColumnOrName, n: int = 3) -> Column:

@@ -36,6 +36,11 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: every propagation round joins edges, and
+        # without the lineage cut the upstream pair-generation pipeline
+        # (often a full LSH run) re-executes per iteration. Cluster
+        # substitution: persist(DISK_ONLY)/checkpoint dir (SCALE.md).
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")

@@ -74,6 +74,88 @@ def lastwin_dedup(
 # hashed exactly once, instead of num_hashes times.
 
 
+def minhash_sig_array(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """One row per document as (id, sig: array<long>[k]): a
+    one-permutation MinHash signature (Li/Owen/Zhang OPH) over the
+    distinct character-shingle set.
+
+    Each shingle is hashed ONCE; the hash selects one of k buckets
+    (pmod) and competes for that bucket's minimum — O(len) work per
+    document instead of the classic k-hash O(len·k), and the shuffled
+    row is (id, bucket, h) = 24 bytes instead of k longs. Single
+    shuffle (groupBy id, partial min map-side). Empty buckets (only
+    short documents have any, P(empty) = (1-1/k)^n_shingles) are
+    rotationally densified — filled from the next non-empty bucket to
+    the right, wrapping — which preserves the LSH collision property
+    and keeps signatures a pure function of the shingle set, so
+    identical texts still agree on every component.
+
+    The signature lives in ONE array column: k separate columns each
+    holding a k-term densification window made Catalyst generate k
+    large expressions (expensive to compile and to run); the array
+    form compiles the window once inside a single transform lambda."""
+    # NOTE on parallelism: the map side (normalize/shingle/hash) runs
+    # in the scan stage's tasks. A corpus that arrives as few splits
+    # (small files) serializes it — callers on small corpora should
+    # repartition by id BEFORE this operator (the id partitioning then
+    # also satisfies both groupBys below, leaving one exchange total).
+    # The operator does not force that itself: at corpus scale a raw-
+    # text repartition is a full-corpus shuffle, while the native shape
+    # (map-side partial min, then exchange of (id, bucket, min) rows)
+    # moves only ids × k × 24 B.
+    normalized = df.select(
+        F.col(id_col).alias("id"),
+        TX.char_array(TX.normalized_text(F.col(text_col))).alias("__ch"),
+    )
+    # no array_distinct: duplicate shingles hash identically, and the
+    # (id, bucket) min-aggregation absorbs them — min over the
+    # multiset equals min over the set, so the per-document dedup pass
+    # is pure overhead here (simhash, whose votes weight by distinct
+    # shingle, still needs it)
+    shingled = normalized.select(
+        "id",
+        F.explode(TX.char_ngrams_from(F.col("__ch"), shingle_n)).alias("g"),
+    )
+    hashed = shingled.select(
+        "id",
+        F.xxhash64("g").alias("h"),
+    ).select("id", "h", F.pmod(F.col("h"), F.lit(num_hashes)).cast("int").alias("b"))
+    # two-level min: per (id, bucket) first — the per-shingle update is
+    # a single hash-agg min (O(1)), not k conditional mins (O(k)). The
+    # per-id collapse then aggregates the ≤k bucket rows into ONE map
+    # column: a k-column conditional-min pivot here generates an
+    # aggregate update method past the JVM's 8 KB JIT limit and runs
+    # interpreted (measured 1.5 s of the old 6.5 s sf0.1 wall).
+    bucket_mins = hashed.groupBy("id", "b").agg(F.min("h").alias("mn"))
+    as_map = bucket_mins.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "mn"))).alias("__mp")
+    )
+    # densify: per-slot coalesce window over map lookups (missing key →
+    # null, no ANSI error on maps). ONE transform lambda builds all k
+    # slots — a single compiled window body instead of k copies.
+    return as_map.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.coalesce(
+                *[
+                    F.element_at(
+                        F.col("__mp"),
+                        ((i + F.lit(j)) % F.lit(num_hashes)).cast("int"),
+                    )
+                    for j in range(num_hashes)
+                ]
+            ),
+        ).alias("sig"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -81,27 +163,12 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """One row per document with columns m0..m{k-1}: the MinHash
-    signature over the distinct character-shingle set (seeded xxhash64
-    family). Single shuffle (groupBy id, partial min map-side)."""
-    normalized = df.select(
-        F.col(id_col).alias("id"), TX.normalized_text(F.col(text_col)).alias("__nt")
-    )
-    shingled = normalized.select(
-        "id",
-        F.explode(F.array_distinct(TX.char_ngrams_from(F.col("__nt"), shingle_n))).alias(
-            "g"
-        ),
-    )
-    # one string hash per shingle, then the k-member family as cheap
-    # fixed-width hashes of (base_hash, i) — O(len + k) per shingle
-    # instead of O(k·len)
-    hashed = shingled.select("id", F.xxhash64("g").alias("h")).select(
-        "id",
-        *[F.xxhash64(F.col("h"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
-    )
-    return hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    """Column-per-slot view of ``minhash_sig_array`` (m0..m{k-1}) for
+    callers that want flat slots; the hot paths stay on the array
+    form."""
+    sig = minhash_sig_array(df, id_col, text_col, num_hashes, shingle_n)
+    return sig.select(
+        "id", *[F.get("sig", i).alias(f"m{i}") for i in range(num_hashes)]
     )
 
 
@@ -112,20 +179,39 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
+    min_est: float | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding:
-    signature → ``bands`` band-hashes → self-join within band buckets.
+    OPH signature → ``bands`` band-hashes → self-join within band
+    buckets.
 
     Shuffle profile: shingle-hash groupBy, explode to (bands × rows)
     bucket rows, shuffle on (band, bucket); pairs enumerated only
     inside buckets — never a cross join. Returns distinct
     (a_id, b_id, est_jaccard) with a < b, est_jaccard = signature
-    agreement fraction."""
+    agreement fraction. On a corpus dense in moderate-similarity
+    pairs (templated text), banding alone admits ~j^r candidates per
+    band — pass ``min_est`` (e.g. the (1/bands)^(1/rows_per_band)
+    S-curve midpoint) to keep only candidates whose signature
+    agreement clears the dedup threshold before they fan out to
+    downstream verification/clustering."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # materialize signatures once: the band self-join references the
+    # signature pipeline from both legs with different projections, so
+    # exchange reuse cannot deduplicate them and the whole
+    # explode→hash→agg pipeline would run twice. Signatures are
+    # docs × (k+1) × 8 B — the standard LSH persist point (cluster
+    # substitution: persist(DISK_ONLY), SCALE.md).
+    sig = minhash_sig_array(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint(
+        eager=False
+    )
+    # band rows carry the signature array alongside (band, bucket): at
+    # bands≈4 that is ~1 KB/doc of shuffle — the same order as joining
+    # the candidate set back to the signature table, with two fewer
+    # stages (candidates are enumerated and scored in one join)
     banded = sig.select(
         "id",
-        *[F.col(f"m{i}") for i in range(num_hashes)],
+        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -134,7 +220,7 @@ def minhash_lsh_pairs(
                             ",",
                             F.lit(b),
                             *[
-                                F.col(f"m{b * rows_per_band + r}").cast("string")
+                                F.get("sig", b * rows_per_band + r).cast("string")
                                 for r in range(rows_per_band)
                             ],
                         )
@@ -147,19 +233,14 @@ def minhash_lsh_pairs(
     # explicit renames instead of DataFrame aliases: self-join alias
     # resolution is fragile (can silently rebind both legs to one side)
     left = banded.select(
-        F.col("id").alias("a_id"),
-        *[F.col(f"m{i}").alias(f"a_m{i}") for i in range(num_hashes)],
-        "band",
-        "bucket",
+        F.col("id").alias("a_id"), F.col("sig").alias("a_sig"), "band", "bucket"
     )
     right = banded.select(
-        F.col("id").alias("b_id"),
-        *[F.col(f"m{i}").alias(f"b_m{i}") for i in range(num_hashes)],
-        "band",
-        "bucket",
+        F.col("id").alias("b_id"), F.col("sig").alias("b_sig"), "band", "bucket"
     )
     agree = sum(
-        (F.col(f"a_m{i}") == F.col(f"b_m{i}")).cast("int") for i in range(num_hashes)
+        (F.get("a_sig", i) == F.get("b_sig", i)).cast("int")
+        for i in range(num_hashes)
     )
     pairs = (
         left.join(right, ["band", "bucket"])
@@ -171,6 +252,8 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
+    if min_est is not None:
+        pairs = pairs.filter(F.col("est_jaccard") >= float(min_est))
     return pairs
 
 
@@ -188,28 +271,54 @@ def simhash_fingerprints(
     """One row per document with its SimHash fingerprint (per-bit
     majority vote over shingle hashes), as (id, sh).
 
-    Explode → single xxhash64 → per-bit conditional sums in one
-    groupBy: flat expressions only (see module note), one shuffle,
-    each shingle hashed once."""
+    Explode → single xxhash64 → packed vote sums in one groupBy: each
+    aggregate column carries TWO bit-counters in 32-bit lanes of one
+    long (overflow needs 2^32 shingles in one document), so the
+    64-bit vote needs 32 aggregate columns, not 64 — keeping the
+    generated hash-agg output method under the JVM's 8 KB JIT limit
+    (the 64-column form compiled but ran interpreted). Flat
+    expressions only (see module note), one shuffle, each shingle
+    hashed once."""
+    assert bits % 2 == 0
     hashed = (
         df.select(
-            F.col(id_col).alias("id"), TX.normalized_text(F.col(text_col)).alias("__nt")
+            F.col(id_col).alias("id"),
+            TX.char_array(TX.normalized_text(F.col(text_col))).alias("__ch"),
         )
         .select(
             "id",
             F.explode(
-                F.array_distinct(TX.char_ngrams_from(F.col("__nt"), shingle_n))
+                F.array_distinct(TX.char_ngrams_from(F.col("__ch"), shingle_n))
             ).alias("g"),
         )
         .select("id", F.xxhash64("g").alias("h"))
     )
+    lanes = bits // 2
     votes = hashed.groupBy("id").agg(
         F.count(F.lit(1)).alias("total"),
         *[
-            F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)).cast("long")).alias(
-                f"v{b}"
-            )
-            for b in range(bits)
+            F.sum(
+                F.shiftrightunsigned("h", 2 * j).bitwiseAND(F.lit(1)).cast("long")
+                + F.shiftleft(
+                    F.shiftrightunsigned("h", 2 * j + 1).bitwiseAND(F.lit(1)).cast("long"),
+                    32,
+                )
+            ).alias(f"p{j}")
+            for j in range(lanes)
+        ],
+    )
+    # unpack lanes in a separate projection (projections split into
+    # small generated methods; aggregate outputs do not)
+    unpacked = votes.select(
+        "id",
+        "total",
+        *[
+            F.col(f"p{j}").bitwiseAND(F.lit(0xFFFFFFFF)).alias(f"v{2 * j}")
+            for j in range(lanes)
+        ],
+        *[
+            F.shiftrightunsigned(F.col(f"p{j}"), 32).alias(f"v{2 * j + 1}")
+            for j in range(lanes)
         ],
     )
     acc = F.lit(0).cast("long")
@@ -218,7 +327,7 @@ def simhash_fingerprints(
             F.lit(0).cast("long")
         )
         acc = acc + F.shiftleft(bit, b)
-    return votes.select("id", acc.alias("sh"))
+    return unpacked.select("id", acc.alias("sh"))
 
 
 def simhash_pairs(

@@ -248,27 +248,40 @@ def q_knn_join(spark, sf_dir):
 
 @register("fuzzy-dedup")
 def q_fuzzy_dedup(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs (shingle → minhash
-    signature → band buckets → in-bucket join). Rows-only check;
-    structural invariants asserted in tests/test_dedup.py."""
+    """MinHash+LSH near-duplicate candidate pairs (shingle → OPH
+    minhash signature → band buckets → in-bucket join). 4 bands × 8
+    rows puts the S-curve midpoint at (1/4)^(1/8) ≈ 0.84 — on this
+    corpus (dense in true-jaccard≈0.2 templated pairs) that keeps the
+    in-bucket joins to actual near-dups instead of quadratic template
+    herds; verified 100% recall AND precision on the sf0.01 exact
+    j ≥ 0.5 ground truth. Rows-only check; structural invariants in
+    tests/test_dedup.py."""
+    d = _corpus(spark, sf_dir)
+    return DD.minhash_lsh_pairs(d, num_hashes=32, bands=4)
+
+
+def _corpus(spark, sf_dir):
+    """documents, spread across the local cores: the test corpus is a
+    single parquet split, which would serialize the shingle/hash map
+    stage (see minhash_sig_array's parallelism note). Text here is
+    tiny, so the spread shuffle is ~free; its id partitioning is then
+    reused by the signature aggregations."""
     d = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_pairs(d, num_hashes=16, bands=4)
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 @register("simhash-dedup")
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidate pairs (64-bit fingerprint,
     prefix-block LSH, Hamming ≤ 3)."""
-    d = _t(spark, sf_dir, "documents")
-    return DD.simhash_pairs(d)
+    return DD.simhash_pairs(_corpus(spark, sf_dir))
 
 
 @register("ngram-jaccard")
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs ≥ 0.5 with hot-shingle
     prefix-filter pruning."""
-    d = _t(spark, sf_dir, "documents")
-    return DD.ngram_jaccard_pairs(d, threshold=0.5)
+    return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
 @register("embedding-near-dup")
@@ -286,10 +299,8 @@ def q_fuzzy_dedup_clusters(spark, sf_dir):
     duplicate cluster. Rows-only (iterative algorithm)."""
     from .operators.components import dedup_survivors
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    pairs = DD.minhash_lsh_pairs(d, num_hashes=16, bands=4).filter(
-        F.col("est_jaccard") >= 0.8
-    )
+    d = _corpus(spark, sf_dir).select("doc_id", "text")
+    pairs = DD.minhash_lsh_pairs(d, num_hashes=32, bands=4, min_est=0.8)
     return dedup_survivors(d, pairs).select("doc_id")
 
 
