@@ -13,8 +13,21 @@ side effect in a single ``foreachPartition`` action:
   MAX_RETRIES with capped exponential backoff, then surfaced as
   failures (→ DLQ) with the synthetic 599 sentinel (main.py:434-457);
 - results (created / updated / failed per key) come back through a
-  spool directory, never through the lazy plan — so Spark task
-  retries can never double-fire a partial batch invisibly.
+  spool directory, never through the lazy plan, and every outcome is
+  flushed to the spool IMMEDIATELY after its API call returns — a
+  mid-partition task failure leaves the already-fired calls on
+  record for reconciliation instead of vanishing with the task.
+
+Side-effect safety model (external writes cannot be transactional):
+- a Spark task retry or speculative duplicate re-fires the
+  partition's calls, so ``write_plan`` refuses to run with
+  speculative execution enabled and payloads always carry the
+  natural key — remote objects are addressed idempotently
+  (upsert-by-natural-key) wherever the transport supports it;
+- duplicate outcomes from a retried task appear as extra spool rows
+  for the same natural_key; ``read_results`` collapses them
+  deterministically, and the ID-map merge is last-writer-wins, so
+  reruns converge (creates become updates).
 
 Scale: parallelism = number of plan partitions; ``repartition(n)``
 upstream controls the concurrent-connection budget against the
@@ -76,6 +89,15 @@ def _send_with_retry(
     return op, EXHAUSTED_STATUS, None
 
 
+def _assert_no_speculation(conf_value: str | None) -> None:
+    """spark.speculation is a static conf — checked once per write."""
+    if str(conf_value or "false").lower() == "true":
+        raise RuntimeError(
+            "write_plan: disable spark.speculation for external-API write "
+            "stages — speculative task duplicates double-fire API calls"
+        )
+
+
 def write_plan(
     plan: DataFrame,
     object_type: str,
@@ -87,7 +109,16 @@ def write_plan(
     (natural_key, hubspot_id nullable, properties_json). Outcomes are
     spooled as JSON lines under ``results_dir`` (one file per
     partition/attempt), keyed by natural_key for idempotent
-    reconciliation."""
+    reconciliation. Each outcome is written and flushed as soon as its
+    call completes (fsync at batch boundaries), so a task that dies
+    mid-partition leaves a faithful record of what it already fired.
+
+    Refuses to run under speculative execution: a speculative
+    duplicate of a partition would double-fire non-idempotent creates
+    with no failure anywhere to flag it."""
+    _assert_no_speculation(
+        plan.sparkSession.sparkContext.getConf().get("spark.speculation", "false")
+    )
     os.makedirs(results_dir, exist_ok=True)
     cols = plan.select("natural_key", "hubspot_id", "properties_json")
 
@@ -96,30 +127,44 @@ def write_plan(
 
         transport = transport_factory()
         out_path = os.path.join(results_dir, f"results-{_uuid.uuid4().hex}.jsonl")
-        records = []
-        for batch in _chunks(rows, BATCH_SIZE):
-            for row in batch:
-                op, status, oid = _send_with_retry(transport, object_type, row, sleeper)
-                records.append(
-                    {
+        f = None
+        try:
+            for batch in _chunks(rows, BATCH_SIZE):
+                for row in batch:
+                    op, status, oid = _send_with_retry(
+                        transport, object_type, row, sleeper
+                    )
+                    rec = {
                         "natural_key": row["natural_key"],
                         "op": op,
                         "status": status,
                         "hubspot_id": oid,
                         "ok": status in (200, 201),
                     }
-                )
-        if records:
-            with open(out_path, "w") as f:
-                for r in records:
-                    f.write(json.dumps(r) + "\n")
+                    if f is None:
+                        f = open(out_path, "w")
+                    # flush per record: the spool must trail the API
+                    # call by as little as possible
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                # durability point per batch, not per record
+                os.fsync(f.fileno())
+        finally:
+            if f is not None:
+                os.fsync(f.fileno())
+                f.close()
 
     cols.foreachPartition(handle_partition)
 
 
 def read_results(spark, results_dir: str) -> DataFrame:
-    """Writer outcomes as a DataFrame for ledger/idmap/DLQ updates."""
-    from pyspark.sql import types as T
+    """Writer outcomes as a DataFrame for ledger/idmap/DLQ updates.
+
+    A retried task leaves a second spool file with overlapping keys;
+    collapse to ONE row per natural_key deterministically (successful
+    outcome preferred, then highest status / id) so run counters don't
+    double-count double-fired records."""
+    from pyspark.sql import Window as W, functions as F, types as T
 
     schema = T.StructType(
         [
@@ -130,4 +175,14 @@ def read_results(spark, results_dir: str) -> DataFrame:
             T.StructField("ok", T.BooleanType()),
         ]
     )
-    return spark.read.schema(schema).json(os.path.join(results_dir, "results-*.jsonl"))
+    raw = spark.read.schema(schema).json(
+        os.path.join(results_dir, "results-*.jsonl")
+    )
+    w = W.partitionBy("natural_key").orderBy(
+        F.desc("ok"), F.desc("status"), F.desc_nulls_last("hubspot_id"), F.desc("op")
+    )
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -67,13 +67,68 @@ IDMAP_SCHEMA = T.StructType(
 PAYLOAD_MAX = 90_000  # main.py:398
 ERROR_MAX = 10_000  # main.py:399
 
+#: The reference's MERGE, verbatim semantics (main.py:356-363):
+#: matched → update (hubspot_id, updated_at); not matched → insert.
+IDMAP_MERGE_SQL = """
+MERGE INTO {target} AS t
+USING {source} AS s
+ON t.hubspot_object_type = s.hubspot_object_type
+   AND t.natural_key = s.natural_key
+WHEN MATCHED THEN UPDATE SET
+    t.hubspot_id = s.hubspot_id,
+    t.updated_at = s.updated_at
+WHEN NOT MATCHED THEN INSERT
+    (hubspot_object_type, natural_key, hubspot_id, updated_at)
+    VALUES (s.hubspot_object_type, s.natural_key, s.hubspot_id, s.updated_at)
+"""
+
+
+def native_merge_available(spark: SparkSession) -> bool:
+    """Probe whether the session's catalog can execute ``MERGE INTO``
+    natively. Spark's built-in file-source catalog cannot (MERGE needs
+    a table format with row-level operations — Delta Lake or Iceberg);
+    detection keys off the registered session extensions / catalog
+    implementations, which is how those formats install themselves."""
+    markers = ("delta", "iceberg")
+    for key in ("spark.sql.extensions", "spark.sql.catalog.spark_catalog"):
+        try:
+            val = (spark.conf.get(key, "") or "").lower()
+        except Exception:
+            val = ""
+        if any(m in val for m in markers):
+            return True
+    return False
+
+
+def native_merge_idmap(spark: SparkSession, target_table: str, incoming: DataFrame) -> None:
+    """Run the reference's idmap MERGE (main.py:356-363) natively
+    against a MERGE-capable catalog table. Raises if the session has
+    no such catalog — callers route through the join fallback then."""
+    if not native_merge_available(spark):
+        raise RuntimeError(
+            "native MERGE INTO needs a Delta/Iceberg catalog in this session"
+        )
+    incoming.createOrReplaceTempView("__idmap_incoming")
+    try:
+        spark.sql(IDMAP_MERGE_SQL.format(target=target_table, source="__idmap_incoming"))
+    finally:
+        spark.catalog.dropTempView("__idmap_incoming")
+
 
 class ControlTables:
     """Workdir-backed control tables with the reference's semantics."""
 
-    def __init__(self, spark: SparkSession, workdir: str):
+    def __init__(
+        self, spark: SparkSession, workdir: str, idmap_table: Optional[str] = None
+    ):
+        """``idmap_table``: name of a MERGE-capable catalog table
+        (Delta/Iceberg) to route idmap upserts through natively. When
+        unset — or when the session's catalog cannot MERGE — the
+        portable parquet join-fallback path is used. Decided once at
+        construction (session build), per VERDICT r1 #6."""
         self.spark = spark
         self.workdir = workdir
+        self.idmap_table = idmap_table if native_merge_available(spark) else None
         self.paths = {
             "run_ledger": os.path.join(workdir, "run_ledger"),
             "dlq": os.path.join(workdir, "dlq"),
@@ -84,7 +139,11 @@ class ControlTables:
 
     def ensure(self) -> None:
         """Idempotent creation: write an empty frame wherever no table
-        exists yet (CREATE TABLE IF NOT EXISTS analog)."""
+        exists yet (CREATE TABLE IF NOT EXISTS analog). Also recovers
+        an ID map lost to a crash mid-swap (see merge_idmap): if the
+        final dir is missing but its .bak survives, the last committed
+        state is restored before anything reads it."""
+        self._recover_idmap()
         for name, schema in (
             ("run_ledger", LEDGER_SCHEMA),
             ("dlq", DLQ_SCHEMA),
@@ -95,6 +154,22 @@ class ControlTables:
                 self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(
                     path
                 )
+
+    def _recover_idmap(self) -> None:
+        final = self.paths["id_map"]
+        bak = final + ".bak"
+        staging = final + ".staging"
+        if not os.path.exists(final) and os.path.exists(bak):
+            # crashed between moving final aside and promoting staging:
+            # restore the last committed state (conservative — the
+            # aborted merge simply re-applies on the next run, and the
+            # merge is idempotent last-writer-wins)
+            os.rename(bak, final)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        if os.path.exists(final):
+            shutil.rmtree(bak, ignore_errors=True)
 
     def _read(self, name: str, schema: T.StructType) -> DataFrame:
         return self.spark.read.schema(schema).parquet(self.paths[name])
@@ -178,9 +253,24 @@ class ControlTables:
     def merge_idmap(self, incoming: DataFrame) -> None:
         """Keyed upsert on (hubspot_object_type, natural_key), last
         writer wins — the full-outer-join/window fallback for MERGE
-        INTO (SURVEY.md §4.3(c)). Rewrites the table atomically via a
-        staging dir rename (the tiny-table analog of a transactional
-        MERGE)."""
+        INTO (SURVEY.md §4.3(c); native routing in ``native_merge``).
+
+        Swap protocol (no window where the ID map does not exist on
+        disk in SOME committed form): write staging → move final to
+        .bak → promote staging → drop .bak. A crash at any point
+        leaves either final, or .bak to be restored by
+        ``_recover_idmap`` on the next startup — losing the map would
+        cause wholesale re-creates, the exact failure it exists to
+        prevent."""
+        if self.idmap_table is not None:
+            # MERGE-capable catalog: one transactional statement, no
+            # table rewrite, concurrent-writer safe
+            native_merge_idmap(
+                self.spark,
+                self.idmap_table,
+                incoming.select(*[f.name for f in IDMAP_SCHEMA.fields]),
+            )
+            return
         existing = self.idmap()
         merged = upsert_merge(
             existing,
@@ -188,10 +278,14 @@ class ControlTables:
             keys=["hubspot_object_type", "natural_key"],
             order_col="updated_at",
         )
-        staging = self.paths["id_map"] + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
         final = self.paths["id_map"]
+        staging = final + ".staging"
+        bak = final + ".bak"
+        merged.write.mode("overwrite").parquet(staging)
         import shutil
 
-        shutil.rmtree(final, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
+        if os.path.exists(final):
+            os.rename(final, bak)
         os.rename(staging, final)
+        shutil.rmtree(bak, ignore_errors=True)

@@ -123,3 +123,116 @@ def test_transient_retry_succeeds(spark, workdir):
     r = run_sync(spark, "rois", SF, workdir, factory, sleeper=NO_SLEEP)
     assert r["status"] == "success"
     assert r["errors"] == 0
+
+
+def test_idmap_swap_crash_recovery(spark, workdir):
+    """merge_idmap's swap protocol: a crash between moving final aside
+    and promoting staging must be recoverable from .bak (ADVICE r1)."""
+    import datetime as dt
+    import os as _os
+    import shutil
+
+    ctl = ControlTables(spark, workdir)
+    ctl.ensure()
+    row = {
+        "hubspot_object_type": "contact",
+        "natural_key": "k1",
+        "hubspot_id": "h1",
+        "updated_at": dt.datetime(2026, 1, 1),
+    }
+    ctl.merge_idmap(spark.createDataFrame([row]))
+    assert ctl.idmap().count() == 1
+
+    # simulate the crash window: final moved to .bak, staging present,
+    # final missing
+    final = ctl.paths["id_map"]
+    shutil.copytree(final, final + ".staging")
+    _os.rename(final, final + ".bak")
+    assert not _os.path.exists(final)
+
+    ctl2 = ControlTables(spark, workdir)
+    ctl2.ensure()
+    assert _os.path.exists(final)
+    assert not _os.path.exists(final + ".bak")
+    assert not _os.path.exists(final + ".staging")
+    assert ctl2.idmap().filter(F.col("natural_key") == "k1").count() == 1
+
+    # the aborted merge re-applies cleanly afterward
+    ctl2.merge_idmap(spark.createDataFrame([dict(row, hubspot_id="h2")]))
+    got = ctl2.idmap().filter(F.col("natural_key") == "k1").collect()
+    assert len(got) == 1
+
+
+def test_write_plan_refuses_speculation():
+    """spark.speculation is static, so the guard is tested as the pure
+    check write_plan applies to the session's conf value."""
+    from reverse_etl_homebrew_spark.sinks.api_writer import _assert_no_speculation
+
+    _assert_no_speculation("false")
+    _assert_no_speculation(None)
+    with pytest.raises(RuntimeError, match="speculation"):
+        _assert_no_speculation("true")
+
+
+def test_write_plan_spools_incrementally(spark, workdir):
+    """Every fired call must be on disk even if later records fail the
+    task: spool rows == plan rows, written per record (ADVICE r1)."""
+    import glob
+
+    from reverse_etl_homebrew_spark.sinks.api_writer import read_results, write_plan
+
+    plan = spark.createDataFrame(
+        [(f"k{i}", None, "{}") for i in range(7)],
+        "natural_key string, hubspot_id string, properties_json string",
+    ).coalesce(1)
+    write_plan(
+        plan,
+        "contact",
+        lambda: FakeHubSpot(spool_dir=os.path.join(workdir, "spool")),
+        os.path.join(workdir, "results"),
+        sleeper=NO_SLEEP,
+    )
+    files = glob.glob(os.path.join(workdir, "results", "results-*.jsonl"))
+    assert files
+    res = read_results(spark, os.path.join(workdir, "results"))
+    assert res.count() == 7
+    assert res.filter(F.col("ok")).count() == 7
+
+
+def test_read_results_collapses_retry_duplicates(spark, workdir):
+    """A retried task's duplicate spool rows must not double-count."""
+    import json as _json
+
+    from reverse_etl_homebrew_spark.sinks.api_writer import read_results
+
+    d = os.path.join(workdir, "results")
+    os.makedirs(d)
+    rec_fail = {"natural_key": "k1", "op": "create", "status": 599, "hubspot_id": None, "ok": False}
+    rec_ok = {"natural_key": "k1", "op": "create", "status": 201, "hubspot_id": "h9", "ok": True}
+    with open(os.path.join(d, "results-a.jsonl"), "w") as f:
+        f.write(_json.dumps(rec_fail) + "\n")
+    with open(os.path.join(d, "results-b.jsonl"), "w") as f:
+        f.write(_json.dumps(rec_ok) + "\n")
+    rows = read_results(spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0]["ok"] is True and rows[0]["hubspot_id"] == "h9"
+
+
+def test_native_merge_probe_and_fallback(spark, workdir):
+    """This container has no Delta/Iceberg catalog: the probe must say
+    so, ControlTables must route through the join fallback, and the
+    native path must refuse loudly."""
+    from reverse_etl_homebrew_spark.sinks.control import (
+        IDMAP_MERGE_SQL,
+        native_merge_available,
+        native_merge_idmap,
+    )
+
+    assert native_merge_available(spark) is False
+    ctl = ControlTables(spark, workdir, idmap_table="noop.idmap")
+    assert ctl.idmap_table is None  # downgraded: catalog cannot MERGE
+    with pytest.raises(RuntimeError, match="MERGE"):
+        native_merge_idmap(spark, "noop.idmap", spark.range(1))
+    # reference MERGE shape preserved (main.py:356-363)
+    assert "WHEN MATCHED THEN UPDATE" in IDMAP_MERGE_SQL
+    assert "WHEN NOT MATCHED THEN INSERT" in IDMAP_MERGE_SQL
