@@ -6,17 +6,30 @@ parquet/Arrow, metadata prunes without touching payloads, and decode
 happens in Arrow-batched Python (``mapInPandas``) only on the rows
 that survive metadata pruning.
 
-The actual pixel/sample decoding is STUBBED (no image/audio libs in
-this container): ``_decode_stub`` derives deterministic pseudo-features
-from the bytes. Everything around it — schema, partitioning, UDF
-signature, Arrow batch shape, metadata pruning — is real and tested;
-swapping the stub for PIL/torchaudio/pyav changes one function.
+Codecs (stdlib-only, no external media libraries):
+
+- ``image/png`` — REAL decode: chunk walk, IHDR dims, IDAT zlib
+  inflate, per-scanline filter reconstruction (None/Sub/Up/Average/
+  Paeth), pixel statistics as features;
+- ``audio/wav`` — REAL decode: RIFF/``wave`` parse, PCM samples,
+  RMS / zero-crossing / peak features;
+- ``video/mp4`` — container METADATA is really parsed (box walk to
+  ``moov/mvhd`` for timescale+duration); frame decode itself stays a
+  clearly-marked deterministic stub (an mp4 *codec* is out of stdlib
+  reach), so video features are payload-hash-derived.
+
+Per-row decode failures become ``decode_ok=false`` rows (the DLQ
+pattern applied to media) — a poisoned payload never fails the task.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+import struct
+import wave
+import zlib
+from typing import Iterator, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -49,28 +62,284 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
         T.StructField("decode_ok", T.BooleanType()),
+        # decoded FROM the payload, independent of the meta struct —
+        # lets callers audit metadata drift against ground truth
+        T.StructField("dec_width", T.IntegerType()),
+        T.StructField("dec_height", T.IntegerType()),
+        T.StructField("dec_duration_ms", T.LongType()),
     ]
 )
 
 
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib: struct + zlib)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal RGB8 PNG writer (filter 0 rows) — test/demo payloads."""
+    assert len(rgb) == width * height * 3
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3] for y in range(height)
+    )
+    idat = zlib.compress(raw)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, ch: int) -> bytes:
+    """PNG scanline filter reconstruction (spec §9, all 5 types)."""
+    stride = width * ch
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> Tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixel bytes). 8-bit depth only."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, ch, idat = 8, None, None, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG (depth={depth}, type={ctype})")
+            ch = _PNG_CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    pixels = _png_unfilter(zlib.decompress(idat), width, height, ch)
+    return width, height, ch, pixels
+
+
+def _png_features(payload: bytes) -> Tuple[list, int, int]:
+    import numpy as np
+
+    width, height, ch, pixels = decode_png(payload)
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ch)
+    means = [float(arr[..., c].mean()) / 255.0 for c in range(min(ch, 3))]
+    means += [0.0] * (3 - len(means))
+    feat = [
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+        ch / 4.0,
+        *means,
+        float(arr.std()) / 255.0,
+        min(width / max(height, 1) / 8.0, 1.0),  # aspect, clamped
+    ]
+    return feat[:FEATURE_DIM], width, height
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (stdlib: wave)
+# ---------------------------------------------------------------------------
+
+def encode_wav(
+    samples, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """int16 PCM WAV writer — test/demo payloads."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """→ (sample_rate, n_channels, np.int16 samples)."""
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate, nch = w.getframerate(), w.getnchannels()
+        data = w.readframes(w.getnframes())
+    return rate, nch, np.frombuffer(data, dtype=np.int16)
+
+
+def _wav_features(payload: bytes) -> Tuple[list, int]:
+    import numpy as np
+
+    rate, nch, samples = decode_wav(payload)
+    x = samples.astype(np.float64) / 32768.0
+    n = max(len(x), 1)
+    duration_ms = int(len(x) / nch / rate * 1000)
+    zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+    feat = [
+        min(duration_ms / 60_000.0, 1.0),
+        min(rate / 48_000.0, 1.0),
+        nch / 2.0,
+        float(np.sqrt(np.mean(x**2))),  # rms
+        zcr,
+        float(np.mean(np.abs(x))),
+        float(np.max(np.abs(x))) if n else 0.0,
+        0.0,
+    ]
+    return feat[:FEATURE_DIM], duration_ms
+
+
+# ---------------------------------------------------------------------------
+# MP4 container metadata (box walk; frame decode stays stubbed)
+# ---------------------------------------------------------------------------
+
+def mp4_duration_ms(payload: bytes) -> Optional[int]:
+    """Walk top-level boxes to moov/mvhd and read timescale+duration —
+    real container parsing; returns None when no mvhd is present."""
+    def walk(buf: bytes, start: int, end: int) -> Optional[int]:
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            if size < 8:
+                return None
+            if tag == b"moov":
+                got = walk(buf, pos + 8, pos + size)
+                if got is not None:
+                    return got
+            elif tag == b"mvhd":
+                body = buf[pos + 8 : pos + size]
+                version = body[0]
+                if version == 1:
+                    timescale, duration = struct.unpack(">IQ", body[20:32])
+                else:
+                    timescale, duration = struct.unpack(">II", body[12:20])
+                return int(duration * 1000 / timescale) if timescale else None
+            pos += size
+        return None
+
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an mp4")
+    return walk(payload, 0, len(payload))
+
+
+def encode_mp4_skeleton(duration_ms: int, content_seed: bytes = b"") -> bytes:
+    """ftyp + moov/mvhd + mdat skeleton — a structurally valid mp4
+    container carrying fake frame data (test/demo payloads)."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
+    timescale = 1000
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version+flags
+        + b"\x00" * 8  # creation/modification
+        + struct.pack(">II", timescale, duration_ms)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    frames = (hashlib.sha256(content_seed).digest() * 8)[:192]
+    mdat = struct.pack(">I", 8 + len(frames)) + b"mdat" + frames
+    return ftyp + moov + mdat
+
+
+def _stub_content_features(payload: bytes, k: int) -> list:
+    """Deterministic pseudo-features from payload bytes — the
+    explicitly-stubbed stand-in for a real frame decoder."""
+    h = hashlib.sha256(payload).digest()
+    return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(k)]
+
+
+def _mp4_features(payload: bytes) -> Tuple[list, Optional[int]]:
+    duration_ms = mp4_duration_ms(payload)  # real container parse
+    feat = [
+        min((duration_ms or 0) / 120_000.0, 1.0),
+        # frame decode is STUBBED: remaining dims are hash-derived
+        *_stub_content_features(payload, FEATURE_DIM - 1),
+    ]
+    return feat, duration_ms
+
+
+# ---------------------------------------------------------------------------
+# table + operators
+# ---------------------------------------------------------------------------
+
 def fake_media_table(spark: SparkSession, n: int = 200) -> DataFrame:
-    """Deterministic synthetic media rows (payload = seeded bytes) for
-    tests and demos — stands in for a real parquet/lance media lake."""
+    """Deterministic synthetic media rows with REAL payloads: valid
+    PNG images, PCM WAV clips, and mp4 container skeletons — stands in
+    for a real parquet/lance media lake."""
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
+        if kind == "image":
+            w, h = 4 + i % 13, 3 + i % 7
+            rgb = bytes(
+                (x * 7 + y * 13 + c * 29 + i) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            payload = encode_png(w, h, rgb)
+            width, height, duration = w, h, None
+        elif kind == "audio":
+            n_samp = 160 + (i * 37) % 640
+            samples = [((j * (13 + i)) % 4096) - 2048 for j in range(n_samp)]
+            payload = encode_wav(samples, sample_rate=8000)
+            width, height, duration = None, None, int(n_samp / 8000 * 1000)
+        else:
+            duration = (i * 37) % 120_000
+            payload = encode_mp4_skeleton(duration, content_seed=f"media-{i}".encode())
+            width, height = 64 + i % 512, 64 + (i * 7) % 512
         rows.append(
             (
                 i,
                 bytearray(payload),
                 (
                     kind,
-                    {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                    64 + i % 512 if kind != "audio" else None,
-                    64 + (i * 7) % 512 if kind != "audio" else None,
-                    (i * 37) % 120_000 if kind != "image" else None,
+                    {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
+                        kind
+                    ],
+                    width,
+                    height,
+                    duration,
                     len(payload),
                 ),
             )
@@ -91,18 +360,21 @@ def media_metadata(df: DataFrame) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes, kind: str) -> list:
-    """Deterministic fake decode → FEATURE_DIM floats.
-
-    Replace with a real decoder (PIL / torchaudio / pyav) — the
-    surrounding Arrow plumbing is unchanged. Raises on empty payloads
-    so the error path is exercised like a real codec failure."""
+def decode_payload(payload: bytes, mime: Optional[str]):
+    """One payload through the mime-routed codecs.
+    → (features, width, height, duration_ms)."""
     if not payload:
         raise ValueError("empty payload")
-    h = hashlib.sha256(payload).digest()
-    return [
-        int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(FEATURE_DIM)
-    ]
+    if mime == "image/png":
+        feat, w, h = _png_features(payload)
+        return feat, w, h, None
+    if mime == "audio/wav":
+        feat, dur = _wav_features(payload)
+        return feat, None, None, dur
+    if mime == "video/mp4":
+        feat, dur = _mp4_features(payload)
+        return feat, None, None, dur
+    raise ValueError(f"no codec for {mime!r}")
 
 
 def decode_and_featurize(df: DataFrame, batch_hint: int = 64) -> DataFrame:
@@ -116,20 +388,34 @@ def decode_and_featurize(df: DataFrame, batch_hint: int = 64) -> DataFrame:
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = {"media_id": [], "kind": [], "feature": [], "decode_ok": []}
+            out = {
+                "media_id": [],
+                "kind": [],
+                "feature": [],
+                "decode_ok": [],
+                "dec_width": [],
+                "dec_height": [],
+                "dec_duration_ms": [],
+            }
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 kind = meta["kind"] if meta is not None else None
+                mime = meta["mime"] if meta is not None else None
                 try:
-                    feat = _decode_stub(bytes(payload) if payload is not None else b"", kind)
+                    feat, w, h, dur = decode_payload(
+                        bytes(payload) if payload is not None else b"", mime
+                    )
                     ok = True
                 except Exception:
-                    feat, ok = None, False
+                    feat, w, h, dur, ok = None, None, None, None, False
                 out["media_id"].append(media_id)
                 out["kind"].append(kind)
                 out["feature"].append(feat)
                 out["decode_ok"].append(ok)
+                out["dec_width"].append(w)
+                out["dec_height"].append(h)
+                out["dec_duration_ms"].append(dur)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, FEATURES_SCHEMA)

@@ -469,9 +469,10 @@ def q_multimodal_cols(spark, sf_dir):
 @register("multimodal-decode")
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched media decode/feature-extraction over binary
-    columns via mapInPandas (stubbed codec, real plumbing — see
-    multimodal/binary.py). Rows-only: features are deterministic
-    but not SQL-reproducible."""
+    columns via mapInPandas — REAL stdlib codecs for PNG pixels, WAV
+    PCM, and mp4 container metadata; only video frame decode remains
+    stubbed (multimodal/binary.py). Rows-only: features are
+    deterministic but not SQL-reproducible."""
     from .multimodal import decode_and_featurize, fake_media_table
 
     media = fake_media_table(spark, 120)
@@ -480,6 +481,9 @@ def q_multimodal_decode(spark, sf_dir):
         "media_id",
         "kind",
         "decode_ok",
+        "dec_width",
+        "dec_height",
+        "dec_duration_ms",
         F.round(F.element_at("feature", F.lit(1)).cast("double"), 6).alias("f0"),
     )
 
