@@ -46,6 +46,8 @@ _PRIORITY = [
     "threetier-composite", "multimodal-cols", "similarity-join",
     # round-1 hash-fails fixed this round (oracle BIGINT casts)
     "run-counters", "text-analysis",
+    # external-engine connector with real pushFilters pushdown (r2)
+    "external-scan-pushdown",
     # §2 core relational tier (round-1 green; keep rows fresh)
     "full-scan", "delta-scan", "point-lookup", "topk-sort", "latest-per-group",
     "groupby-agg", "max-ifnull-agg", "ambiguity-count", "approx-distinct",

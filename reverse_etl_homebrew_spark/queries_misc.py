@@ -243,3 +243,30 @@ def q_conditional_agg(spark, sf_dir):
             F.when(F.col("o_orderstatus") == "O", F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias("open_rate"),
     )
+
+
+@register(
+    "external-scan-pushdown",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND o_totalprice > 100000
+    """,
+)
+def q_external_scan_pushdown(spark, sf_dir):
+    """Incremental scan against an EXTERNAL engine (DuckDB) through
+    the Python DataSource pushdown contract — the set-oriented form of
+    the reference's warehouse read, which compiles its watermark
+    predicate into the remote SQL (fetch_rows, main.py:534-549). Both
+    predicates here are accepted by pushFilters and executed by the
+    external engine; the Spark plan keeps no post-scan Filter
+    (asserted in tests/test_external_source.py)."""
+    from .sources.duckdb_source import external_table
+
+    return (
+        external_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1997-06-01")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )

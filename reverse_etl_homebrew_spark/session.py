@@ -36,6 +36,9 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow transfer for the Pandas-UDF extension operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Predicate pushdown into Python data sources (the external
+    # DuckDB-backed connector, sources/duckdb_source.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

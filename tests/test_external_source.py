@@ -1,0 +1,121 @@
+"""External DuckDB-backed Python DataSource: pushdown contract, SQL
+compilation, per-file partitioning, and unsupported-filter fallback
+(VERDICT r1 #8 / reference fetch_rows main.py:534-549)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThanOrEqual,
+    In,
+    IsNotNull,
+    Not,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+from reverse_etl_homebrew_spark.sources.duckdb_source import (
+    DuckDBParquetReader,
+    external_table,
+    filter_to_sql,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_sql_compilation():
+    assert filter_to_sql(EqualTo(("k",), 5)) == '"k" = 5'
+    assert filter_to_sql(GreaterThanOrEqual(("ts",), dt.datetime(1997, 6, 1))) == (
+        "\"ts\" >= TIMESTAMP '1997-06-01 00:00:00.000000'"
+    )
+    assert filter_to_sql(EqualTo(("s",), "o'brien")) == "\"s\" = 'o''brien'"
+    assert filter_to_sql(In(("k",), (1, 2))) == '"k" IN (1, 2)'
+    assert filter_to_sql(IsNotNull(("k",))) == '"k" IS NOT NULL'
+    assert filter_to_sql(StringStartsWith(("s",), "ab")) == "\"s\" LIKE 'ab%'"
+    # unsupported: negation and nested columns stay Spark-side
+    assert filter_to_sql(Not(EqualTo(("k",), 1))) is None
+    assert filter_to_sql(EqualTo(("a", "b"), 1)) is None
+
+
+def test_reader_accepts_and_rejects_filters(spark):
+    schema = StructType.fromDDL("k int, s string")
+    r = DuckDBParquetReader(schema, {"path": "/tmp/x.parquet"})
+    residual = list(r.pushFilters([EqualTo(("k",), 1), Not(IsNotNull(("s",)))]))
+    assert len(residual) == 1 and isinstance(residual[0], Not)
+    assert r.pushed_sql == ['"k" = 1']
+    assert r.remote_sql("/tmp/x.parquet") == (
+        'SELECT "k", "s" FROM read_parquet(\'/tmp/x.parquet\') WHERE "k" = 1'
+    )
+
+
+def test_pushed_predicates_leave_no_spark_filter(spark):
+    df = (
+        external_table(spark, SF, "orders")
+        .filter(F.col("o_orderdate") >= "1997-06-01")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _executed(df)
+    assert "BatchScan duckdb_parquet" in plan
+    # "RuntimeFilters: []" always prints; a residual Filter NODE shows
+    # as " Filter <expr>" in the executed plan
+    assert " Filter " not in plan, "pushed predicates must not be re-evaluated"
+
+
+def test_unsupported_predicate_stays_as_spark_filter(spark):
+    df = external_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority").contains("URGENT")
+    )
+    plan = _executed(df)
+    assert "BatchScan duckdb_parquet" in plan
+    assert " Filter " in plan, "non-pushable predicate must remain post-scan"
+
+
+def test_results_match_native_parquet_scan(spark):
+    ext = (
+        external_table(spark, SF, "orders")
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_custkey")
+    )
+    native = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .filter(F.col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_custkey")
+    )
+    assert sorted(map(tuple, ext.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_partition_per_file(spark, tmp_path):
+    src = spark.range(100).withColumn("part", F.col("id") % 2)
+    for p in (0, 1):
+        src.filter(F.col("part") == p).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"f{p}")
+        )
+    import glob as g
+    import shutil
+
+    merged = tmp_path / "merged"
+    merged.mkdir()
+    for i, f in enumerate(sorted(g.glob(str(tmp_path / "f*" / "*.parquet")))):
+        shutil.copy(f, merged / f"part-{i}.parquet")
+
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("duckdb_parquet")
+        .option("path", str(merged / "*.parquet"))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 100
