@@ -492,8 +492,12 @@ def q_multimodal_decode(spark, sf_dir):
 def q_similarity_join(spark, sf_dir):
     """All-pairs similarity join within a cosine threshold, candidate-
     bounded by hyperplane LSH (SURVEY.md §2.11; alias surface of the
-    embedding near-dup operator at a looser threshold)."""
+    embedding near-dup operator at a looser threshold). Runs over the
+    planted-near-dup corpus (random embeddings have no similar pairs
+    — a 0-row result would make the rows-only check vacuous)."""
     from .operators import dedup as DD
+    from .queries_text import _planted_embeddings
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return DD.embedding_near_dup_pairs(emb, threshold=0.5)
+    return DD.embedding_near_dup_pairs(
+        _planted_embeddings(spark, sf_dir), threshold=0.5
+    )

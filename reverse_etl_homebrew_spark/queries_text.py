@@ -284,12 +284,30 @@ def q_ngram_jaccard(spark, sf_dir):
     return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _planted_embeddings(spark, sf_dir, n=100):
+    """embeddings ∪ deterministically perturbed copies of the first
+    ``n`` vectors (ids offset by 1e6). Random vectors contain no
+    near-duplicates, so without planting, a near-dup query returns 0
+    rows and its rows-only driver check proves nothing; with planting
+    the expected pair set is known by construction."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = emb.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (x + 0.003 * ((i % 5) - 2.0)).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(perturbed)
+
+
 @register("embedding-near-dup")
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs (cosine ≥ 0.95) bounded by
-    random-hyperplane LSH buckets with 1-bit multi-probe."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return DD.embedding_near_dup_pairs(emb)
+    random-hyperplane LSH buckets with 1-bit multi-probe, over the
+    corpus with planted perturbed copies — the operator must pair
+    each original with its planted twin."""
+    return DD.embedding_near_dup_pairs(_planted_embeddings(spark, sf_dir))
 
 
 @register("fuzzy-dedup-clusters")
