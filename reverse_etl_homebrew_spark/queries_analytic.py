@@ -282,3 +282,72 @@ def q_skew_salted_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "unpivot-melt",
+    sql="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'disc' AS metric, disc AS value FROM w
+    """,
+)
+def q_unpivot_melt(spark, sf_dir):
+    """Wide→long unpivot (melt): native Expand node — one pass over
+    the input producing n_metrics rows per input row, no join/union
+    re-scan (the oracle's UNION ALL form would scan w 3×; Spark's
+    unpivot scans once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        AG.dec_sum(F.col("l_quantity"), "qty"),
+        AG.dec_sum(F.col("l_extendedprice"), "price"),
+        AG.dec_sum(F.col("l_discount"), "disc"),
+    )
+    return wide.unpivot(["l_returnflag"], ["qty", "price", "disc"], "metric", "value")
+
+
+@register(
+    "gap-fill",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events WHERE user_id < 20 GROUP BY user_id, CAST(ts AS DATE)
+    ), b AS (
+      SELECT user_id, MIN(d) AS lo, MAX(d) AS hi FROM ev GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM b
+    )
+    SELECT s.user_id, s.d, COALESCE(ev.n, 0) AS n
+    FROM spine s LEFT JOIN ev ON s.user_id = ev.user_id AND s.d = ev.d
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Time-series densification (gap fill): per-key date spine via
+    sequence+explode (map-side expansion, no driver loop), left join
+    back, missing days filled with 0. The canonical pre-step for
+    window features over sparse event streams; spine size is bounded
+    by per-key [min,max] ranges, never a global calendar cross join."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = ev.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    return spine.join(ev, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )

@@ -24,8 +24,11 @@ import glob as _glob
 import os
 from typing import Iterator, List, Optional, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -38,6 +41,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -179,6 +183,83 @@ class DuckDBParquetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DuckDBParquetReader:
         return DuckDBParquetReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DuckDBParquetWriter":
+        return DuckDBParquetWriter(self.options, overwrite)
+
+
+@dataclass
+class _TaskFileCommit(WriterCommitMessage):
+    staged_path: str
+    rows: int
+
+
+class DuckDBParquetWriter(DataSourceArrowWriter):
+    """External-engine write with the v2 two-phase commit protocol.
+
+    Each task streams its Arrow batches through an in-process DuckDB
+    cursor (``COPY ... TO ... (FORMAT PARQUET)``) into a STAGED file;
+    only the driver-side ``commit`` — which runs exactly once, after
+    every task succeeded — promotes staged files into the target
+    directory (and only then replaces existing data under
+    ``mode("overwrite")``). ``abort`` removes the staging directory,
+    so failed or speculative task attempts never leave partial output
+    visible: the same job-commit discipline FileBatchWrite gives
+    native sinks, here proven over an external engine."""
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("duckdb_parquet: 'path' option is required")
+        self.overwrite = overwrite
+        self.staging = os.path.join(
+            os.path.dirname(self.path.rstrip("/")) or ".",
+            f".{os.path.basename(self.path.rstrip('/'))}.staging-{uuid.uuid4().hex}",
+        )
+
+    def write(self, iterator) -> _TaskFileCommit:
+        import uuid
+
+        import duckdb
+        import pyarrow as pa
+
+        os.makedirs(self.staging, exist_ok=True)
+        out = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        batches = list(iterator)
+        if not batches:
+            return _TaskFileCommit(staged_path="", rows=0)
+        table = pa.Table.from_batches(batches)
+        con = duckdb.connect()
+        try:
+            con.register("__spark_write_batch", table)
+            con.execute(
+                f"COPY (SELECT * FROM __spark_write_batch) TO '{out}' (FORMAT PARQUET)"
+            )
+        finally:
+            con.close()
+        return _TaskFileCommit(staged_path=out, rows=table.num_rows)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for f in _glob.glob(os.path.join(self.path, "*.parquet")):
+                os.remove(f)
+        for m in messages:
+            if m is not None and m.staged_path:
+                shutil.move(
+                    m.staged_path,
+                    os.path.join(self.path, os.path.basename(m.staged_path)),
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 def register(spark) -> None:

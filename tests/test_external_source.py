@@ -119,3 +119,55 @@ def test_partition_per_file(spark, tmp_path):
     )
     assert df.rdd.getNumPartitions() == 2
     assert df.count() == 100
+
+
+# --- external writer: v2 two-phase commit over an external engine ----------
+
+def test_external_write_roundtrip(spark, tmp_path):
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    target = str(tmp_path / "out")
+    src = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.concat(F.lit("s"), F.col("id")).alias("s")
+    )
+    src.repartition(4).write.format("duckdb_parquet").option("path", target).mode("append").save()
+
+    back = spark.read.format("duckdb_parquet").option("path", target + "/*.parquet").load()
+    assert back.count() == 1000
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    # no staging residue
+    import glob as g
+    assert not g.glob(str(tmp_path / ".out.staging-*"))
+
+
+def test_external_write_overwrite_replaces(spark, tmp_path):
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    target = str(tmp_path / "out")
+    spark.range(10).write.format("duckdb_parquet").option("path", target).mode("append").save()
+    spark.range(5).write.format("duckdb_parquet").option("path", target).mode(
+        "overwrite"
+    ).save()
+    back = spark.read.format("duckdb_parquet").option("path", target + "/*.parquet").load()
+    assert back.count() == 5
+
+
+def test_external_write_abort_leaves_no_partial_output(spark, tmp_path):
+    """A failing task must abort the job with the target untouched and
+    staging cleaned — the commit protocol's whole point."""
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    target = str(tmp_path / "out")
+    poisoned = spark.range(100).select(
+        F.expr("assert_true(id < 90, 'poisoned row')"), F.col("id")
+    )
+    with pytest.raises(Exception):
+        poisoned.repartition(4).write.format("duckdb_parquet").option(
+            "path", target
+        ).mode("append").save()
+    import glob as g
+    assert not g.glob(target + "/*.parquet"), "no partial files may be visible"
+    assert not g.glob(str(tmp_path / ".out.staging-*")), "staging must be cleaned"
