@@ -11,7 +11,7 @@ the same sketches.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from .functions import text as TX, vectors as VEC
 from .operators import dedup as DD, similarity as SIM
@@ -330,3 +330,121 @@ def q_topk_similarity_lsh(spark, sf_dir):
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
     return SIM.topk_lsh(emb, query, k=10)
+
+
+# --- training-data pipeline ops (deterministic, oracle-checked) ------------
+#
+# Cross-engine determinism trick: both Spark and DuckDB produce
+# identical lowercase-hex md5 strings, and lowercase hex compares
+# lexicographically as its numeric value — so hash-prefix string
+# ranges give portable, seedless, per-row-stable sampling decisions
+# (substr(md5(key),1,2) < '1a'  ≈  10.2% of keyspace).
+
+@register(
+    "pack-sequences",
+    sql=r"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             len(regexp_extract_all(trim(text), '\S+')) AS tokens
+      FROM documents
+    ), c AS (
+      SELECT lang, doc_id, tokens,
+             SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT lang, CAST(floor((cum - tokens) / 2048.0) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY lang, CAST(floor((cum - tokens) / 2048.0) AS BIGINT)
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequential packing of documents into ~2048-token
+    training sequences, per language shard: running token cumsum →
+    bin id. The window partitions by lang (bounded state per key) —
+    never a global single-partition ordering; at corpus scale the
+    partition key becomes (lang, shard)."""
+    t = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", TX.token_count(F.col("text")).alias("tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("tokens").over(w))
+    seq = F.floor((F.col("cum") - F.col("tokens")) / 2048).alias("seq_id")
+    return c.groupBy("lang", seq).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("seq_tokens"),
+    )
+
+
+@register(
+    "stratified-sample",
+    sql="""
+    WITH s AS (
+      SELECT lang, doc_id FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+            < CASE WHEN lang = 'en' THEN '34' ELSE '1a' END
+    )
+    SELECT lang, COUNT(*) AS n_sampled, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM s GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum rates via
+    md5-prefix ranges (en ≈ 20%, others ≈ 10%) — seedless, stable
+    under reruns and repartitioning, no RNG state to coordinate
+    across executors."""
+    d = _t(spark, sf_dir, "documents")
+    thresh = F.when(F.col("lang") == "en", F.lit("34")).otherwise(F.lit("1a"))
+    s = d.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh)
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
+@register(
+    "split-assign",
+    sql="""
+    SELECT lang,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM documents GROUP BY lang, split
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (≈ 80/10/10) from the
+    same md5-prefix device — membership is a pure function of the
+    document key, so splits never leak across reruns or engines."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    ).alias("split")
+    return d.groupBy("lang", split).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "quota-sample",
+    sql="""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 50
+    """,
+)
+def q_quota_sample(spark, sf_dir):
+    """Class-balanced quota sampling: at most N documents per class,
+    chosen by hash order (deterministic shuffle) — the standard
+    rebalancing step before training-mix assembly."""
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id")
+    )
