@@ -267,7 +267,9 @@ def q_equi_inner_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer grows with the data (unlike nation) — no pinned
+        # broadcast; AQE picks one while it fits
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

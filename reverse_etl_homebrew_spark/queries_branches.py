@@ -258,7 +258,8 @@ def q_override_skip(spark, sf_dir):
         .otherwise(F.lit("false"))
         .alias("roi_manual_override"),
     )
-    joined = o.join(F.broadcast(snapshot), o.o_orderkey == snapshot.k, "left")
+    # remote snapshot is CRM-sized at production — AQE decides
+    joined = o.join(snapshot, o.o_orderkey == snapshot.k, "left")
     branch = F.when(F.lower(F.col("roi_manual_override")) == "true", "skip").otherwise(
         "write"
     )

@@ -229,7 +229,9 @@ def q_conditional_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    # customer is data-proportional — broadcast left to AQE; nation is
+    # a fixed dim
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     return j.groupBy("n_name").agg(
