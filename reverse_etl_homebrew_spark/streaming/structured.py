@@ -104,3 +104,25 @@ def stream_upsert_sync(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_within_watermark(
+    stream: DataFrame,
+    keys: list,
+    event_time_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first arrival per key, dropping
+    re-deliveries that land within the watermark horizon — the
+    streaming face of the corpus exact-dedup operator, and the right
+    primitive for at-least-once upstream feeds (every re-delivered
+    record would otherwise re-fire downstream writes).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store by
+    the watermark delay (state for a key is reclaimed once the
+    watermark passes its last-seen event time), so state is
+    O(arrival rate × delay) — never O(all keys ever seen), which is
+    what plain streaming dropDuplicates degrades to at corpus scale."""
+    return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -69,3 +69,70 @@ def test_stream_restart_is_incremental(spark, tmp_path):
     stream_events_tumbling(spark, events_dir, out_dir, ckpt)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once feed with re-deliveries across micro-batches:
+    streaming dedup must keep exactly the first arrival per key while
+    re-deliveries land inside the watermark horizon, with state
+    bounded by the delay (not by all keys ever seen)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from reverse_etl_homebrew_spark.streaming.structured import (
+        stream_dedup_within_watermark,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def rows(keys, minute_off, tag):
+        return [
+            (k, base + dt.timedelta(minutes=minute_off + (k % 3)), f"{tag}-{k}")
+            for k in keys
+        ]
+
+    # batch 1: keys 0..49; batch 2: re-delivers 25..49 (dup) + new 50..74
+    spark.createDataFrame(rows(range(50), 0, "first"), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(
+        rows(range(25, 75), 10, "redelivery"), schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # one file per micro-batch (oldest first) so the re-delivery file
+    # arrives in a LATER batch — proving dedup state carries across
+    # micro-batches, not just within one
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    deduped = stream_dedup_within_watermark(stream, ["k"], "ts", "1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).collect()
+    assert len(got) == 75, f"expected 75 unique keys, got {len(got)}"
+    assert {r["k"] for r in got} == set(range(75))
+    # first arrival wins: keys 25..49 keep their 'first' payload
+    by_key = {r["k"]: r["payload"] for r in got}
+    assert all(by_key[k].startswith("first") for k in range(25, 50))
