@@ -149,6 +149,8 @@ def decode_png(payload: bytes) -> Tuple[int, int, int, bytes]:
             width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
             if depth != 8 or ctype not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported PNG (depth={depth}, type={ctype})")
+            if body[12] != 0:  # Adam7 passes would garble the
+                raise ValueError("unsupported PNG (interlaced)")  # sequential unfilter
             ch = _PNG_CHANNELS[ctype]
         elif tag == b"IDAT":
             idat += body
@@ -212,17 +214,18 @@ def _wav_features(payload: bytes) -> Tuple[list, int]:
 
     rate, nch, samples = decode_wav(payload)
     x = samples.astype(np.float64) / 32768.0
-    n = max(len(x), 1)
     duration_ms = int(len(x) / nch / rate * 1000)
+    # a zero-frame WAV is structurally valid — all content features 0
+    empty = len(x) == 0
     zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
     feat = [
         min(duration_ms / 60_000.0, 1.0),
         min(rate / 48_000.0, 1.0),
         nch / 2.0,
-        float(np.sqrt(np.mean(x**2))),  # rms
+        0.0 if empty else float(np.sqrt(np.mean(x**2))),  # rms
         zcr,
-        float(np.mean(np.abs(x))),
-        float(np.max(np.abs(x))) if n else 0.0,
+        0.0 if empty else float(np.mean(np.abs(x))),
+        0.0 if empty else float(np.max(np.abs(x))),
         0.0,
     ]
     return feat[:FEATURE_DIM], duration_ms

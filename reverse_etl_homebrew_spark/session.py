@@ -42,6 +42,11 @@ _RUNTIME_CONFS = {
 }
 
 
+#: process-local path of the executor-shipped package zip (see
+#: _ship_package) — built lazily, at most once per interpreter.
+_PKG_ZIP: str | None = None
+
+
 def normalize_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's required runtime confs to an existing session."""
     for k, v in _RUNTIME_CONFS.items():
@@ -69,16 +74,24 @@ def _ship_package(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_base = os.path.join(
-        tempfile.gettempdir(), f"reverse_etl_homebrew_spark_pyfiles_{os.getpid()}"
-    )
-    if not os.path.exists(zip_base + ".zip"):
+    global _PKG_ZIP
+    if _PKG_ZIP is None:
+        # built exactly once per PROCESS, never reused across processes
+        # (a pid-keyed cached file could be stale after code edits +
+        # pid reuse); per-process uuid makes the path unique and fresh
+        import uuid
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        zip_base = os.path.join(
+            tempfile.gettempdir(),
+            f"reverse_etl_homebrew_spark_pyfiles_{uuid.uuid4().hex}",
+        )
         shutil.make_archive(
             zip_base, "zip", root_dir=pkg_root, base_dir="reverse_etl_homebrew_spark"
         )
+        _PKG_ZIP = zip_base + ".zip"
     try:
-        sc.addPyFile(zip_base + ".zip")
+        sc.addPyFile(_PKG_ZIP)
     except Exception:
         # e.g. a session that forbids adding files mid-flight; UDF-free
         # queries still work, UDF ones will raise ModuleNotFoundError

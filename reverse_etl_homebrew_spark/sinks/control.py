@@ -108,11 +108,14 @@ def native_merge_idmap(spark: SparkSession, target_table: str, incoming: DataFra
         raise RuntimeError(
             "native MERGE INTO needs a Delta/Iceberg catalog in this session"
         )
-    incoming.createOrReplaceTempView("__idmap_incoming")
+    # per-call view name: concurrent merges on one session must not
+    # clobber each other's source view
+    view = f"__idmap_incoming_{uuid.uuid4().hex}"
+    incoming.createOrReplaceTempView(view)
     try:
-        spark.sql(IDMAP_MERGE_SQL.format(target=target_table, source="__idmap_incoming"))
+        spark.sql(IDMAP_MERGE_SQL.format(target=target_table, source=view))
     finally:
-        spark.catalog.dropTempView("__idmap_incoming")
+        spark.catalog.dropTempView(view)
 
 
 class ControlTables:

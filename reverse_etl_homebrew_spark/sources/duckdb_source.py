@@ -49,7 +49,12 @@ from pyspark.sql.types import StructType
 def _sql_literal(v) -> Optional[str]:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        import math
+
+        # nan/inf repr() as bare identifiers — invalid remote SQL
+        return repr(v) if math.isfinite(v) else None
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
@@ -81,6 +86,10 @@ def filter_to_sql(f: Filter) -> Optional[str]:
             return None
         return f"{col} IN ({', '.join(lits)})"
     if isinstance(f, StringStartsWith):
+        # LIKE metacharacters in the prefix would change semantics
+        # ('a_b%' matches 'axb…') — leave such filters Spark-side
+        if any(ch in f.value for ch in ("%", "_", "\\")):
+            return None
         lit = _sql_literal(f.value + "%")
         return None if lit is None else f"{col} LIKE {lit}"
     ops = {

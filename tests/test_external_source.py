@@ -171,3 +171,23 @@ def test_external_write_abort_leaves_no_partial_output(spark, tmp_path):
     import glob as g
     assert not g.glob(target + "/*.parquet"), "no partial files may be visible"
     assert not g.glob(str(tmp_path / ".out.staging-*")), "staging must be cleaned"
+
+
+def test_like_metachars_and_nonfinite_stay_spark_side(spark):
+    """Prefixes containing LIKE metacharacters and non-finite float
+    literals must NOT be pushed (they would change semantics / break
+    the remote SQL) — they stay as Spark-side filters."""
+    from pyspark.sql.datasource import GreaterThan
+
+    assert filter_to_sql(StringStartsWith(("s",), "a_b")) is None
+    assert filter_to_sql(StringStartsWith(("s",), "50%")) is None
+    assert filter_to_sql(GreaterThan(("v",), float("nan"))) is None
+    assert filter_to_sql(GreaterThan(("v",), float("inf"))) is None
+
+    df = external_table(spark, SF, "customer").filter(
+        F.col("c_name").startswith("Customer#0000001")
+    )
+    native = spark.read.parquet(os.path.join(SF, "customer.parquet")).filter(
+        F.col("c_name").startswith("Customer#0000001")
+    )
+    assert df.count() == native.count() > 0

@@ -226,3 +226,26 @@ def test_corrupt_payload_is_row_failure(spark):
     bad = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = decode_and_featurize(bad).collect()
     assert len(out) == 3 and all(r["decode_ok"] is False for r in out)
+
+
+def test_interlaced_png_rejected_and_empty_wav_decodes():
+    import struct
+    import zlib
+
+    from reverse_etl_homebrew_spark.multimodal import decode_payload, decode_png, encode_wav
+    from reverse_etl_homebrew_spark.multimodal.binary import _PNG_SIG
+
+    # interlace byte set → must refuse (sequential unfilter would
+    # silently garble Adam7 data)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    payload = (_PNG_SIG + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(payload)
+
+    # a zero-frame WAV is valid: decodes with all content features 0
+    feat, w, h, dur = decode_payload(encode_wav([]), "audio/wav")
+    assert dur == 0 and all(f == 0.0 for f in feat[3:])
