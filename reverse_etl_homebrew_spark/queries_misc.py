@@ -272,3 +272,35 @@ def q_external_scan_pushdown(spark, sf_dir):
         .filter(F.col("o_totalprice") > 100000)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
     )
+
+
+@register(
+    "hll-sketch-merge",
+    sql="""
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tolerance
+    FROM orders
+    """,
+)
+def q_hll_sketch_merge(spark, sf_dir):
+    """Mergeable distinct-count sketches: one HLL sketch per order
+    month (the shape of a partitioned/incremental pipeline), unioned
+    into the global estimate WITHOUT re-scanning rows — how distinct
+    counts compose across days/partitions at 100 TB. Oracle checks the
+    exact count plus a 5%-tolerance flag on the merged estimate (the
+    sketch itself is engine-specific)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    return exact.crossJoin(merged).select(
+        "exact_distinct",
+        (
+            F.abs(F.col("merged_estimate") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("within_tolerance"),
+    )
