@@ -133,3 +133,34 @@ def test_media_metadata_prunes_payload_column(spark):
     plan = explain(spark, meta)
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "payload" not in read_schema
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """At 100 TB the application side of a selective fact⋈filtered-dim
+    shuffle join exceeds the 10 GiB threshold and Spark injects a
+    runtime Bloom filter (row-level semi-join pruning before the
+    shuffle). Locally the scan is far below the threshold, so lower it
+    to prove the engine's plans are bloom-compatible."""
+    from pyspark.sql import functions as F
+
+    scan_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_scan = spark.conf.get(scan_key)
+    old_bcast = spark.conf.get(bcast_key)
+    # NOTE: an explicit join-strategy hint suppresses InjectRuntimeFilter —
+    # disable broadcast by conf to get an un-hinted shuffle join
+    spark.conf.set(scan_key, "0")
+    spark.conf.set(bcast_key, "-1")
+    try:
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        c = spark.read.parquet(f"{SF}/customer.parquet").filter(
+            F.col("c_acctbal") > 9000
+        )
+        j = o.join(c, o.o_custkey == c.c_custkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in opt.lower(), "runtime bloom filter not injected"
+    finally:
+        spark.conf.set(scan_key, old_scan)
+        spark.conf.set(bcast_key, old_bcast)
