@@ -108,3 +108,70 @@ def knn_join_brute(
         .filter(F.col("__rn") <= k)
         .select("l_id", "r_id", "score")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag of query
+    terms — the lexical complement to embedding similarity in a
+    retrieval pipeline.
+
+    Shape: tokenize → per-(doc, term) tf + per-doc length (one
+    explode + one groupBy), df per query term from the same term rows,
+    idf/score as pure column math, TakeOrdered for the top k. The
+    per-term document frequencies are a |query| × 1 aggregate —
+    trivially broadcastable; corpus stats (N, avgdl) reduce to one
+    row. No all-pairs anything: cost is O(corpus tokens) + one
+    shuffle on (doc, term).
+
+    Determinism: tf/df/dl are integers, N/avgdl derive from integers,
+    and the float score is rounded to 6 decimals with an id tie-break
+    — cross-engine stable (oracle-checked vs DuckDB)."""
+    from ..functions import text as TX
+
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(TX.normalized_text(F.col(text_col)), " ")).alias("term"),
+    )
+    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_, ["term"])
+        .join(doclen, ["id"])
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "bm25")
+    )

@@ -448,3 +448,37 @@ def q_quota_sample(spark, sf_dir):
         .filter(F.col("rn") <= 50)
         .select("lang", "doc_id")
     )
+
+
+@register(
+    "bm25-topk",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), doclen AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('vector', 'hash', 'merge') GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    )
+    SELECT id AS doc_id,
+           ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+    FROM tf JOIN dfreq USING (term) JOIN doclen USING (id) CROSS JOIN stats
+    GROUP BY id
+    ORDER BY bm25 DESC, id
+    LIMIT 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for a 3-term query —
+    the lexical leg of a hybrid retrieval pipeline next to
+    topk-similarity's vector leg."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.bm25_topk(d, ["vector", "hash", "merge"], k=10)
