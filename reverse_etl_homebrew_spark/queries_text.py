@@ -482,3 +482,80 @@ def q_bm25_topk(spark, sf_dir):
     topk-similarity's vector leg."""
     d = _t(spark, sf_dir, "documents")
     return SIM.bm25_topk(d, ["vector", "hash", "merge"], k=10)
+
+
+@register(
+    "hybrid-rrf",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), doclen AS (
+      SELECT id, COUNT(*) AS dl FROM toks GROUP BY id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM doclen
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('vector', 'hash', 'merge') GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), lex AS (
+      SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS r FROM (
+        SELECT id,
+               ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                     6) AS bm25
+        FROM tf JOIN dfreq USING (term) JOIN doclen USING (id) CROSS JOIN stats
+        GROUP BY id ORDER BY bm25 DESC, id LIMIT 50
+      )
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), vec AS (
+      SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM (
+        SELECT e.vec_id AS id,
+               ROUND({_DOT_SQL.format(a='e.embedding', b='q.qv')}
+                     / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+                        * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS score
+        FROM embeddings e, q
+        ORDER BY score DESC, id LIMIT 50
+      )
+    )
+    SELECT COALESCE(lex.id, vec.id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + lex.r), 0) + COALESCE(1.0 / (60 + vec.r), 0), 6)
+             AS rrf
+    FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranks ⊕ cosine vector ranks via
+    reciprocal-rank fusion (1/(60+rank), the standard RRF constant).
+    Each leg retrieves its top 50 independently (both lists are tiny —
+    rank windows run on ≤50 rows, never the corpus), then a full-outer
+    join fuses them; the id spaces of the synthetic documents and
+    embeddings tables are treated as one entity space."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+
+    lex = SIM.bm25_topk(d, ["vector", "hash", "merge"], k=50).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.col("doc_id")))
+        .alias("lr"),
+    )
+    vec = SIM.topk_brute(emb, query, k=50).select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(W.orderBy(F.desc("score"), F.col("vec_id"))).alias("vr"),
+    )
+    fused = lex.join(vec, ["id"], "full_outer").select(
+        F.col("id").alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vr")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.col("doc_id")).limit(10)
