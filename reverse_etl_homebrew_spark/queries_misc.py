@@ -304,3 +304,75 @@ def q_hll_sketch_merge(spark, sf_dir):
             <= 0.05 * F.col("exact_distinct")
         ).alias("within_tolerance"),
     )
+
+
+@register(
+    "fk-orphans",
+    sql="""
+    SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey IS NULL
+    """,
+)
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphaned child rows per foreign
+    key (anti-join counts) — the first gate of a data-quality sweep
+    before training-data assembly."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    a = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("orders->customer").alias("fk"), "n_orphans")
+    )
+    b = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("lineitem->orders").alias("fk"), "n_orphans")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "dq-audit",
+    sql="""
+    SELECT 'customer' AS tbl,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_name IS NULL OR trim(c_name) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS blank_names,
+           CAST(SUM(CASE WHEN c_acctbal < -1000 OR c_acctbal > 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS acctbal_out_of_range,
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS duplicate_keys,
+           CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_nations
+    FROM customer
+    """,
+)
+def q_dq_audit(spark, sf_dir):
+    """Single-pass table-quality audit: blank/null rates, range
+    violations, key uniqueness — one aggregate scan per table, no
+    per-check re-reads (every metric is a conditional sum in the same
+    HashAggregate)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("c_name").isNull() | (F.trim("c_name") == ""), 1).otherwise(0)
+        ).cast("long").alias("blank_names"),
+        F.sum(
+            F.when((F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000), 1)
+            .otherwise(0)
+        ).cast("long").alias("acctbal_out_of_range"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long").alias(
+            "duplicate_keys"
+        ),
+        F.sum(F.when(F.col("c_nationkey").isNull(), 1).otherwise(0)).cast("long").alias(
+            "null_nations"
+        ),
+    ).select(F.lit("customer").alias("tbl"), "n_rows", "blank_names",
+             "acctbal_out_of_range", "duplicate_keys", "null_nations")
