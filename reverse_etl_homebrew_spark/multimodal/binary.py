@@ -13,10 +13,13 @@ Codecs (stdlib-only, no external media libraries):
   Paeth), pixel statistics as features;
 - ``audio/wav`` — REAL decode: RIFF/``wave`` parse, PCM samples,
   RMS / zero-crossing / peak features;
-- ``video/mp4`` — container METADATA is really parsed (box walk to
-  ``moov/mvhd`` for timescale+duration); frame decode itself stays a
-  clearly-marked deterministic stub (an mp4 *codec* is out of stdlib
-  reach), so video features are payload-hash-derived.
+- ``video/mp4`` — container demux is REAL: box walk to ``moov/mvhd``
+  (timescale+duration) and the full sample table (``stsd/stts/stsz/
+  stsc/stco``) → per-frame codec fourcc, timestamps, and absolute
+  byte ranges (``mp4_sample_table`` / ``video_frame_index``). Only
+  pixel decode of the codec bitstream inside a frame is a
+  clearly-marked deterministic stub (an H.264 decoder is out of
+  stdlib reach), so frame-content features are hash-derived.
 
 Per-row decode failures become ``decode_ok=false`` rows (the DLQ
 pattern applied to media) — a poisoned payload never fails the task.
@@ -232,8 +235,39 @@ def _wav_features(payload: bytes) -> Tuple[list, int]:
 
 
 # ---------------------------------------------------------------------------
-# MP4 container metadata (box walk; frame decode stays stubbed)
+# MP4 container parsing (box walk; REAL: mvhd duration, full sample
+# table stsd/stts/stsz/stsc/stco → per-frame byte ranges. Only pixel
+# decode of the codec bitstream inside a frame stays stubbed.)
 # ---------------------------------------------------------------------------
+
+
+def _box(tag: bytes, *payloads: bytes) -> bytes:
+    body = b"".join(payloads)
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) for the boxes in buf[start:end]."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        if size < 8 or pos + size > end:
+            return
+        yield tag, pos + 8, pos + size
+        pos += size
+
+
+def _descend(buf: bytes, start: int, end: int, path: Tuple[bytes, ...]):
+    """Body range of the first box at a nested tag path, or None."""
+    if not path:
+        return start, end
+    for tag, b0, b1 in _iter_boxes(buf, start, end):
+        if tag == path[0]:
+            got = _descend(buf, b0, b1, path[1:])
+            if got is not None:
+                return got
+    return None
 
 def mp4_duration_ms(payload: bytes) -> Optional[int]:
     """Walk top-level boxes to moov/mvhd and read timescale+duration —
@@ -265,22 +299,183 @@ def mp4_duration_ms(payload: bytes) -> Optional[int]:
     return walk(payload, 0, len(payload))
 
 
-def encode_mp4_skeleton(duration_ms: int, content_seed: bytes = b"") -> bytes:
-    """ftyp + moov/mvhd + mdat skeleton — a structurally valid mp4
-    container carrying fake frame data (test/demo payloads)."""
+#: media timescale for encoded skeletons (90 kHz, the MPEG convention)
+_MP4_MEDIA_TS = 90_000
+
+
+def _mp4_frame_bytes(content_seed: bytes, idx: int, size: int) -> bytes:
+    """Deterministic per-frame payload bytes (stands in for a codec
+    bitstream — the bytes and their container offsets are real)."""
+    out = b""
+    n = 0
+    while len(out) < size:
+        out += hashlib.sha256(content_seed + struct.pack(">II", idx, n)).digest()
+        n += 1
+    return out[:size]
+
+
+def encode_mp4_skeleton(
+    duration_ms: int, content_seed: bytes = b"", fps: int = 4
+) -> bytes:
+    """ftyp + moov (mvhd, full video trak with a REAL sample table:
+    stsd/stts/stsz/stsc/stco) + mdat — a structurally valid mp4 whose
+    per-frame byte ranges are recoverable by any conformant demuxer.
+    Frame *contents* are deterministic pseudo-bitstreams."""
+    n_samples = max(1, duration_ms * fps // 1000)
+    delta = _MP4_MEDIA_TS // fps
+    sizes = [24 + (i % 7) * 8 for i in range(n_samples)]
+
     ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
-    timescale = 1000
-    mvhd_body = (
-        b"\x00\x00\x00\x00"  # version+flags
-        + b"\x00" * 8  # creation/modification
-        + struct.pack(">II", timescale, duration_ms)
-        + b"\x00" * 80
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" * 4,  # version+flags
+        b"\x00" * 8,  # creation/modification
+        struct.pack(">II", 1000, duration_ms),  # movie timescale = ms
+        b"\x00" * 80,
     )
-    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
-    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
-    frames = (hashlib.sha256(content_seed).digest() * 8)[:192]
-    mdat = struct.pack(">I", 8 + len(frames)) + b"mdat" + frames
+
+    def build_moov(first_frame_offset: int) -> bytes:
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07",  # v0, enabled|in-movie|in-preview
+            b"\x00" * 8,
+            struct.pack(">II", 1, 0),  # track id, reserved
+            struct.pack(">I", duration_ms),
+            b"\x00" * 60,
+        )
+        mdhd = _box(
+            b"mdhd",
+            b"\x00" * 4,
+            b"\x00" * 8,
+            struct.pack(">II", _MP4_MEDIA_TS, n_samples * delta),
+            b"\x00" * 4,  # language + predefined
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8, b"vide", b"\x00" * 12, b"\x00")
+        # one avc1 sample entry: 78-byte visual sample description
+        avc1 = _box(
+            b"avc1",
+            b"\x00" * 6 + struct.pack(">H", 1),  # reserved, data_ref_idx
+            b"\x00" * 16,
+            struct.pack(">HH", 64, 48),  # width, height
+            b"\x00" * 14,
+            b"\x00" * 32,  # compressorname
+            struct.pack(">Hh", 24, -1),  # depth, pre_defined
+        )
+        stsd = _box(b"stsd", b"\x00" * 4, struct.pack(">I", 1), avc1)
+        stts = _box(
+            b"stts", b"\x00" * 4, struct.pack(">III", 1, n_samples, delta)
+        )
+        stsc = _box(
+            b"stsc", b"\x00" * 4, struct.pack(">IIII", 1, 1, n_samples, 1)
+        )
+        stsz = _box(
+            b"stsz",
+            b"\x00" * 4,
+            struct.pack(">II", 0, n_samples),
+            b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        stco = _box(
+            b"stco", b"\x00" * 4, struct.pack(">II", 1, first_frame_offset)
+        )
+        stbl = _box(b"stbl", stsd, stts, stsc, stsz, stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd, hdlr, minf)
+        trak = _box(b"trak", tkhd, mdia)
+        return _box(b"moov", mvhd, trak)
+
+    # stco holds an absolute file offset into mdat; moov's size is
+    # offset-independent (stco is fixed-width), so one sizing pass
+    moov_len = len(build_moov(0))
+    first_off = len(ftyp) + moov_len + 8  # + mdat header
+    moov = build_moov(first_off)
+    frames = b"".join(
+        _mp4_frame_bytes(content_seed, i, s) for i, s in enumerate(sizes)
+    )
+    mdat = _box(b"mdat", frames)
     return ftyp + moov + mdat
+
+
+def mp4_sample_table(payload: bytes) -> dict:
+    """REAL demux of the mp4 sample table: codec fourcc from stsd,
+    per-sample timestamps from stts (run-length expanded against the
+    mdhd media timescale), sizes from stsz, absolute byte offsets from
+    stsc x stco chunk mapping. Returns
+    ``{"codec", "timescale", "samples": [(idx, ts_ms, offset, size)]}``.
+
+    This is the scale path for video: frame sampling = ranged reads at
+    these offsets, no full-payload decode. (Reference treats media as
+    opaque blobs; this engine indexes them — SURVEY.md §2.11.)
+    """
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an mp4")
+    stbl = _descend(
+        payload, 0, len(payload), (b"moov", b"trak", b"mdia", b"minf", b"stbl")
+    )
+    if stbl is None:
+        raise ValueError("mp4 has no sample table")
+    mdhd = _descend(payload, 0, len(payload), (b"moov", b"trak", b"mdia", b"mdhd"))
+    version = payload[mdhd[0]]
+    timescale = struct.unpack(
+        ">I", payload[mdhd[0] + (20 if version == 1 else 12) :][:4]
+    )[0]
+
+    boxes = {tag: (b0, b1) for tag, b0, b1 in _iter_boxes(payload, *stbl)}
+    for need in (b"stsd", b"stts", b"stsz", b"stsc", b"stco"):
+        if need not in boxes:
+            raise ValueError(f"mp4 sample table missing {need.decode()}")
+
+    b0, b1 = boxes[b"stsd"]
+    codec = payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+
+    b0, _ = boxes[b"stts"]
+    (n_runs,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+    deltas: list = []
+    for i in range(n_runs):
+        cnt, dlt = struct.unpack(">II", payload[b0 + 8 + 8 * i : b0 + 16 + 8 * i])
+        deltas.extend([dlt] * cnt)
+
+    b0, _ = boxes[b"stsz"]
+    uniform, n_samples = struct.unpack(">II", payload[b0 + 4 : b0 + 12])
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        sizes = list(
+            struct.unpack(f">{n_samples}I", payload[b0 + 12 : b0 + 12 + 4 * n_samples])
+        )
+
+    b0, _ = boxes[b"stco"]
+    (n_chunks,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+    chunk_offsets = list(
+        struct.unpack(f">{n_chunks}I", payload[b0 + 8 : b0 + 8 + 4 * n_chunks])
+    )
+
+    b0, _ = boxes[b"stsc"]
+    (n_ent,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
+    stsc = [
+        struct.unpack(">III", payload[b0 + 8 + 12 * i : b0 + 20 + 12 * i])
+        for i in range(n_ent)
+    ]
+    # expand sample-to-chunk runs: entry i applies to chunks
+    # [first_chunk_i, first_chunk_{i+1})
+    samples_per_chunk = []
+    for i, (first, per, _desc) in enumerate(stsc):
+        last = stsc[i + 1][0] if i + 1 < n_ent else n_chunks + 1
+        samples_per_chunk.extend([per] * (last - first))
+
+    samples = []
+    ts_units = 0
+    si = 0
+    for ci, coff in enumerate(chunk_offsets):
+        off = coff
+        for _ in range(samples_per_chunk[ci] if ci < len(samples_per_chunk) else 0):
+            if si >= n_samples:
+                break
+            ts_ms = ts_units * 1000 // timescale if timescale else 0
+            samples.append((si, ts_ms, off, sizes[si]))
+            off += sizes[si]
+            ts_units += deltas[si] if si < len(deltas) else 0
+            si += 1
+    return {"codec": codec, "timescale": timescale, "samples": samples}
 
 
 def _stub_content_features(payload: bytes, k: int) -> list:
@@ -292,10 +487,15 @@ def _stub_content_features(payload: bytes, k: int) -> list:
 
 def _mp4_features(payload: bytes) -> Tuple[list, Optional[int]]:
     duration_ms = mp4_duration_ms(payload)  # real container parse
+    try:
+        n_samples = len(mp4_sample_table(payload)["samples"])
+    except ValueError:
+        n_samples = 0  # mvhd-only container: duration but no trak
     feat = [
         min((duration_ms or 0) / 120_000.0, 1.0),
-        # frame decode is STUBBED: remaining dims are hash-derived
-        *_stub_content_features(payload, FEATURE_DIM - 1),
+        min(n_samples / 4096.0, 1.0),  # real demuxed frame count
+        # pixel decode of frame bitstreams is STUBBED: rest hash-derived
+        *_stub_content_features(payload, FEATURE_DIM - 2),
     ]
     return feat, duration_ms
 
@@ -442,3 +642,68 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+#: one row per demuxed video frame: real container byte range + bytes.
+FRAME_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("byte_offset", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def video_frame_index(df: DataFrame, every_ms: Optional[int] = None) -> DataFrame:
+    """Demux every video payload into one row per frame — REAL sample
+    table parse (``mp4_sample_table``), REAL byte ranges, REAL frame
+    bytes sliced out of mdat. ``every_ms`` keeps only the first frame
+    of each interval (the frame-sampling shape used to cut 30 fps to
+    1 fps before feature extraction).
+
+    At cluster scale the payload column is a ranged read from object
+    storage, so this mapInPandas stays Arrow-batched and per-frame
+    work never loads frames the sampler dropped. A payload that fails
+    to demux yields one ``decode_ok=false`` row (media-DLQ pattern),
+    never a task failure.
+    """
+    import pandas as pd
+
+    videos = df.filter(F.col("meta.kind") == "video").select("media_id", "payload")
+
+    def demux(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    tab = mp4_sample_table(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    rows.append((mid, -1, None, None, None, None, None, False))
+                    continue
+                last_bucket = None
+                for idx, ts_ms, off, size in tab["samples"]:
+                    if every_ms is not None:
+                        bucket = ts_ms // every_ms
+                        if bucket == last_bucket:
+                            continue
+                        last_bucket = bucket
+                    rows.append(
+                        (
+                            mid,
+                            idx,
+                            ts_ms,
+                            off,
+                            size,
+                            tab["codec"],
+                            bytes(payload)[off : off + size],
+                            True,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_INDEX_SCHEMA])
+
+    return videos.mapInPandas(demux, FRAME_INDEX_SCHEMA)

@@ -90,16 +90,23 @@ def knn_join_brute(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast: "bool | None" = None,
 ) -> DataFrame:
-    """k nearest right-vectors for every left-vector (small right side:
-    broadcast + per-left window). Right side must fit in a broadcast;
-    for fact-to-fact ANN use the LSH bucket join instead."""
+    """k nearest right-vectors for every left-vector (cross score +
+    per-left window). ``broadcast=None`` (default) lets AQE pick the
+    strategy from the runtime size estimate — the cross join still
+    replicates the right side per left-partition, so this operator is
+    only for query-batch-vs-corpus shapes where one side is bounded;
+    for fact-to-fact ANN use the LSH bucket join instead. Pass
+    ``broadcast=True`` only when the right side is known-small."""
     from pyspark.sql import Window as W
+
+    from .joins import maybe_broadcast
 
     dim = VEC.infer_dim(right, vec_col)
     l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
     r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
-    scored = l.join(F.broadcast(r)).withColumn(
+    scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
         "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
     )
     w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
