@@ -414,6 +414,11 @@ def mp4_sample_table(payload: bytes) -> dict:
     if stbl is None:
         raise ValueError("mp4 has no sample table")
     mdhd = _descend(payload, 0, len(payload), (b"moov", b"trak", b"mdia", b"mdhd"))
+    if mdhd is None:
+        # stbl without mdhd: malformed; raise ValueError so callers'
+        # demux except-clauses route it to the media DLQ, never a task
+        # failure (a bare TypeError here would escape them)
+        raise ValueError("mp4 has no mdhd")
     version = payload[mdhd[0]]
     timescale = struct.unpack(
         ">I", payload[mdhd[0] + (20 if version == 1 else 12) :][:4]

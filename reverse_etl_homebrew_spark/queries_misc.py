@@ -262,15 +262,18 @@ def q_external_scan_pushdown(spark, sf_dir):
     the reference's warehouse read, which compiles its watermark
     predicate into the remote SQL (fetch_rows, main.py:534-549). Both
     predicates here are accepted by pushFilters and executed by the
-    external engine; the Spark plan keeps no post-scan Filter
-    (asserted in tests/test_external_source.py)."""
+    external engine; the Spark plan keeps no post-scan Filter, and the
+    columns= projection prunes the remote SELECT list to the four
+    consumed columns (asserted in tests/test_external_source.py) —
+    never the reference's `SELECT *` (main.py:537)."""
     from .sources.duckdb_source import external_table
 
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
     return (
-        external_table(spark, sf_dir, "orders")
+        external_table(spark, sf_dir, "orders", columns=cols)
         .filter(F.col("o_orderdate") >= "1997-06-01")
         .filter(F.col("o_totalprice") > 100000)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .select(*cols)
     )
 
 

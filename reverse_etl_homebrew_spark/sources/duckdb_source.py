@@ -59,6 +59,11 @@ def _sql_literal(v) -> Optional[str]:
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, dt.datetime):
+        if v.tzinfo is not None:
+            # A tz-aware instant formatted as wall-clock would encode the
+            # wrong moment remotely, and the filter is REMOVED Spark-side
+            # once pushed — no residual correction. Refuse the push.
+            return None
         return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, dt.date):
         return f"DATE '{v.isoformat()}'"
@@ -67,6 +72,20 @@ def _sql_literal(v) -> Optional[str]:
 
 def _quote_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
+
+
+def _quote_path(path: str) -> str:
+    """File path as a remote SQL string literal — same escaping as
+    _sql_literal so a quote in the path can't break or inject SQL."""
+    return "'" + path.replace("'", "''") + "'"
+
+
+def _parse_columns_option(options) -> Optional[List[str]]:
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    cols = [c.strip() for c in raw.split(",") if c.strip()]
+    return cols or None
 
 
 def filter_to_sql(f: Filter) -> Optional[str]:
@@ -133,8 +152,12 @@ class DuckDBParquetReader(DataSourceReader):
                 self.pushed_sql.append(sql)
 
     def remote_sql(self, file_path: str) -> str:
+        # The column list IS the projection pushdown: self.schema comes
+        # from DuckDBParquetDataSource.schema(), which honors the
+        # 'columns' option, so a pruned scan ships only consumed columns
+        # over the wire (never the reference's `SELECT *`, main.py:537).
         cols = ", ".join(_quote_ident(f.name) for f in self.schema.fields) or "*"
-        sql = f"SELECT {cols} FROM read_parquet('{file_path}')"
+        sql = f"SELECT {cols} FROM read_parquet({_quote_path(file_path)})"
         if self.pushed_sql:
             sql += " WHERE " + " AND ".join(self.pushed_sql)
         return sql
@@ -180,14 +203,32 @@ class DuckDBParquetDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("duckdb_parquet: 'path' option is required")
-        probe = sorted(_glob.glob(path))[0] if any(c in path for c in "*?[") else path
+        if any(c in path for c in "*?["):
+            matches = sorted(_glob.glob(path))
+            if not matches:
+                raise FileNotFoundError(path)
+            probe = matches[0]
+        else:
+            probe = path
         con = duckdb.connect()
         try:
             arrow_schema = con.execute(
-                f"SELECT * FROM read_parquet('{probe}') LIMIT 0"
+                f"SELECT * FROM read_parquet({_quote_path(probe)}) LIMIT 0"
             ).fetch_arrow_table().schema
         finally:
             con.close()
+        columns = _parse_columns_option(self.options)
+        if columns is not None:
+            available = set(arrow_schema.names)
+            unknown = [c for c in columns if c not in available]
+            if unknown:
+                raise ValueError(
+                    f"duckdb_parquet: unknown columns {unknown}; "
+                    f"available: {sorted(available)}"
+                )
+            import pyarrow as _pa
+
+            arrow_schema = _pa.schema([arrow_schema.field(c) for c in columns])
         return from_arrow_schema(arrow_schema, prefer_timestamp_ntz=True)
 
     def reader(self, schema: StructType) -> DuckDBParquetReader:
@@ -236,34 +277,93 @@ class DuckDBParquetWriter(DataSourceArrowWriter):
 
         os.makedirs(self.staging, exist_ok=True)
         out = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
-        batches = list(iterator)
-        if not batches:
+        # Peek one batch for the schema, then hand DuckDB a streaming
+        # RecordBatchReader over the rest — task memory stays O(batch),
+        # never O(partition) (rows-never-materialize, same posture as
+        # the read path).
+        it = iter(iterator)
+        try:
+            first = next(it)
+        except StopIteration:
             return _TaskFileCommit(staged_path="", rows=0)
-        table = pa.Table.from_batches(batches)
+        rows = 0
+
+        def _stream():
+            nonlocal rows
+            rows += first.num_rows
+            yield first
+            for b in it:
+                rows += b.num_rows
+                yield b
+
+        reader = pa.RecordBatchReader.from_batches(first.schema, _stream())
         con = duckdb.connect()
         try:
-            con.register("__spark_write_batch", table)
+            con.register("__spark_write_stream", reader)
             con.execute(
-                f"COPY (SELECT * FROM __spark_write_batch) TO '{out}' (FORMAT PARQUET)"
+                f"COPY (SELECT * FROM __spark_write_stream) TO {_quote_path(out)}"
+                " (FORMAT PARQUET)"
             )
         finally:
             con.close()
-        return _TaskFileCommit(staged_path=out, rows=table.num_rows)
+        return _TaskFileCommit(staged_path=out, rows=rows)
 
     def commit(self, messages) -> None:
         import shutil
+        import uuid
 
         os.makedirs(self.path, exist_ok=True)
+        backup = None
+        displaced: List[tuple] = []
         if self.overwrite:
-            for f in _glob.glob(os.path.join(self.path, "*.parquet")):
-                os.remove(f)
-        for m in messages:
-            if m is not None and m.staged_path:
-                shutil.move(
-                    m.staged_path,
-                    os.path.join(self.path, os.path.basename(m.staged_path)),
-                )
+            existing = _glob.glob(os.path.join(self.path, "*.parquet"))
+            if existing:
+                # Displace, don't delete: a crash between "old data gone"
+                # and "new data promoted" must not lose both generations
+                # (same .bak swap protocol as control.merge_idmap).
+                backup = os.path.join(self.path, f".bak-{uuid.uuid4().hex}")
+                os.makedirs(backup)
+                for f in existing:
+                    dest = os.path.join(backup, os.path.basename(f))
+                    shutil.move(f, dest)
+                    displaced.append((f, dest))
+        try:
+            for m in messages:
+                if m is not None and m.staged_path:
+                    shutil.move(
+                        m.staged_path,
+                        os.path.join(self.path, os.path.basename(m.staged_path)),
+                    )
+        except BaseException:
+            for orig, dest in displaced:
+                if os.path.exists(dest) and not os.path.exists(orig):
+                    shutil.move(dest, orig)
+            raise
+        if backup is not None:
+            shutil.rmtree(backup, ignore_errors=True)
         shutil.rmtree(self.staging, ignore_errors=True)
+        self._sweep_stale_staging()
+
+    def _sweep_stale_staging(self) -> None:
+        """Remove staging dirs leaked by crashed jobs for this target.
+
+        Only dirs older than an hour are swept, so a concurrent writer's
+        live staging dir is never yanked out from under it."""
+        import shutil
+        import time
+
+        base = os.path.basename(self.path.rstrip("/"))
+        parent = os.path.dirname(self.path.rstrip("/")) or "."
+        stale = _glob.glob(os.path.join(parent, f".{base}.staging-*"))
+        stale += _glob.glob(os.path.join(self.path, ".bak-*"))
+        for d in stale:
+            if os.path.abspath(d) == os.path.abspath(self.staging):
+                continue
+            try:
+                if time.time() - os.path.getmtime(d) > 3600:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
         import shutil
@@ -279,10 +379,19 @@ def register(spark) -> None:
         pass  # already registered on this session
 
 
-def external_table(spark, sf_dir: str, table: str):
+def external_table(spark, sf_dir: str, table: str, columns: Optional[Sequence[str]] = None):
+    """Read an external table; pass ``columns`` to prune the remote scan.
+
+    The Python DataSource API (Spark 4.1) has no column-pruning hook —
+    Catalyst prunes its side of the plan but the reader would still ship
+    every column over the wire. Threading the projection through the
+    'columns' option closes that gap: the remote SELECT names only the
+    consumed columns (never `SELECT *`, the reference's anti-pattern at
+    main.py:537, 540)."""
     register(spark)
-    return (
-        spark.read.format("duckdb_parquet")
-        .option("path", os.path.join(sf_dir, f"{table}.parquet"))
-        .load()
+    r = spark.read.format("duckdb_parquet").option(
+        "path", os.path.join(sf_dir, f"{table}.parquet")
     )
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load()

@@ -173,6 +173,111 @@ def test_external_write_abort_leaves_no_partial_output(spark, tmp_path):
     assert not g.glob(str(tmp_path / ".out.staging-*")), "staging must be cleaned"
 
 
+# --- column-projection pushdown (VERDICT r2 #2) -----------------------------
+
+def test_columns_option_prunes_remote_select(spark):
+    """The remote SQL must name ONLY the consumed columns — the 'columns'
+    option is the projection-pushdown path the Python DS API lacks."""
+    df = external_table(spark, SF, "customer", columns=["c_custkey", "c_name"])
+    assert df.columns == ["c_custkey", "c_name"]
+    plan = _executed(df)
+    assert "BatchScan duckdb_parquet[c_custkey" in plan
+    assert "c_acctbal" not in plan
+
+    # and the compiled remote SQL itself is pruned
+    from reverse_etl_homebrew_spark.sources.duckdb_source import (
+        DuckDBParquetDataSource,
+    )
+
+    path = os.path.join(SF, "customer.parquet")
+    ds = DuckDBParquetDataSource({"path": path, "columns": "c_custkey,c_name"})
+    r = DuckDBParquetReader(ds.schema(), {"path": path})
+    sql = r.remote_sql(path)
+    assert '"c_custkey", "c_name"' in sql
+    assert "c_acctbal" not in sql and "*" not in sql
+
+
+def test_columns_option_values_match_native(spark):
+    ext = external_table(
+        spark, SF, "orders", columns=["o_orderkey", "o_totalprice"]
+    ).filter(F.col("o_totalprice") > 200000)
+    native = (
+        spark.read.parquet(os.path.join(SF, "orders.parquet"))
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_totalprice") > 200000)
+    )
+    assert sorted(map(tuple, ext.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_unknown_column_raises(spark):
+    from reverse_etl_homebrew_spark.sources.duckdb_source import (
+        DuckDBParquetDataSource,
+    )
+
+    ds = DuckDBParquetDataSource(
+        {"path": os.path.join(SF, "customer.parquet"), "columns": "c_custkey,nope"}
+    )
+    with pytest.raises(ValueError, match="nope"):
+        ds.schema()
+
+
+# --- remote-SQL safety (ADVICE r2) ------------------------------------------
+
+def test_tz_aware_datetime_not_pushed():
+    """A tz-aware instant formatted as wall-clock encodes the wrong moment
+    remotely and the pushed filter is gone Spark-side — must refuse."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    aware = dt.datetime(1997, 6, 1, tzinfo=dt.timezone.utc)
+    assert filter_to_sql(GreaterThanOrEqual(("ts",), aware)) is None
+    naive = dt.datetime(1997, 6, 1)
+    assert filter_to_sql(GreaterThanOrEqual(("ts",), naive)) is not None
+
+
+def test_path_with_quote_is_escaped(spark, tmp_path):
+    qdir = tmp_path / "o'brien"
+    qdir.mkdir()
+    src = os.path.join(SF, "region.parquet")
+    import shutil
+
+    shutil.copy(src, qdir / "region.parquet")
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("duckdb_parquet")
+        .option("path", str(qdir / "region.parquet"))
+        .load()
+    )
+    assert df.count() == 5
+
+
+def test_empty_glob_raises_filenotfound(spark):
+    from reverse_etl_homebrew_spark.sources.duckdb_source import (
+        DuckDBParquetDataSource,
+    )
+
+    ds = DuckDBParquetDataSource({"path": "/tmp/does-not-exist-*.parquet"})
+    with pytest.raises(FileNotFoundError):
+        ds.schema()
+
+
+def test_overwrite_leaves_no_backup_residue(spark, tmp_path):
+    """Overwrite displaces old files to a .bak dir during promotion
+    (crash-safe window) and cleans it up on success."""
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    target = str(tmp_path / "out")
+    spark.range(10).write.format("duckdb_parquet").option("path", target).mode("append").save()
+    spark.range(7).write.format("duckdb_parquet").option("path", target).mode("overwrite").save()
+    back = spark.read.format("duckdb_parquet").option("path", target + "/*.parquet").load()
+    assert back.count() == 7
+    import glob as g
+
+    assert not g.glob(target + "/.bak-*"), "backup dir must be cleaned on success"
+
+
 def test_like_metachars_and_nonfinite_stay_spark_side(spark):
     """Prefixes containing LIKE metacharacters and non-finite float
     literals must NOT be pushed (they would change semantics / break
