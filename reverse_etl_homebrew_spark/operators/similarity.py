@@ -83,6 +83,83 @@ def topk_lsh(
     return topk_brute(cand, query, k, id_col, vec_col)
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 3,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    probe_radius: int = 2,
+    exact: bool = False,
+    broadcast: "bool | None" = None,
+) -> DataFrame:
+    """k nearest right-vectors for every left-vector.
+
+    Default is SCALE-SAFE: both sides are hyperplane-bucketed and only
+    in-bucket pairs are scored — an equi-join on the bucket key (plain
+    shuffle, no replication), with the left side exploded over its
+    Hamming-radius-``probe_radius`` probe buckets for recall. Cost is
+    O(pairs-sharing-a-bucket), never |L|×|R|; two 100 TB fact tables
+    produce a ShuffledHash/SortMerge join, not a
+    BroadcastNestedLoopJoin (asserted in tests).
+
+    ``exact=True`` opts into the exhaustive cross score + per-left
+    window — correct for query-batch-vs-corpus shapes where one side
+    is bounded (the reference's search-then-rank shape). There
+    ``broadcast=None`` lets AQE pick the strategy; pass
+    ``broadcast=True`` only when the right side is known-small.
+
+    Approximate recall: a left vector only sees neighbors within its
+    probed buckets, so it may return fewer than ``k`` rows — the
+    standard ANN trade (multi-probe LSH; PAPERS.md anchors)."""
+    from pyspark.sql import Window as W
+
+    from .joins import maybe_broadcast
+
+    dim = VEC.infer_dim(right, vec_col)
+    l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
+    r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
+    if exact:
+        scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
+            "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
+        )
+    else:
+        hp = _deterministic_planes(planes, dim)
+        r = r.withColumn("__bucket", VEC.random_hyperplane_signs(F.col("r_v"), hp))
+        probes = [F.col("__b0")]
+        if probe_radius >= 1:
+            probes += [
+                F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+            ]
+        if probe_radius >= 2:
+            probes += [
+                F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(planes)
+                for j in range(i)
+            ]
+        l = (
+            l.withColumn(
+                "__b0", VEC.random_hyperplane_signs(F.col("l_v"), hp)
+            )
+            .withColumn("__bucket", F.explode(F.array_distinct(F.array(*probes))))
+            .drop("__b0")
+        )
+        # equi-join on the bucket key: each right row lives in exactly
+        # one bucket and probe buckets are distinct, so a (l, r) pair
+        # matches at most once — no post-join dedup needed
+        scored = l.join(r, "__bucket").withColumn(
+            "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
+        )
+    w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("l_id", "r_id", "score")
+    )
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,
@@ -92,28 +169,18 @@ def knn_join_brute(
     vec_col: str = "embedding",
     broadcast: "bool | None" = None,
 ) -> DataFrame:
-    """k nearest right-vectors for every left-vector (cross score +
-    per-left window). ``broadcast=None`` (default) lets AQE pick the
-    strategy from the runtime size estimate — the cross join still
-    replicates the right side per left-partition, so this operator is
-    only for query-batch-vs-corpus shapes where one side is bounded;
-    for fact-to-fact ANN use the LSH bucket join instead. Pass
-    ``broadcast=True`` only when the right side is known-small."""
-    from pyspark.sql import Window as W
-
-    from .joins import maybe_broadcast
-
-    dim = VEC.infer_dim(right, vec_col)
-    l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
-    r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
-    scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
-        "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
-    )
-    w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("l_id", "r_id", "score")
+    """Exhaustive k-NN join (cross score). Kept as the explicit
+    bounded-side spelling of ``knn_join(exact=True)`` — use only when
+    one side is a bounded query batch."""
+    return knn_join(
+        left,
+        right,
+        k,
+        left_id,
+        right_id,
+        vec_col,
+        exact=True,
+        broadcast=broadcast,
     )
 
 

@@ -237,11 +237,25 @@ def q_topk_similarity(spark, sf_dir):
 )
 def q_knn_join(spark, sf_dir):
     """k-NN join: 3 nearest neighbors (cosine) for each of 20 query
-    vectors against the whole embedding table — broadcast + per-query
-    window."""
+    vectors against the whole embedding table. exact=True is the
+    bounded-query-batch opt-in (20 rows vs corpus); the operator's
+    DEFAULT is the hyperplane-bucketed candidate join that never
+    cross-joins two large sides (see knn-join-lsh)."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 20)
-    return SIM.knn_join_brute(left, emb, k=3)
+    return SIM.knn_join(left, emb, k=3, exact=True)
+
+
+@register("knn-join-lsh")
+def q_knn_join_lsh(spark, sf_dir):
+    """Scale-safe default k-NN join: both sides hyperplane-bucketed,
+    candidates scored only inside matching buckets (equi-join on the
+    bucket key — plain shuffle, no |L|x|R| replication). Rows-only:
+    approximate recall has no SQL oracle; quality is pinned by
+    tests/test_vectorized_stateful.py recall-vs-exact assertions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 200)
+    return SIM.knn_join(left, emb, k=3)
 
 
 # --- rows-only sketch-based operators (no cross-engine oracle) -------------

@@ -56,6 +56,35 @@ def test_ivf_topk_contains_query_and_overlaps_exact(spark, emb, query_vec):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_knn_join_default_is_not_a_cross_join(spark, emb):
+    """VERDICT r2 #3: the default knn_join on two UNBOUNDED sides must
+    plan as an equi-join on the bucket key — never
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    out = SIM.knn_join(emb, emb, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exact=True keeps the documented cross shape for bounded batches
+    bounded = SIM.knn_join(emb.limit(5), emb, k=3, exact=True)
+    xplan = bounded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in xplan or "CartesianProduct" in xplan
+
+
+def test_knn_join_default_recall_vs_exact(spark, emb):
+    """Bucketed candidates must recover a useful fraction of the true
+    top-3 neighbors (self-match always survives: identical vectors
+    share a bucket)."""
+    left = emb.filter(F.col("vec_id") < 30)
+    exact = SIM.knn_join(left, emb, k=3, exact=True).collect()
+    approx = SIM.knn_join(left, emb, k=3).collect()
+    exact_pairs = {(r["l_id"], r["r_id"]) for r in exact}
+    approx_pairs = {(r["l_id"], r["r_id"]) for r in approx}
+    # every left id keeps its self-match (score 1.0)
+    assert {(i, i) for i in range(30)} <= approx_pairs
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"bucketed knn recall too low: {recall:.2f}"
+
+
 def test_streaming_sessionize_closes_sessions(spark, tmp_path):
     """Drive the applyInPandasWithState operator with availableNow
     over the real events file; sessions must close deterministically
