@@ -15,11 +15,13 @@ Codecs (stdlib-only, no external media libraries):
   RMS / zero-crossing / peak features;
 - ``video/mp4`` — container demux is REAL: box walk to ``moov/mvhd``
   (timescale+duration) and the full sample table (``stsd/stts/stsz/
-  stsc/stco``) → per-frame codec fourcc, timestamps, and absolute
-  byte ranges (``mp4_sample_table`` / ``video_frame_index``). Only
-  pixel decode of the codec bitstream inside a frame is a
-  clearly-marked deterministic stub (an H.264 decoder is out of
-  stdlib reach), so frame-content features are hash-derived.
+  stsc/stco``) → per-frame codec fourcc, dimensions, timestamps, and
+  absolute byte ranges (``mp4_sample_table`` / ``video_frame_index``).
+  Frame-content features are REAL pixel statistics for the
+  uncompressed ``'raw '`` codec (RGB24 planes sliced straight out of
+  mdat and decoded); compressed bitstreams (H.264 etc., out of stdlib
+  reach) keep a clearly-marked deterministic stub and are labeled
+  ``content_source="stub-hash"`` in the output.
 
 Per-row decode failures become ``decode_ok=false`` rows (the DLQ
 pattern applied to media) — a poisoned payload never fails the task.
@@ -70,6 +72,9 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("dec_width", T.IntegerType()),
         T.StructField("dec_height", T.IntegerType()),
         T.StructField("dec_duration_ms", T.LongType()),
+        # "pixels" | "pcm" | "stub-hash": what the feature vector was
+        # computed FROM — consumers can filter out stubbed codecs
+        T.StructField("content_source", T.StringType()),
     ]
 )
 
@@ -314,16 +319,45 @@ def _mp4_frame_bytes(content_seed: bytes, idx: int, size: int) -> bytes:
     return out[:size]
 
 
+def _rawvideo_frame_bytes(
+    content_seed: bytes, idx: int, width: int, height: int
+) -> bytes:
+    """One REAL uncompressed RGB24 frame: a deterministic gradient that
+    shifts per frame (so inter-frame motion is non-zero) and varies
+    with the seed (so two videos have distinct pixel content)."""
+    s = sum(content_seed) % 256
+    return bytes(
+        (x * 3 + y * 5 + c * 17 + idx * 11 + s) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(3)
+    )
+
+
 def encode_mp4_skeleton(
-    duration_ms: int, content_seed: bytes = b"", fps: int = 4
+    duration_ms: int,
+    content_seed: bytes = b"",
+    fps: int = 4,
+    codec: str = "avc1",
+    width: int = 64,
+    height: int = 48,
 ) -> bytes:
     """ftyp + moov (mvhd, full video trak with a REAL sample table:
     stsd/stts/stsz/stsc/stco) + mdat — a structurally valid mp4 whose
     per-frame byte ranges are recoverable by any conformant demuxer.
-    Frame *contents* are deterministic pseudo-bitstreams."""
+
+    ``codec="avc1"`` (default): frame contents are deterministic
+    pseudo-bitstreams (no pure-stdlib H.264 decoder exists — those
+    features stay stubbed and labeled). ``codec="raw "`` (QuickTime
+    uncompressed RGB24): frames are REAL packed pixel data that
+    ``_rawvideo_content_features`` decodes for pixel-derived features.
+    """
     n_samples = max(1, duration_ms * fps // 1000)
     delta = _MP4_MEDIA_TS // fps
-    sizes = [24 + (i % 7) * 8 for i in range(n_samples)]
+    if codec == "raw ":
+        sizes = [width * height * 3] * n_samples
+    else:
+        sizes = [24 + (i % 7) * 8 for i in range(n_samples)]
 
     ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00\x00\x02\x00"
     mvhd = _box(
@@ -351,17 +385,17 @@ def encode_mp4_skeleton(
             b"\x00" * 4,  # language + predefined
         )
         hdlr = _box(b"hdlr", b"\x00" * 8, b"vide", b"\x00" * 12, b"\x00")
-        # one avc1 sample entry: 78-byte visual sample description
-        avc1 = _box(
-            b"avc1",
+        # one visual sample entry (78-byte description), fourcc = codec
+        entry = _box(
+            codec.encode("ascii"),
             b"\x00" * 6 + struct.pack(">H", 1),  # reserved, data_ref_idx
             b"\x00" * 16,
-            struct.pack(">HH", 64, 48),  # width, height
+            struct.pack(">HH", width, height),
             b"\x00" * 14,
             b"\x00" * 32,  # compressorname
             struct.pack(">Hh", 24, -1),  # depth, pre_defined
         )
-        stsd = _box(b"stsd", b"\x00" * 4, struct.pack(">I", 1), avc1)
+        stsd = _box(b"stsd", b"\x00" * 4, struct.pack(">I", 1), entry)
         stts = _box(
             b"stts", b"\x00" * 4, struct.pack(">III", 1, n_samples, delta)
         )
@@ -388,9 +422,15 @@ def encode_mp4_skeleton(
     moov_len = len(build_moov(0))
     first_off = len(ftyp) + moov_len + 8  # + mdat header
     moov = build_moov(first_off)
-    frames = b"".join(
-        _mp4_frame_bytes(content_seed, i, s) for i, s in enumerate(sizes)
-    )
+    if codec == "raw ":
+        frames = b"".join(
+            _rawvideo_frame_bytes(content_seed, i, width, height)
+            for i in range(n_samples)
+        )
+    else:
+        frames = b"".join(
+            _mp4_frame_bytes(content_seed, i, s) for i, s in enumerate(sizes)
+        )
     mdat = _box(b"mdat", frames)
     return ftyp + moov + mdat
 
@@ -431,6 +471,13 @@ def mp4_sample_table(payload: bytes) -> dict:
 
     b0, b1 = boxes[b"stsd"]
     codec = payload[b0 + 12 : b0 + 16].decode("ascii", "replace")
+    # visual sample entry layout: 8B box header, then 8B reserved/dataref,
+    # 16B predefined, then width/height — present for 'vide' tracks
+    width = height = None
+    if b0 + 44 <= b1:
+        width, height = struct.unpack(">HH", payload[b0 + 40 : b0 + 44])
+        if not (0 < width <= 16384 and 0 < height <= 16384):
+            width = height = None
 
     b0, _ = boxes[b"stts"]
     (n_runs,) = struct.unpack(">I", payload[b0 + 4 : b0 + 8])
@@ -480,29 +527,102 @@ def mp4_sample_table(payload: bytes) -> dict:
             off += sizes[si]
             ts_units += deltas[si] if si < len(deltas) else 0
             si += 1
-    return {"codec": codec, "timescale": timescale, "samples": samples}
+    return {
+        "codec": codec,
+        "timescale": timescale,
+        "width": width,
+        "height": height,
+        "samples": samples,
+    }
 
 
 def _stub_content_features(payload: bytes, k: int) -> list:
     """Deterministic pseudo-features from payload bytes — the
-    explicitly-stubbed stand-in for a real frame decoder."""
+    explicitly-stubbed stand-in for codecs without a stdlib decoder
+    (H.264 etc.); outputs carrying these are labeled "stub-hash"."""
     h = hashlib.sha256(payload).digest()
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(k)]
 
 
-def _mp4_features(payload: bytes) -> Tuple[list, Optional[int]]:
+def _rawvideo_frame_stats(frame: bytes) -> Tuple[float, float, float, list]:
+    """Per-frame channel means + per-pixel luma list (RGB24)."""
+    r, g, b = frame[0::3], frame[1::3], frame[2::3]
+    n = len(r)
+    luma = [0.299 * rr + 0.587 * gg + 0.114 * bb for rr, gg, bb in zip(r, g, b)]
+    return sum(r) / n, sum(g) / n, sum(b) / n, luma
+
+
+def _rawvideo_content_features(
+    payload: bytes, tab: dict, k: int, max_frames: int = 8
+) -> Optional[list]:
+    """REAL pixel decode for 'raw ' (QuickTime uncompressed RGB24)
+    video: sample up to ``max_frames`` evenly spaced frames, decode the
+    packed pixels sliced straight out of mdat, and reduce to channel
+    means, luma statistics, and inter-frame motion (mean |Δluma| of
+    consecutive sampled frames). Returns None when the geometry doesn't
+    match (caller falls back to the labeled stub)."""
+    w, h = tab.get("width"), tab.get("height")
+    samples = tab["samples"]
+    if not (w and h and samples):
+        return None
+    frame_len = w * h * 3
+    step = max(1, len(samples) // max_frames)
+    picked = samples[::step][:max_frames]
+    mr = mg = mb = ml = lvar = motion = 0.0
+    prev_luma = None
+    n_used = 0
+    for _idx, _ts, off, size in picked:
+        frame = payload[off : off + size]
+        if size != frame_len or len(frame) != frame_len:
+            return None
+        r_m, g_m, b_m, luma = _rawvideo_frame_stats(frame)
+        l_m = sum(luma) / len(luma)
+        mr += r_m
+        mg += g_m
+        mb += b_m
+        ml += l_m
+        lvar += sum((x - l_m) ** 2 for x in luma) / len(luma)
+        if prev_luma is not None:
+            motion += sum(abs(a - b) for a, b in zip(luma, prev_luma)) / len(luma)
+        prev_luma = luma
+        n_used += 1
+    if n_used == 0:
+        return None
+    feat = [
+        mr / n_used / 255.0,
+        mg / n_used / 255.0,
+        mb / n_used / 255.0,
+        ml / n_used / 255.0,
+        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
+        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
+    ]
+    return (feat + [0.0] * k)[:k]
+
+
+def _mp4_features(payload: bytes) -> Tuple[list, Optional[int], str]:
     duration_ms = mp4_duration_ms(payload)  # real container parse
+    tab = None
     try:
-        n_samples = len(mp4_sample_table(payload)["samples"])
+        tab = mp4_sample_table(payload)
+        n_samples = len(tab["samples"])
     except ValueError:
         n_samples = 0  # mvhd-only container: duration but no trak
+    content = None
+    source = "stub-hash"
+    if tab is not None and tab["codec"] == "raw ":
+        content = _rawvideo_content_features(payload, tab, FEATURE_DIM - 2)
+        if content is not None:
+            source = "pixels"
+    if content is None:
+        # no stdlib decoder for this codec (e.g. avc1): hash-derived
+        # stand-ins, explicitly labeled so consumers can filter
+        content = _stub_content_features(payload, FEATURE_DIM - 2)
     feat = [
         min((duration_ms or 0) / 120_000.0, 1.0),
         min(n_samples / 4096.0, 1.0),  # real demuxed frame count
-        # pixel decode of frame bitstreams is STUBBED: rest hash-derived
-        *_stub_content_features(payload, FEATURE_DIM - 2),
+        *content,
     ]
-    return feat, duration_ms
+    return feat, duration_ms, source
 
 
 # ---------------------------------------------------------------------------
@@ -532,6 +652,18 @@ def fake_media_table(spark: SparkSession, n: int = 200) -> DataFrame:
             samples = [((j * (13 + i)) % 4096) - 2048 for j in range(n_samp)]
             payload = encode_wav(samples, sample_rate=8000)
             width, height, duration = None, None, int(n_samp / 8000 * 1000)
+        elif i % 6 == 5:
+            # every other video row is REAL uncompressed RGB24 ('raw ')
+            # — its frame pixels decode for pixel-derived features
+            duration = 500 + (i * 37) % 7500
+            width, height = 16, 12
+            payload = encode_mp4_skeleton(
+                duration,
+                content_seed=f"media-{i}".encode(),
+                codec="raw ",
+                width=width,
+                height=height,
+            )
         else:
             duration = (i * 37) % 120_000
             payload = encode_mp4_skeleton(duration, content_seed=f"media-{i}".encode())
@@ -570,18 +702,22 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 def decode_payload(payload: bytes, mime: Optional[str]):
     """One payload through the mime-routed codecs.
-    → (features, width, height, duration_ms)."""
+    → (features, width, height, duration_ms, content_source).
+
+    content_source labels what the feature vector derives from:
+    "pixels" (real PNG / rawvideo decode), "pcm" (real WAV decode), or
+    "stub-hash" (codecs without a stdlib decoder, e.g. H.264)."""
     if not payload:
         raise ValueError("empty payload")
     if mime == "image/png":
         feat, w, h = _png_features(payload)
-        return feat, w, h, None
+        return feat, w, h, None, "pixels"
     if mime == "audio/wav":
         feat, dur = _wav_features(payload)
-        return feat, None, None, dur
+        return feat, None, None, dur, "pcm"
     if mime == "video/mp4":
-        feat, dur = _mp4_features(payload)
-        return feat, None, None, dur
+        feat, dur, source = _mp4_features(payload)
+        return feat, None, None, dur, source
     raise ValueError(f"no codec for {mime!r}")
 
 
@@ -604,6 +740,7 @@ def decode_and_featurize(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                 "dec_width": [],
                 "dec_height": [],
                 "dec_duration_ms": [],
+                "content_source": [],
             }
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
@@ -611,12 +748,12 @@ def decode_and_featurize(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                 kind = meta["kind"] if meta is not None else None
                 mime = meta["mime"] if meta is not None else None
                 try:
-                    feat, w, h, dur = decode_payload(
+                    feat, w, h, dur, source = decode_payload(
                         bytes(payload) if payload is not None else b"", mime
                     )
                     ok = True
                 except Exception:
-                    feat, w, h, dur, ok = None, None, None, None, False
+                    feat, w, h, dur, ok, source = None, None, None, None, False, None
                 out["media_id"].append(media_id)
                 out["kind"].append(kind)
                 out["feature"].append(feat)
@@ -624,6 +761,7 @@ def decode_and_featurize(df: DataFrame, batch_hint: int = 64) -> DataFrame:
                 out["dec_width"].append(w)
                 out["dec_height"].append(h)
                 out["dec_duration_ms"].append(dur)
+                out["content_source"].append(source)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, FEATURES_SCHEMA)

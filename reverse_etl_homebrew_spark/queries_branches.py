@@ -471,9 +471,11 @@ def q_multimodal_cols(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched media decode/feature-extraction over binary
     columns via mapInPandas — REAL stdlib codecs for PNG pixels, WAV
-    PCM, and mp4 container metadata; only video frame decode remains
-    stubbed (multimodal/binary.py). Rows-only: features are
-    deterministic but not SQL-reproducible."""
+    PCM, mp4 container metadata, AND uncompressed ('raw ') video frame
+    pixels; codecs with no stdlib decoder (H.264) keep hash stand-ins
+    and are labeled content_source='stub-hash' so consumers can filter
+    (multimodal/binary.py). Rows-only: features are deterministic but
+    not SQL-reproducible."""
     from .multimodal import decode_and_featurize, fake_media_table
 
     media = fake_media_table(spark, 120)
@@ -482,6 +484,7 @@ def q_multimodal_decode(spark, sf_dir):
         "media_id",
         "kind",
         "decode_ok",
+        "content_source",
         "dec_width",
         "dec_height",
         "dec_duration_ms",

@@ -247,5 +247,66 @@ def test_interlaced_png_rejected_and_empty_wav_decodes():
         decode_png(payload)
 
     # a zero-frame WAV is valid: decodes with all content features 0
-    feat, w, h, dur = decode_payload(encode_wav([]), "audio/wav")
+    feat, w, h, dur, source = decode_payload(encode_wav([]), "audio/wav")
     assert dur == 0 and all(f == 0.0 for f in feat[3:])
+    assert source == "pcm"
+
+
+def test_rawvideo_frames_decode_to_pixel_features():
+    """VERDICT r2 #4: 'raw ' (uncompressed RGB24) video frame content
+    must be PIXEL-derived, not hash-derived — verified against pixel
+    statistics computed independently from the same frame generator."""
+    from reverse_etl_homebrew_spark.multimodal import decode_payload
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        _rawvideo_frame_bytes,
+        _stub_content_features,
+        mp4_sample_table,
+    )
+    from reverse_etl_homebrew_spark.multimodal.binary import encode_mp4_skeleton
+
+    w, h = 16, 12
+    payload = encode_mp4_skeleton(
+        3000, content_seed=b"vidA", codec="raw ", width=w, height=h
+    )
+    tab = mp4_sample_table(payload)
+    assert tab["codec"] == "raw " and (tab["width"], tab["height"]) == (w, h)
+
+    feat, _, _, dur, source = decode_payload(payload, "video/mp4")
+    assert source == "pixels" and dur == 3000
+
+    # independent pixel ground truth for the mean-R feature: average
+    # the R channel of the frames the decoder samples (first 8 of the
+    # 12: step = max(1, 12 // 8) = 1, capped at max_frames)
+    frames = [_rawvideo_frame_bytes(b"vidA", i, w, h) for i in range(8)]
+    exp_r = sum(sum(f[0::3]) / (w * h) for f in frames) / len(frames) / 255.0
+    assert abs(feat[2] - exp_r) < 1e-9, "mean-R must come from real pixels"
+    # and it must NOT be the hash stub
+    assert feat[2:] != _stub_content_features(payload, 6)
+
+    # different pixel content, identical container geometry → different
+    # content features (a container-only parse could not distinguish)
+    payload_b = encode_mp4_skeleton(
+        3000, content_seed=b"vidB", codec="raw ", width=w, height=h
+    )
+    feat_b, _, _, _, source_b = decode_payload(payload_b, "video/mp4")
+    assert source_b == "pixels" and feat_b[2:] != feat[2:]
+
+    # compressed codec stays stubbed AND labeled
+    avc = encode_mp4_skeleton(3000, content_seed=b"vidA")
+    _, _, _, _, source_avc = decode_payload(avc, "video/mp4")
+    assert source_avc == "stub-hash"
+
+
+def test_rawvideo_motion_feature_nonzero():
+    """The per-frame gradient shifts each frame, so inter-frame motion
+    (mean |luma delta|) must be strictly positive — only a real
+    multi-frame pixel decode can produce it."""
+    from reverse_etl_homebrew_spark.multimodal import decode_payload
+    from reverse_etl_homebrew_spark.multimodal.binary import encode_mp4_skeleton
+
+    payload = encode_mp4_skeleton(
+        4000, content_seed=b"m", codec="raw ", width=16, height=12
+    )
+    feat, _, _, _, source = decode_payload(payload, "video/mp4")
+    assert source == "pixels"
+    assert feat[7] > 0.0  # motion slot
