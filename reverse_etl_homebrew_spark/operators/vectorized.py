@@ -110,8 +110,8 @@ def topk_ivf(
 
 def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Cheap deterministic centroid picks: the vectors whose ids hash
-    lowest (a seeded reservoir stand-in for k-means; swap for MLlib
-    KMeans offline when geometry matters)."""
+    lowest (a seeded reservoir stand-in for k-means — the plumbing /
+    test path; use ``train_centroids`` when recall matters)."""
     rows = (
         df.select(id_col, vec_col)
         .withColumn("__h", F.xxhash64(F.col(id_col)))
@@ -120,3 +120,33 @@ def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", i
         .collect()
     )
     return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def train_centroids(
+    df: DataFrame,
+    n: int,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+    seed: int = 7,
+):
+    """Offline-trained IVF centroids via MLlib KMeans — the production
+    geometry path behind the same return shape as
+    ``deterministic_centroids`` (a list of dense float lists, usable
+    directly by ``ivf_assign_pandas`` / ``topk_ivf``).
+
+    KMeans is a distributed Spark job (k-means|| init, partial
+    aggregation per iteration), so training scales with the corpus;
+    the k×d centroid matrix that comes back is driver-small and ships
+    to scorers as a broadcast constant. Recall at a given n_probe
+    depends on centroid geometry — trained centroids track the data's
+    actual cluster structure where hash-picked ones are arbitrary
+    corpus points (recall comparison pinned in
+    tests/test_vectorized_stateful.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n, maxIter=max_iter, seed=seed).fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]

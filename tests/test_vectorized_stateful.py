@@ -56,6 +56,47 @@ def test_ivf_topk_contains_query_and_overlaps_exact(spark, emb, query_vec):
     assert len(set(exact) & set(approx)) >= 2
 
 
+def test_trained_centroids_beat_hash_centroids(spark):
+    """VERDICT r2 #5: on clustered data, MLlib-KMeans-trained centroids
+    must give IVF recall@10 at least as good as hash-picked ones."""
+    import random
+
+    rng = random.Random(42)
+    dim, n_clusters, per = 16, 8, 50
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c, center in enumerate(centers):
+        for _ in range(per):
+            rows.append(
+                (vid, [x + rng.uniform(-0.05, 0.05) for x in center])
+            )
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    trained = VZ.train_centroids(df, n_clusters)
+    hashed = VZ.deterministic_centroids(df, n_clusters)
+    assert len(trained) == n_clusters and len(trained[0]) == dim
+
+    def recall(cents):
+        total = 0.0
+        for qid in (0, 50, 100, 150):  # one query per distinct cluster
+            q = rows[qid][1]
+            exact = {r["vec_id"] for r in SIM.topk_brute(df, q, k=10).collect()}
+            approx = {
+                r["vec_id"]
+                for r in VZ.topk_ivf(df, q, cents, k=10, n_probe=1).collect()
+            }
+            total += len(exact & approx) / len(exact)
+        return total / 4
+
+    r_trained, r_hash = recall(trained), recall(hashed)
+    assert r_trained >= r_hash, f"trained {r_trained} < hash {r_hash}"
+    assert r_trained >= 0.9, f"trained centroids should nail planted clusters: {r_trained}"
+
+
 def test_knn_join_default_is_not_a_cross_join(spark, emb):
     """VERDICT r2 #3: the default knn_join on two UNBOUNDED sides must
     plan as an equi-join on the bucket key — never
