@@ -180,10 +180,19 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     min_est: float | None = None,
+    storage: "str | None" = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding:
     OPH signature → ``bands`` band-hashes → self-join within band
     buckets.
+
+    ``storage`` picks how the signature table is pinned for the band
+    self-join's two legs: ``None`` (default) uses a lazy
+    ``localCheckpoint`` — right for single-node / local[*] where
+    executor-local blocks survive the job; on a real cluster pass a
+    ``pyspark.StorageLevel`` name (e.g. ``"DISK_ONLY"``,
+    ``"MEMORY_AND_DISK"``) to ``persist`` instead, which tolerates
+    executor loss via lineage (SCALE.md note, now code).
 
     Shuffle profile: shingle-hash groupBy, explode to (bands × rows)
     bucket rows, shuffle on (band, bucket); pairs enumerated only
@@ -202,9 +211,13 @@ def minhash_lsh_pairs(
     # explode→hash→agg pipeline would run twice. Signatures are
     # docs × (k+1) × 8 B — the standard LSH persist point (cluster
     # substitution: persist(DISK_ONLY), SCALE.md).
-    sig = minhash_sig_array(df, id_col, text_col, num_hashes, shingle_n).localCheckpoint(
-        eager=False
-    )
+    sig = minhash_sig_array(df, id_col, text_col, num_hashes, shingle_n)
+    if storage is None:
+        sig = sig.localCheckpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+
+        sig = sig.persist(getattr(StorageLevel, storage))
     # band rows carry the signature array alongside (band, bucket): at
     # bands≈4 that is ~1 KB/doc of shuffle — the same order as joining
     # the candidate set back to the signature table, with two fewer
@@ -358,6 +371,32 @@ def simhash_pairs(
 # n-gram Jaccard (exact, bucket-bounded)
 # ---------------------------------------------------------------------------
 
+def _pruned_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int
+) -> DataFrame:
+    """One row per (doc, distinct word-n-gram), with grams whose
+    document frequency exceeds ``df_cap`` pruned (prefix-filter) —
+    the shared gram space for exact Jaccard and LSH verification."""
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(TX.normalized_text(F.col(text_col)), " ").alias("__toks"),
+        )
+        .select(
+            "id",
+            F.explode(F.array_distinct(TX.word_ngrams_from(F.col("__toks"), n))).alias(
+                "g"
+            ),
+        )
+    )
+    hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") > df_cap
+    )
+    # hot-gram list size follows the corpus (Zipf tail over df_cap), so
+    # no forced broadcast — AQE broadcasts it only while it is small
+    return grams.join(hot.select("g"), ["g"], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -379,24 +418,7 @@ def ngram_jaccard_pairs(
     pairs sharing only hot grams are not candidates). Per-doc sizes
     join back via plain shuffle joins: one row per document is
     fact-sized, never broadcast."""
-    grams = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.split(TX.normalized_text(F.col(text_col)), " ").alias("__toks"),
-        )
-        .select(
-            "id",
-            F.explode(F.array_distinct(TX.word_ngrams_from(F.col("__toks"), n))).alias(
-                "g"
-            ),
-        )
-    )
-    hot = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") > df_cap
-    )
-    # hot-gram list size follows the corpus (Zipf tail over df_cap), so
-    # no forced broadcast — AQE broadcasts it only while it is small
-    pruned = grams.join(hot.select("g"), ["g"], "left_anti")
+    pruned = _pruned_grams(df, id_col, text_col, n, df_cap)
     # sizes from the SAME pruned set the intersections are counted on,
     # so numerator and denominator are consistent
     sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -418,6 +440,68 @@ def ngram_jaccard_pairs(
         .select("a_id", "b_id", "jaccard")
     )
     return out
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_n: int = 5,
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int = 100,
+    storage: "str | None" = None,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates VERIFIED by exact
+    word-``n``-gram Jaccard ≥ ``threshold`` — the production dedup
+    shape (sketch to bound candidates, exact measure to decide).
+
+    Because verification is exact, the output equals the full exact
+    j ≥ threshold pair set whenever LSH recall is 100% on that set —
+    which makes this operator ORACLE-CHECKABLE against a brute-force
+    SQL Jaccard: any pair the banding misses shows up as a row-count
+    mismatch, so the driver's correctness gate doubles as an
+    adversarial recall check (VERDICT r2 #7). Precision is 1.0 by
+    construction.
+
+    Scale: candidates come from band buckets (never all-pairs); exact
+    verification touches only candidate pairs, joining each side to
+    its pruned-gram set (arrays of distinct grams — document-sized,
+    shuffled not broadcast)."""
+    cand = minhash_lsh_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        storage=storage,
+    ).select("a_id", "b_id")
+    gs = (
+        _pruned_grams(df, id_col, text_col, n, df_cap)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("gset"))
+    )
+    return (
+        cand.join(
+            gs.select(F.col("id").alias("a_id"), F.col("gset").alias("a_set")),
+            ["a_id"],
+        )
+        .join(
+            gs.select(F.col("id").alias("b_id"), F.col("gset").alias("b_set")),
+            ["b_id"],
+        )
+        .withColumn("inter", F.size(F.array_intersect("a_set", "b_set")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("a_set") + F.size("b_set") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -258,20 +258,58 @@ def q_knn_join_lsh(spark, sf_dir):
     return SIM.knn_join(left, emb, k=3)
 
 
-# --- rows-only sketch-based operators (no cross-engine oracle) -------------
+# --- near-dup operators: exact-verified ones carry a brute-force SQL
+# oracle (any LSH recall loss = row mismatch = driver FAIL); pure
+# sketch surfaces stay rows-only ---------------------------------------------
 
-@register("fuzzy-dedup")
+# Brute-force exact word-3-gram Jaccard ≥ 0.5 over the documents
+# corpus, pruning grams with document frequency > 100 — gram-for-gram
+# the same definition as operators/dedup._pruned_grams, so an engine
+# result must equal it pair-for-pair. Shared by `fuzzy-dedup`
+# (adversarial recall oracle for MinHash banding) and `ngram-jaccard`
+# (exact operator parity).
+_EXACT_JACCARD_SQL = r"""
+WITH norm AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT id, string_split(t, ' ') AS w FROM norm
+), grams AS (
+  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+), pruned AS (
+  SELECT * FROM grams WHERE g NOT IN (SELECT g FROM grams GROUP BY g HAVING count(*) > 100)
+), sizes AS (
+  SELECT id, count(*) AS set_size FROM pruned GROUP BY id
+), pair_inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+  FROM pruned a JOIN pruned b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON sa.id = a_id
+JOIN sizes sb ON sb.id = b_id
+WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+"""
+
+
+@register("fuzzy-dedup", sql=_EXACT_JACCARD_SQL)
 def q_fuzzy_dedup(spark, sf_dir):
-    """MinHash+LSH near-duplicate candidate pairs (shingle → OPH
-    minhash signature → band buckets → in-bucket join). 4 bands × 8
-    rows puts the S-curve midpoint at (1/4)^(1/8) ≈ 0.84 — on this
-    corpus (dense in true-jaccard≈0.2 templated pairs) that keeps the
+    """MinHash+LSH near-duplicate pairs, exact-verified (shingle → OPH
+    minhash signature → band buckets → in-bucket join → exact
+    word-3-gram Jaccard ≥ 0.5 on the candidates). 4 bands × 8 rows
+    puts the S-curve midpoint at (1/4)^(1/8) ≈ 0.84 — on this corpus
+    (dense in true-jaccard≈0.2 templated pairs) that keeps the
     in-bucket joins to actual near-dups instead of quadratic template
-    herds; verified 100% recall AND precision on the sf0.01 exact
-    j ≥ 0.5 ground truth. Rows-only check; structural invariants in
-    tests/test_dedup.py."""
+    herds. The oracle is the BRUTE-FORCE exact Jaccard pair set: the
+    check passes only while LSH recall is 100% on j ≥ 0.5 (an
+    adversarial quality gate, not just a shape check — VERDICT r2 #7);
+    precision is 1.0 by construction."""
     d = _corpus(spark, sf_dir)
-    return DD.minhash_lsh_pairs(d, num_hashes=32, bands=4)
+    return DD.minhash_verified_pairs(d, num_hashes=32, bands=4)
 
 
 def _corpus(spark, sf_dir):
@@ -291,10 +329,12 @@ def q_simhash_dedup(spark, sf_dir):
     return DD.simhash_pairs(_corpus(spark, sf_dir))
 
 
-@register("ngram-jaccard")
+@register("ngram-jaccard", sql=_EXACT_JACCARD_SQL)
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard pairs ≥ 0.5 with hot-shingle
-    prefix-filter pruning."""
+    prefix-filter pruning — oracle-checked pair-for-pair (and
+    value-for-value: identical integer inter/union sizes divide to
+    bit-identical doubles) against the brute-force SQL Jaccard."""
     return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
