@@ -120,11 +120,24 @@ def _next_bday_model(d, today):
         st.one_of(
             st.none(),
             st.dates(min_value=dt.date(1930, 1, 1), max_value=dt.date(2010, 12, 31)),
+            # force the leap-day edge to appear often: Feb-29 DOBs must
+            # go NULL when the target year is non-leap (reference
+            # raise→except→None, main.py:200-202)
+            st.sampled_from(
+                [dt.date(1996, 2, 29), dt.date(2000, 2, 29), dt.date(2004, 2, 29)]
+            ),
         ),
         min_size=1,
         max_size=30,
     ),
-    st.dates(min_value=dt.date(2024, 1, 1), max_value=dt.date(2030, 12, 31)),
+    st.one_of(
+        st.dates(min_value=dt.date(2024, 1, 1), max_value=dt.date(2030, 12, 31)),
+        # leap day itself as "today", and the day after in leap and
+        # non-leap years (this-year-birthday-already-passed branch)
+        st.sampled_from(
+            [dt.date(2024, 2, 29), dt.date(2024, 3, 1), dt.date(2025, 3, 1)]
+        ),
+    ),
 )
 def test_next_birthday_property(spark, dobs, today):
     schema = T.StructType([T.StructField("v", T.DateType(), True)])
@@ -137,6 +150,186 @@ def test_next_birthday_property(spark, dobs, today):
     ]
     expected = [_next_bday_model(v, today) for v in dobs]
     assert out == expected
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(
+                min_value=Decimal("-1e28"),
+                max_value=Decimal("1e28"),
+                places=9,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            # exact powers of ten and near-integral values: the
+            # integral-vs-fractional branch boundary (main.py:208-212)
+            st.sampled_from(
+                [
+                    Decimal("0.000000001"),
+                    Decimal("-0.000000001"),
+                    Decimal("10000000000000000000.5"),
+                    Decimal("123.000000000"),
+                    Decimal("-0.5"),
+                    Decimal("0"),
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_identifier_canon_wide_decimal_property(spark, values):
+    """VERDICT r2 #8: edge widths — full decimal(38,9) range, the
+    smallest representable fraction, and 20-digit integral parts.
+
+    Model runs at 60-digit precision: the reference's literal
+    ``Decimal.normalize()`` (main.py:212) uses the default 28-digit
+    context, which silently ROUNDS >28-significant-digit values (and
+    its rstrip('0') then corrupts the rounded integral string, e.g.
+    1E+19 → '1'). That input region is unreachable in the reference
+    (its values arrive as ≤17-sig-digit floats); the engine renders
+    exactly — deliberately — rather than reproducing the artifact."""
+    from decimal import localcontext
+
+    def model(d):
+        if d is None:
+            return None
+        if d == d.to_integral_value():
+            return str(int(d))
+        with localcontext() as ctx:
+            ctx.prec = 60
+            return format(d.normalize(), "f").rstrip("0").rstrip(".")
+
+    schema = T.StructType([T.StructField("v", T.DecimalType(38, 9), True)])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    out = [r["o"] for r in df.select(SC.identifier_canon(F.col("v")).alias("o")).collect()]
+    assert out == [model(v) for v in values]
+
+
+def _epoch_utc_model(v):
+    """clean_value naive→UTC policy (main.py:109)."""
+    if v is None:
+        return None
+    return int(v.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def _eastern_edges(v, tz):
+    """True when v falls in a DST gap/overlap hour, where engine
+    disambiguation conventions may legitimately differ."""
+    a = v.replace(tzinfo=tz, fold=0)
+    b = v.replace(tzinfo=tz, fold=1)
+    if a.utcoffset() != b.utcoffset():
+        return True  # ambiguous (clocks fell back)
+    # nonexistent (clocks sprang forward): round-trip changes wall time
+    back = a.astimezone(dt.timezone.utc).astimezone(tz).replace(tzinfo=None)
+    return back != v
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.datetimes(
+                min_value=dt.datetime(1971, 1, 1),
+                max_value=dt.datetime(2035, 12, 31),
+            ),
+            # DST boundary neighborhoods, US/Eastern (2nd Sun Mar /
+            # 1st Sun Nov): exercise the transition weeks heavily
+            st.datetimes(
+                min_value=dt.datetime(2024, 3, 9),
+                max_value=dt.datetime(2024, 3, 11),
+            ),
+            st.datetimes(
+                min_value=dt.datetime(2024, 11, 2),
+                max_value=dt.datetime(2024, 11, 4),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_epoch_millis_policies_property(spark, values):
+    """VERDICT r2 #8: the naive→UTC and naive→Eastern-wall-clock epoch
+    policies vs the Python reference model (zoneinfo), excluding only
+    instants inside a DST gap/overlap where disambiguation conventions
+    (JVM vs zoneinfo fold) legitimately diverge."""
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo("America/New_York")
+    schema = T.StructType([T.StructField("v", T.TimestampNTZType(), True)])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    got = df.select(
+        SC.epoch_millis_utc(F.col("v")).alias("u"),
+        SC.epoch_millis_eastern(F.col("v")).alias("e"),
+    ).collect()
+    for r, v in zip(got, values):
+        assert r["u"] == _epoch_utc_model(v)
+        if v is None:
+            assert r["e"] is None
+        elif not _eastern_edges(v, tz):
+            exp = int(v.replace(tzinfo=tz).timestamp() * 1000)
+            assert r["e"] == exp, f"eastern policy diverged for {v}"
+        else:
+            # gap/overlap: both conventions must still land within one
+            # hour of each other (sanity, not bit-equality)
+            exp = int(v.replace(tzinfo=tz).timestamp() * 1000)
+            assert abs(r["e"] - exp) <= 3_600_000
+
+
+def _flexible_parse_model(s):
+    """to_epoch_millis string branch (main.py:140-151): ISO-8601 with
+    optional trailing Z, else bare yyyy-MM-dd, else None."""
+    if s is None:
+        return None
+    try:
+        return dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        pass
+    try:
+        d = dt.datetime.strptime(s, "%Y-%m-%d")
+        return d
+    except ValueError:
+        return None
+
+
+@SET
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.datetimes(
+                min_value=dt.datetime(1980, 1, 1), max_value=dt.datetime(2035, 1, 1)
+            ).map(lambda d: d.isoformat()),
+            st.datetimes(
+                min_value=dt.datetime(1980, 1, 1), max_value=dt.datetime(2035, 1, 1)
+            ).map(lambda d: d.isoformat() + "Z"),
+            st.dates(
+                min_value=dt.date(1980, 1, 1), max_value=dt.date(2035, 1, 1)
+            ).map(str),
+            st.sampled_from(["", "not a date", "2024-13-40", "07/04/2024"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_flexible_timestamp_parse_property(spark, values):
+    """String-branch parse cascade: ISO (with/without Z) and bare dates
+    parse; garbage → NULL, never an ANSI error."""
+    schema = T.StructType([T.StructField("v", T.StringType(), True)])
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    out = [
+        r["o"]
+        for r in df.select(SC.parse_flexible_timestamp(F.col("v")).alias("o")).collect()
+    ]
+    for got, v in zip(out, values):
+        exp = _flexible_parse_model(v)
+        if exp is not None and exp.tzinfo is not None:
+            exp = exp.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        assert got == exp, f"parse({v!r}): {got} != {exp}"
 
 
 @SET
