@@ -479,8 +479,19 @@ def minhash_verified_pairs(
         shingle_n=shingle_n,
         storage=storage,
     ).select("a_id", "b_id")
+    # Gram sets only for docs that appear in a candidate pair: the
+    # document-frequency prune must see the FULL corpus (global dfs),
+    # but the per-doc set aggregation semi-joins down to candidate ids
+    # first — at scale candidates << corpus, so the collect_set state
+    # is O(candidate docs), not O(corpus).
+    cand_ids = (
+        cand.select(F.col("a_id").alias("id"))
+        .unionByName(cand.select(F.col("b_id").alias("id")))
+        .distinct()
+    )
     gs = (
         _pruned_grams(df, id_col, text_col, n, df_cap)
+        .join(cand_ids, ["id"], "semi")
         .groupBy("id")
         .agg(F.collect_set("g").alias("gset"))
     )
