@@ -371,6 +371,52 @@ def simhash_pairs(
 # n-gram Jaccard (exact, bucket-bounded)
 # ---------------------------------------------------------------------------
 
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """One row per (doc, distinct word-n-gram) — tokens materialized in
+    their own projection first (HOF-lambda inputs re-evaluate per
+    element otherwise)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.split(TX.normalized_text(F.col(text_col)), " ").alias("__toks"),
+    ).select(
+        "id",
+        F.explode(F.array_distinct(TX.word_ngrams_from(F.col("__toks"), n))).alias(
+            "g"
+        ),
+    )
+
+
+def contamination_flags(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_grams: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_grams`` distinct word-``n``-grams with ANY benchmark
+    document (the standard n-gram contamination check used before
+    training on web-scale corpora; n≈8-13 in published recipes).
+
+    Shape: benchmark grams reduce to a DISTINCT gram set (benchmark
+    suites are small next to a training corpus, so AQE broadcasts it);
+    the train side streams its grams through one equi-join on the gram
+    key and aggregates per doc — cost O(train tokens), one shuffle,
+    no all-pairs anything. Returns (doc_id, shared_grams) for
+    contaminated docs; anti-join the result against the corpus to get
+    the clean split."""
+    tg = _doc_grams(train, id_col, text_col, n)
+    bg = _doc_grams(benchmark, id_col, text_col, n).select("g").distinct()
+    return (
+        tg.join(bg, ["g"])
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_grams)
+        .select(F.col("id").alias(id_col), "shared_grams")
+    )
+
+
 def _pruned_grams(
     df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int
 ) -> DataFrame:

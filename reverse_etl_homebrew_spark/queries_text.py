@@ -322,6 +322,42 @@ def _corpus(spark, sf_dir):
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+@register(
+    "decontaminate",
+    sql=r"""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS w FROM norm
+    ), grams AS (
+      SELECT DISTINCT id, array_to_string(w[i:i+7], ' ') AS g
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS u(i)
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE id % 10 = 0
+    )
+    SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+    FROM grams JOIN bench USING (g)
+    WHERE id % 10 <> 0
+    GROUP BY id
+    HAVING count(*) >= 1
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data pipeline): training
+    docs (doc_id % 10 != 0) sharing any distinct word-8-gram with the
+    held-out benchmark split (doc_id % 10 = 0). One equi-join on the
+    gram key against the DISTINCT benchmark gram set — O(train tokens),
+    no all-pairs; the planted near-dup structure of the corpus makes
+    the hit set non-trivial. Oracle: the same gram algebra brute-forced
+    in SQL."""
+    d = _corpus(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return DD.contamination_flags(train, bench, n=8)
+
+
 @register("simhash-dedup")
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidate pairs (64-bit fingerprint,
