@@ -191,3 +191,16 @@ def word_ngrams_from(toks_col: ColumnOrName, n: int = 3) -> Column:
 def word_ngrams(col: ColumnOrName, n: int = 3) -> Column:
     """Word n-gram array ('a b c' strings) over normalized tokens."""
     return word_ngrams_from(F.split(normalized_text(col), " "), n)
+
+
+def dup_ngram_fraction(toks_col: ColumnOrName, n: int = 2) -> Column:
+    """Fraction of a document's word-n-grams that are repeats of an
+    earlier n-gram (1 - distinct/total) — the repetition-quality signal
+    used by web-corpus filtering recipes (high values mark boilerplate
+    / degenerate generation loops). Pure map-side column math over an
+    already-materialized token array: no shuffle, no Python."""
+    arr = word_ngrams_from(toks_col, n)
+    total = F.size(arr)
+    return F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / total.cast(
+        "double"
+    )

@@ -358,6 +358,50 @@ def q_decontaminate(spark, sf_dir):
     return DD.contamination_flags(train, bench, n=8)
 
 
+@register(
+    "repetition-metrics",
+    sql=r"""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS w FROM norm
+    ), grams AS (
+      SELECT id, array_to_string(w[i:i+1], ' ') AS g
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams,
+           1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM grams
+    GROUP BY id
+    """,
+)
+def q_repetition_metrics(spark, sf_dir):
+    """Per-document repetition quality signal (training-data pipeline):
+    duplicate word-bigram fraction à la web-corpus filtering recipes.
+    Pure map-side column math — tokens materialize once, grams once,
+    zero shuffle before the (already doc-keyed) projection; at 100 TB
+    this runs at scan speed."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(TX.normalized_text(F.col("text")), " ").alias("__toks")
+    )
+    arr = toks.select("doc_id", TX.word_ngrams_from(F.col("__toks"), 2).alias("__g"))
+    return arr.select(
+        "doc_id",
+        F.size("__g").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("__g")).cast("long").alias("distinct_bigrams"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct("__g")).cast("double")
+            / F.size("__g").cast("double")
+        ).alias("dup_frac"),
+    )
+
+
 @register("simhash-dedup")
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidate pairs (64-bit fingerprint,
