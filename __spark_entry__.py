@@ -60,11 +60,12 @@ _PRIORITY = [
     # rows-only extension ops that have never had a driver row
     "embedding-near-dup", "fuzzy-dedup-clusters", "topk-similarity-lsh",
     "topk-similarity-pandas", "topk-similarity-ivf", "multimodal-decode",
+    # -- new in round 3 (no driver row yet) --
+    "decontaminate", "repetition-metrics", "knn-join-lsh",
     # -- keep-fresh §2 rows (code touched in round 3) --
     "knn-join", "fuzzy-dedup", "external-scan-pushdown", "multimodal-cols",
-    "similarity-join", "exact-dedup", "topk-similarity", "groupby-agg",
-    "window-rank", "merge-upsert", "tiered-match-join", "session-window",
-    "latest-per-group", "patient-projection",
+    "similarity-join", "exact-dedup", "topk-similarity", "merge-upsert",
+    "tiered-match-join", "session-window", "patient-projection",
 ]
 
 

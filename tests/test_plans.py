@@ -112,6 +112,22 @@ def test_broadcast_gate_scales_with_build_side(spark):
     assert "BroadcastHashJoin" not in tiered
 
 
+def test_repetition_metrics_is_shuffle_free(spark):
+    """Per-doc repetition metrics are pure map-side projection — any
+    Exchange in this plan is a regression (at 100 TB it must run at
+    scan speed)."""
+    plan = explain(spark, Q.QUERIES["repetition-metrics"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_is_equi_join_not_cross(spark):
+    """Contamination check joins train grams to the benchmark gram set
+    on the gram key — never a cartesian shape."""
+    plan = explain(spark, Q.QUERIES["decontaminate"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_semi_and_anti_join_shapes(spark):
     semi = explain(spark, Q.QUERIES["semi-join"](spark, SF))
     anti = explain(spark, Q.QUERIES["roi-patient-anti-join"](spark, SF))
