@@ -571,11 +571,18 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes: int = 8,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, candidate-bounded
     by random-hyperplane LSH buckets (vectors this similar almost
     always agree on all ``planes`` sign bits; multi-probe raises recall
-    by also joining each vector's 1-bit-flip neighbor buckets)."""
+    by also joining each vector's Hamming-``probe_radius`` neighbor
+    buckets). ``probe_radius=1`` is the scale default (1+p probes);
+    ``probe_radius=2`` adds the p(p-1)/2 two-flip buckets — the
+    exhaustive-recall configuration the oracle-checked queries use
+    (twin vectors land ≥2 bit flips apart often enough that radius 1
+    measurably loses pairs). Scores round to 6 decimals for
+    cross-engine determinism."""
     dim = VEC.infer_dim(df, vec_col)
     hyperplanes = _deterministic_planes(planes, dim)
     base = df.select(
@@ -583,11 +590,16 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("v"),
         VEC.random_hyperplane_signs(F.col(vec_col), hyperplanes).alias("b0"),
     )
-    # multi-probe: each row joins on its own bucket plus 1-bit flips
-    probes = F.array(
-        F.col("b0"), *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
-    )
-    probed = base.select("id", "v", F.explode(probes).alias("bucket"))
+    probes = [F.col("b0")] + [
+        F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+    ]
+    if probe_radius >= 2:
+        probes += [
+            F.col("b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(planes)
+            for j in range(i)
+        ]
+    probed = base.select("id", "v", F.explode(F.array(*probes)).alias("bucket"))
     anchors = base.select(
         F.col("id").alias("b_id"), F.col("v").alias("b_v"), F.col("b0").alias("bucket")
     )
@@ -597,7 +609,7 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id", "b_id"])
         .withColumn("cos", VEC.cosine(F.col("v"), F.col("b_v"), dim))
         .filter(F.col("cos") >= threshold)
-        .select(F.col("id").alias("a_id"), "b_id", "cos")
+        .select(F.col("id").alias("a_id"), "b_id", F.round("cos", 6).alias("cos"))
     )
     return pairs
 

@@ -435,13 +435,46 @@ def _planted_embeddings(spark, sf_dir, n=100):
     return emb.unionByName(perturbed)
 
 
-@register("embedding-near-dup")
+def _planted_pairs_sql(threshold: float) -> str:
+    """Brute-force all-pairs cosine over the planted corpus — the
+    adversarial oracle for LSH-bounded near-dup: any recall loss is a
+    row mismatch. Mirrors _planted_embeddings exactly (DuckDB
+    list_transform index is 1-based, Spark's lambda index 0-based)."""
+    dot = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    na = _DOT_SQL.format(a="a.embedding", b="a.embedding")
+    nb = _DOT_SQL.format(a="b.embedding", b="b.embedding")
+    return f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, (x, i) -> CAST(x + 0.003 * (((i-1) % 5) - 2.0) AS FLOAT))
+      FROM embeddings WHERE vec_id < 100
+    ), scored AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CASE WHEN sqrt({na}) * sqrt({nb}) > 0
+                  THEN {dot} / (sqrt({na}) * sqrt({nb})) END AS cos_raw
+      FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, ROUND(cos_raw, 6) AS cos
+    FROM scored WHERE cos_raw >= {threshold}
+    """
+
+
+@register("embedding-near-dup", sql=_planted_pairs_sql(0.95))
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding near-duplicate pairs (cosine ≥ 0.95) bounded by
-    random-hyperplane LSH buckets with 1-bit multi-probe, over the
-    corpus with planted perturbed copies — the operator must pair
-    each original with its planted twin."""
-    return DD.embedding_near_dup_pairs(_planted_embeddings(spark, sf_dir))
+    random-hyperplane LSH buckets over the corpus with planted
+    perturbed copies. probe_radius=2 (the exhaustive-recall config)
+    because the ORACLE is the brute-force all-pairs scan: a twin pair
+    whose buckets differ by two sign bits would otherwise be a row
+    mismatch — the driver's gate doubles as a recall check. (The
+    looser-threshold `similarity-join` surface stays rows-only: at
+    cosine ≈ 0.5 exhaustive recall genuinely needs a different
+    algorithm than sign-LSH.)"""
+    return DD.embedding_near_dup_pairs(
+        _planted_embeddings(spark, sf_dir), probe_radius=2
+    )
 
 
 @register("fuzzy-dedup-clusters")
