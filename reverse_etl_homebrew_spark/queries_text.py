@@ -266,10 +266,10 @@ def q_knn_join_lsh(spark, sf_dir):
 # corpus, pruning grams with document frequency > 100 — gram-for-gram
 # the same definition as operators/dedup._pruned_grams, so an engine
 # result must equal it pair-for-pair. Shared by `fuzzy-dedup`
-# (adversarial recall oracle for MinHash banding) and `ngram-jaccard`
-# (exact operator parity).
-_EXACT_JACCARD_SQL = r"""
-WITH norm AS (
+# (adversarial recall oracle for MinHash banding), `ngram-jaccard`
+# (exact operator parity), and — via a recursive-CTE connected
+# components extension — `fuzzy-dedup-clusters`.
+_JACCARD_CTES = r"""norm AS (
   SELECT doc_id AS id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
   FROM documents
@@ -286,13 +286,35 @@ WITH norm AS (
   SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
   FROM pruned a JOIN pruned b ON a.g = b.g AND a.id < b.id
   GROUP BY 1, 2
+), jpairs AS (
+  SELECT a_id, b_id,
+         CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
+  FROM pair_inter
+  JOIN sizes sa ON sa.id = a_id
+  JOIN sizes sb ON sb.id = b_id
+  WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+)"""
+
+_EXACT_JACCARD_SQL = f"WITH {_JACCARD_CTES}\nSELECT a_id, b_id, jaccard FROM jpairs"
+
+# Exact pairs → undirected edges → transitive closure (recursive CTE)
+# → min-id component label → survivors = docs that are not a non-min
+# member of any duplicate cluster. SQL-checkable because the engine's
+# cluster input is the exact-VERIFIED pair set, not raw sketch
+# candidates.
+_CLUSTER_SURVIVORS_SQL = f"""WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT a_id AS u, b_id AS v FROM jpairs
+  UNION
+  SELECT b_id, a_id FROM jpairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
 )
-SELECT a_id, b_id,
-       CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) AS jaccard
-FROM pair_inter
-JOIN sizes sa ON sa.id = a_id
-JOIN sizes sb ON sb.id = b_id
-WHERE CAST(inter AS DOUBLE) / (sa.set_size + sb.set_size - inter) >= 0.5
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """
 
 
@@ -477,15 +499,19 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
-@register("fuzzy-dedup-clusters")
+@register("fuzzy-dedup-clusters", sql=_CLUSTER_SURVIVORS_SQL)
 def q_fuzzy_dedup_clusters(spark, sf_dir):
-    """End-to-end near-dedup: MinHash candidate pairs → connected
-    components (iterative min-label propagation) → one survivor per
-    duplicate cluster. Rows-only (iterative algorithm)."""
+    """End-to-end near-dedup: MinHash candidates → exact-Jaccard
+    verification → connected components (iterative min-label
+    propagation) → one survivor (min id) per duplicate cluster.
+    Oracle-backed even though the Spark algorithm is iterative: the
+    oracle recomputes the exact pair graph and its transitive closure
+    with a recursive CTE, so both the pair recall AND the component
+    labeling are checked row-for-row."""
     from .operators.components import dedup_survivors
 
     d = _corpus(spark, sf_dir).select("doc_id", "text")
-    pairs = DD.minhash_lsh_pairs(d, num_hashes=32, bands=4, min_est=0.8)
+    pairs = DD.minhash_verified_pairs(d, num_hashes=32, bands=4)
     return dedup_survivors(d, pairs).select("doc_id")
 
 
