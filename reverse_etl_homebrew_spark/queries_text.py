@@ -175,6 +175,20 @@ def q_lang_id(spark, sf_dir):
 _DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 
 
+def _bucket_sql(vec_expr: str, planes) -> str:
+    """Hyperplane sign-bucket of a vector expression in SQL, mirroring
+    functions/vectors.random_hyperplane_signs bit-for-bit (first plane
+    = MSB). Plane constants are the same deterministic xorshift values
+    the engine uses, inlined as list literals."""
+    n = len(planes)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in p) + "]"
+        dot = _DOT_SQL.format(a=vec_expr, b=lit)
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (n - 1 - i)} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "topk-similarity",
     sql=f"""
@@ -246,13 +260,41 @@ def q_knn_join(spark, sf_dir):
     return SIM.knn_join(left, emb, k=3, exact=True)
 
 
-@register("knn-join-lsh")
+def _knn_join_lsh_sql() -> str:
+    from .operators.dedup import _deterministic_planes
+
+    planes = _deterministic_planes(6, 64)
+    b = _bucket_sql("embedding", planes)
+    dot = _DOT_SQL.format(a="l.l_v", b="r.r_v")
+    nl = _DOT_SQL.format(a="l.l_v", b="l.l_v")
+    nr = _DOT_SQL.format(a="r.r_v", b="r.r_v")
+    return f"""
+    WITH l AS (
+      SELECT vec_id AS l_id, embedding AS l_v, CAST({b} AS BIGINT) AS bl
+      FROM embeddings WHERE vec_id < 200
+    ), r AS (
+      SELECT vec_id AS r_id, embedding AS r_v, CAST({b} AS BIGINT) AS br
+      FROM embeddings
+    ), scored AS (
+      SELECT l_id, r_id,
+             ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
+                        THEN {dot} / (sqrt({nl}) * sqrt({nr})) END, 6) AS score
+      FROM l JOIN r ON bit_count(xor(l.bl, r.br)) <= 2
+    )
+    SELECT l_id, r_id, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY l_id ORDER BY score DESC, r_id) <= 3
+    """
+
+
+@register("knn-join-lsh", sql=_knn_join_lsh_sql())
 def q_knn_join_lsh(spark, sf_dir):
     """Scale-safe default k-NN join: both sides hyperplane-bucketed,
     candidates scored only inside matching buckets (equi-join on the
-    bucket key — plain shuffle, no |L|x|R| replication). Rows-only:
-    approximate recall has no SQL oracle; quality is pinned by
-    tests/test_vectorized_stateful.py recall-vs-exact assertions."""
+    bucket key — plain shuffle, no |L|x|R| replication). Oracle-backed:
+    the SQL recomputes both sides' sign buckets from the same
+    deterministic planes and expresses the radius-2 probe set as
+    bit_count(xor(bl, br)) <= 2, verifying the approximate candidate
+    semantics pair-for-pair, not just row counts."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 200)
     return SIM.knn_join(left, emb, k=3)
@@ -515,10 +557,42 @@ def q_fuzzy_dedup_clusters(spark, sf_dir):
     return dedup_survivors(d, pairs).select("doc_id")
 
 
-@register("topk-similarity-lsh")
+def _topk_lsh_sql() -> str:
+    from .operators.dedup import _deterministic_planes
+
+    planes = _deterministic_planes(6, 64)
+    be = _bucket_sql("e.embedding", planes)
+    bq = _bucket_sql("q.qv", planes)
+    return f"""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+      SELECT e.vec_id, e.embedding, q.qv
+      FROM embeddings e, q
+      WHERE bit_count(xor(CAST({be} AS BIGINT), CAST({bq} AS BIGINT))) <= 2
+    ), scored AS (
+      SELECT vec_id,
+             {_DOT_SQL.format(a='embedding', b='qv')} AS dp,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS na,
+             sqrt({_DOT_SQL.format(a='qv', b='qv')}) AS nq
+      FROM cand
+    )
+    SELECT vec_id,
+           ROUND(CASE WHEN na * nq > 0 THEN dp / (na * nq) END, 6) AS score
+    FROM scored
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("topk-similarity-lsh", sql=_topk_lsh_sql())
 def q_topk_similarity_lsh(spark, sf_dir):
-    """Approximate top-k: hyperplane-LSH candidate pruning before
-    exact scoring (the 100 TB scale path)."""
+    """Approximate top-k: hyperplane-LSH candidate pruning (multi-probe
+    to Hamming radius 2) before exact scoring — the 100 TB scale path.
+    Oracle-backed despite being approximate: the SQL recomputes the
+    sign buckets from the same deterministic plane constants and
+    expresses the probe set as bit_count(xor(bucket_e, bucket_q)) <= 2,
+    so the candidate pruning itself is verified, not just the scores."""
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
     query = [float(x) for x in qrow["embedding"]]
