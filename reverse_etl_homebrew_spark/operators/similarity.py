@@ -90,7 +90,7 @@ def knn_join(
     left_id: str = "vec_id",
     right_id: str = "vec_id",
     vec_col: str = "embedding",
-    planes: int = 6,
+    planes: "int | None" = None,
     probe_radius: int = 2,
     exact: bool = False,
     broadcast: "bool | None" = None,
@@ -105,6 +105,14 @@ def knn_join(
     produce a ShuffledHash/SortMerge join, not a
     BroadcastNestedLoopJoin (asserted in tests).
 
+    ``planes=None`` auto-sizes the bucket space to the right side
+    (target ~64 rows/bucket: max(6, ceil(log2(n/64))), capped at 16) —
+    in-bucket pair count scales with |L|·|R|/2^planes, so a FIXED
+    plane count turns 10× growth on both sides into ~100× work
+    (measured; SCALE.md). Beyond ~1e7 rows, move to L independent
+    hash tables instead of widening one table's probe radius (probe
+    count grows ~p²).
+
     ``exact=True`` opts into the exhaustive cross score + per-left
     window — correct for query-batch-vs-corpus shapes where one side
     is bounded (the reference's search-then-rank shape). There
@@ -114,11 +122,16 @@ def knn_join(
     Approximate recall: a left vector only sees neighbors within its
     probed buckets, so it may return fewer than ``k`` rows — the
     standard ANN trade (multi-probe LSH; PAPERS.md anchors)."""
+    import math
+
     from pyspark.sql import Window as W
 
     from .joins import maybe_broadcast
 
     dim = VEC.infer_dim(right, vec_col)
+    if planes is None and not exact:
+        n_right = right.count()
+        planes = min(16, max(6, math.ceil(math.log2(max(n_right, 1) / 64 + 1))))
     l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
     r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
     if exact:
