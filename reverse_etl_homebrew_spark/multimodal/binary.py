@@ -29,6 +29,7 @@ pattern applied to media) — a poisoned payload never fails the task.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import io
 import struct
@@ -632,7 +633,14 @@ def _mp4_features(payload: bytes) -> Tuple[list, Optional[int], str]:
 def fake_media_table(spark: SparkSession, n: int = 200) -> DataFrame:
     """Deterministic synthetic media rows with REAL payloads: valid
     PNG images, PCM WAV clips, and mp4 container skeletons — stands in
-    for a real parquet/lance media lake."""
+    for a real parquet/lance media lake. Row payloads are memoized per
+    ``n`` (they are pure functions of the index), so repeated calls —
+    bench warm+timed passes, multiple queries — pay encoding once."""
+    return spark.createDataFrame(list(_fake_media_rows(n)), MEDIA_SCHEMA)
+
+
+@functools.lru_cache(maxsize=4)
+def _fake_media_rows(n: int) -> tuple:
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
@@ -684,7 +692,7 @@ def fake_media_table(spark: SparkSession, n: int = 200) -> DataFrame:
                 ),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return tuple(rows)
 
 
 def media_metadata(df: DataFrame) -> DataFrame:
