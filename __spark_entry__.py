@@ -61,11 +61,11 @@ _PRIORITY = [
     "embedding-near-dup", "fuzzy-dedup-clusters", "topk-similarity-lsh",
     "topk-similarity-pandas", "topk-similarity-ivf", "multimodal-decode",
     # -- new in round 3 (no driver row yet) --
-    "decontaminate", "repetition-metrics", "knn-join-lsh",
+    "decontaminate", "repetition-metrics", "incremental-dedup", "knn-join-lsh",
     # -- keep-fresh §2 rows (code touched in round 3) --
     "knn-join", "fuzzy-dedup", "external-scan-pushdown", "multimodal-cols",
     "similarity-join", "exact-dedup", "topk-similarity", "merge-upsert",
-    "tiered-match-join", "session-window", "patient-projection",
+    "tiered-match-join", "session-window",
 ]
 
 

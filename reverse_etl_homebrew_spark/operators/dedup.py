@@ -371,6 +371,32 @@ def simhash_pairs(
 # n-gram Jaccard (exact, bucket-bounded)
 # ---------------------------------------------------------------------------
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an already-accepted corpus —
+    the production shape for continuously ingested training data:
+    drop new rows whose content fingerprint already exists in ``seen``
+    (anti-join on the fingerprint), then dedup within the batch itself
+    (deterministic lowest-id survivor).
+
+    Scale: ``seen`` reduces to its distinct fingerprint column (one
+    narrow string per historical doc — in production a bucketed
+    fingerprint table, so the anti-join co-locates without a fact
+    shuffle); the batch side is a single hash-partitioned pass. No
+    full-corpus re-dedup per ingest."""
+    seen_fp = seen.select(TX.sha_fingerprint(text_col).alias("__fp")).distinct()
+    batch = new_batch.withColumn("__fp", TX.sha_fingerprint(text_col))
+    fresh = batch.join(seen_fp, ["__fp"], "left_anti")
+    w_min = (
+        fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col, "__fp")
+    )
+    return fresh.join(w_min, [id_col, "__fp"]).drop("__fp")
+
+
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """One row per (doc, distinct word-n-gram) — tokens materialized in
     their own projection first (HOF-lambda inputs re-evaluate per

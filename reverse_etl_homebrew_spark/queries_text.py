@@ -466,6 +466,59 @@ def q_repetition_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "incremental-dedup",
+    sql=r"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+      UNION ALL
+      SELECT doc_id + 20000, text FROM documents WHERE doc_id BETWEEN 400 AND 409
+    ), fp AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+      FROM batch
+    ), seen AS (
+      SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
+      FROM documents WHERE doc_id < 400
+    ), fresh AS (
+      SELECT doc_id, f FROM fp WHERE f NOT IN (SELECT f FROM seen)
+    )
+    SELECT doc_id FROM fresh
+    WHERE doc_id = (SELECT min(doc_id) FROM fresh x WHERE x.f = fresh.f)
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (training-data pipeline): accept only
+    new-batch docs whose content fingerprint is absent from the
+    already-accepted corpus (doc_id < 400), keeping the lowest-id
+    survivor within the batch. The batch plants both failure modes so
+    the check is non-vacuous: copies of 50 seen docs (must be dropped
+    by the anti-join) and re-submissions of 10 batch docs under higher
+    ids (must lose within-batch survivor selection). Anti-join on a
+    sha256 fingerprint — the seen side reduces to one narrow string
+    per historical doc; no full-corpus re-dedup per ingest."""
+    d = _t(spark, sf_dir, "documents")
+    batch = (
+        d.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") < 50).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id").between(400, 409)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return DD.incremental_dedup(batch, d.filter(F.col("doc_id") < 400)).select(
+        "doc_id"
+    )
+
+
 @register("simhash-dedup")
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidate pairs (64-bit fingerprint,
