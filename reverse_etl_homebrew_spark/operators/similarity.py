@@ -92,6 +92,7 @@ def knn_join(
     vec_col: str = "embedding",
     planes: "int | None" = None,
     probe_radius: int = 2,
+    tables: int = 1,
     exact: bool = False,
     broadcast: "bool | None" = None,
 ) -> DataFrame:
@@ -109,9 +110,16 @@ def knn_join(
     (target ~64 rows/bucket: max(6, ceil(log2(n/64))), capped at 16) —
     in-bucket pair count scales with |L|·|R|/2^planes, so a FIXED
     plane count turns 10× growth on both sides into ~100× work
-    (measured; SCALE.md). Beyond ~1e7 rows, move to L independent
-    hash tables instead of widening one table's probe radius (probe
-    count grows ~p²).
+    (measured; SCALE.md).
+
+    ``tables=L`` uses L INDEPENDENT hash tables (disjoint plane sets,
+    bucket keys tagged per table in one equi-join): recall compounds
+    as 1-(1-p)^L while probe count grows linearly in L — the
+    beyond-1e7-rows configuration, where widening one table's probe
+    radius (~p² probes) stops paying. With L>1, combine with
+    ``probe_radius=0 or 1``; candidate pairs matching in several
+    tables are deduplicated before scoring. Storage/shuffle on the
+    right side grows ×L (the classic LSH-table trade).
 
     ``exact=True`` opts into the exhaustive cross score + per-left
     window — correct for query-batch-vs-corpus shapes where one side
@@ -139,30 +147,46 @@ def knn_join(
             "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
         )
     else:
-        hp = _deterministic_planes(planes, dim)
-        r = r.withColumn("__bucket", VEC.random_hyperplane_signs(F.col("r_v"), hp))
-        probes = [F.col("__b0")]
-        if probe_radius >= 1:
-            probes += [
-                F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
-            ]
-        if probe_radius >= 2:
-            probes += [
-                F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                for i in range(planes)
-                for j in range(i)
-            ]
-        l = (
-            l.withColumn(
-                "__b0", VEC.random_hyperplane_signs(F.col("l_v"), hp)
-            )
-            .withColumn("__bucket", F.explode(F.array_distinct(F.array(*probes))))
-            .drop("__b0")
+        hp_all = _deterministic_planes(planes * tables, dim)
+
+        def _bucket(vec_col_name: str, t: int):
+            hp = hp_all[t * planes : (t + 1) * planes]
+            b = VEC.random_hyperplane_signs(F.col(vec_col_name), hp)
+            # tag occupies bits >= planes, so XOR probe flips (< 2^planes)
+            # never cross tables; t=0 folds to +0 (single-table identical)
+            return b + F.lit(t * (1 << planes))
+
+        r = r.withColumn(
+            "__bucket",
+            F.explode(F.array(*[_bucket("r_v", t) for t in range(tables)])),
         )
-        # equi-join on the bucket key: each right row lives in exactly
-        # one bucket and probe buckets are distinct, so a (l, r) pair
-        # matches at most once — no post-join dedup needed
-        scored = l.join(r, "__bucket").withColumn(
+        # materialize each table's base bucket as its own column BEFORE
+        # fanning out probes: inlining the sign-fold expression into
+        # every probe would re-evaluate it per probe (~p²/2 times)
+        for t in range(tables):
+            l = l.withColumn(f"__b0_{t}", _bucket("l_v", t))
+        probes = []
+        for t in range(tables):
+            b0 = F.col(f"__b0_{t}")
+            probes.append(b0)
+            if probe_radius >= 1:
+                probes += [b0.bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+            if probe_radius >= 2:
+                probes += [
+                    b0.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                    for i in range(planes)
+                    for j in range(i)
+                ]
+        l = l.withColumn(
+            "__bucket", F.explode(F.array_distinct(F.array(*probes)))
+        ).drop(*[f"__b0_{t}" for t in range(tables)])
+        # equi-join on the tagged bucket key; within one table a pair
+        # matches at most once (right row in exactly one bucket, probe
+        # buckets distinct), so dedup is only needed across tables
+        cand = l.join(r, "__bucket")
+        if tables > 1:
+            cand = cand.dropDuplicates(["l_id", "r_id"])
+        scored = cand.withColumn(
             "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
         )
     w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))

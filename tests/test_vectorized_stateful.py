@@ -111,6 +111,26 @@ def test_knn_join_default_is_not_a_cross_join(spark, emb):
     assert "BroadcastNestedLoopJoin" in xplan or "CartesianProduct" in xplan
 
 
+def test_knn_join_multi_table_recall(spark, emb):
+    """L independent hash tables with NO probing must at least match
+    single-table radius-2 multi-probe recall shape: all self-matches
+    survive (same bucket in every table), pairs dedup across tables,
+    and the plan stays an equi-join."""
+    left = emb.filter(F.col("vec_id") < 30)
+    multi = SIM.knn_join(left, emb, k=3, tables=4, probe_radius=0)
+    rows = multi.collect()
+    pairs = {(r["l_id"], r["r_id"]) for r in rows}
+    assert len(pairs) == len(rows), "cross-table duplicates must be removed"
+    assert {(i, i) for i in range(30)} <= pairs
+    exact = SIM.knn_join(left, emb, k=3, exact=True).collect()
+    exact_pairs = {(r["l_id"], r["r_id"]) for r in exact}
+    recall = len(exact_pairs & pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"multi-table recall too low: {recall:.2f}"
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_knn_join_default_recall_vs_exact(spark, emb):
     """Bucketed candidates must recover a useful fraction of the true
     top-3 neighbors (self-match always survives: identical vectors
