@@ -146,46 +146,61 @@ def knn_join(
         scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
             "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
         )
-    else:
-        hp_all = _deterministic_planes(planes * tables, dim)
-
-        def _bucket(vec_col_name: str, t: int):
-            hp = hp_all[t * planes : (t + 1) * planes]
-            b = VEC.random_hyperplane_signs(F.col(vec_col_name), hp)
-            # tag occupies bits >= planes, so XOR probe flips (< 2^planes)
-            # never cross tables; t=0 folds to +0 (single-table identical)
-            return b + F.lit(t * (1 << planes))
-
-        r = r.withColumn(
-            "__bucket",
-            F.explode(F.array(*[_bucket("r_v", t) for t in range(tables)])),
+    elif tables == 1:
+        # single-table: pure-codegen sign fold (bit-identical to the
+        # SQL oracle) + multi-probe XOR flips on the materialized base
+        # bucket column
+        hp = _deterministic_planes(planes, dim)
+        r = r.withColumn("__bucket", VEC.random_hyperplane_signs(F.col("r_v"), hp))
+        probes = [F.col("__b0")]
+        if probe_radius >= 1:
+            probes += [
+                F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+            ]
+        if probe_radius >= 2:
+            probes += [
+                F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(planes)
+                for j in range(i)
+            ]
+        l = (
+            l.withColumn("__b0", VEC.random_hyperplane_signs(F.col("l_v"), hp))
+            .withColumn("__bucket", F.explode(F.array_distinct(F.array(*probes))))
+            .drop("__b0")
         )
-        # materialize each table's base bucket as its own column BEFORE
-        # fanning out probes: inlining the sign-fold expression into
-        # every probe would re-evaluate it per probe (~p²/2 times)
-        for t in range(tables):
-            l = l.withColumn(f"__b0_{t}", _bucket("l_v", t))
-        probes = []
-        for t in range(tables):
-            b0 = F.col(f"__b0_{t}")
-            probes.append(b0)
-            if probe_radius >= 1:
-                probes += [b0.bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
-            if probe_radius >= 2:
-                probes += [
-                    b0.bitwiseXOR(F.lit((1 << i) | (1 << j)))
-                    for i in range(planes)
-                    for j in range(i)
-                ]
+        # equi-join on the bucket key: each right row lives in exactly
+        # one bucket and probe buckets are distinct, so a (l, r) pair
+        # matches at most once — no post-join dedup needed
+        scored = l.join(r, "__bucket").withColumn(
+            "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
+        )
+    else:
+        # multi-table: L·p flat sign folds in one projection overflow
+        # the JIT method budget and run interpreted (measured 6×
+        # slower) — compute all table buckets in one Arrow matmul
+        from .vectorized import table_buckets_pandas
+
+        hp_all = _deterministic_planes(planes * tables, dim)
+        bucketer = table_buckets_pandas(hp_all, planes, tables)
+        r = r.withColumn("__bucket", F.explode(bucketer(F.col("r_v"))))
+        l = l.withColumn("__tb", F.explode(bucketer(F.col("l_v"))))
+        probes = [F.col("__tb")]
+        if probe_radius >= 1:
+            # flips touch bits < planes only, so the table tag survives
+            probes += [
+                F.col("__tb").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+            ]
+        if probe_radius >= 2:
+            probes += [
+                F.col("__tb").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(planes)
+                for j in range(i)
+            ]
         l = l.withColumn(
             "__bucket", F.explode(F.array_distinct(F.array(*probes)))
-        ).drop(*[f"__b0_{t}" for t in range(tables)])
-        # equi-join on the tagged bucket key; within one table a pair
-        # matches at most once (right row in exactly one bucket, probe
-        # buckets distinct), so dedup is only needed across tables
-        cand = l.join(r, "__bucket")
-        if tables > 1:
-            cand = cand.dropDuplicates(["l_id", "r_id"])
+        ).drop("__tb")
+        # a pair can match in several tables → dedup before scoring
+        cand = l.join(r, "__bucket").dropDuplicates(["l_id", "r_id"])
         scored = cand.withColumn(
             "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
         )
