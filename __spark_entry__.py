@@ -62,10 +62,11 @@ _PRIORITY = [
     "topk-similarity-pandas", "topk-similarity-ivf", "multimodal-decode",
     # -- new in round 3 (no driver row yet) --
     "decontaminate", "repetition-metrics", "incremental-dedup", "knn-join-lsh",
+    "knn-join-tables",
     # -- keep-fresh §2 rows (code touched in round 3) --
     "knn-join", "fuzzy-dedup", "external-scan-pushdown", "multimodal-cols",
     "similarity-join", "exact-dedup", "topk-similarity", "merge-upsert",
-    "tiered-match-join", "session-window",
+    "tiered-match-join",
 ]
 
 

@@ -260,6 +260,50 @@ def q_knn_join(spark, sf_dir):
     return SIM.knn_join(left, emb, k=3, exact=True)
 
 
+def _knn_join_tables_sql(tables: int = 3, planes: int = 6) -> str:
+    from .operators.dedup import _deterministic_planes
+
+    hp_all = _deterministic_planes(planes * tables, 64)
+    eqs = []
+    for t in range(tables):
+        hp = hp_all[t * planes : (t + 1) * planes]
+        bl = _bucket_sql("l.l_v", hp)
+        br = _bucket_sql("r.r_v", hp)
+        eqs.append(f"({bl} = {br})")
+    any_table = " OR ".join(eqs)
+    dot = _DOT_SQL.format(a="l.l_v", b="r.r_v")
+    nl = _DOT_SQL.format(a="l.l_v", b="l.l_v")
+    nr = _DOT_SQL.format(a="r.r_v", b="r.r_v")
+    return f"""
+    WITH l AS (
+      SELECT vec_id AS l_id, embedding AS l_v FROM embeddings WHERE vec_id < 200
+    ), r AS (
+      SELECT vec_id AS r_id, embedding AS r_v FROM embeddings
+    ), scored AS (
+      SELECT l_id, r_id,
+             ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
+                        THEN {dot} / (sqrt({nl}) * sqrt({nr})) END, 6) AS score
+      FROM l JOIN r ON {any_table}
+    )
+    SELECT l_id, r_id, score FROM scored
+    QUALIFY row_number() OVER (PARTITION BY l_id ORDER BY score DESC, r_id) <= 3
+    """
+
+
+@register("knn-join-tables", sql=_knn_join_tables_sql())
+def q_knn_join_tables(spark, sf_dir):
+    """Multi-table k-NN join: 3 independent hash tables (disjoint
+    plane sets, Arrow-matmul bucket computation, no probing), the
+    beyond-1e7-rows configuration where recall comes from table count
+    instead of probe radius. Oracle-backed: the SQL recomputes every
+    table's sign bucket and expresses the candidate set as "buckets
+    equal in ANY table", so the cross-table semantics (including the
+    pair dedup) are verified pair-for-pair."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 200)
+    return SIM.knn_join(left, emb, k=3, planes=6, tables=3, probe_radius=0)
+
+
 def _knn_join_lsh_sql() -> str:
     from .operators.dedup import _deterministic_planes
 
