@@ -128,6 +128,16 @@ def test_decontaminate_is_equi_join_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
+    """The seen corpus must reach the join as a distinct fingerprint
+    column (narrow build side), and the batch must anti-join it —
+    never a cartesian shape or a full-corpus re-dedup."""
+    plan = explain(spark, Q.QUERIES["incremental-dedup"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_semi_and_anti_join_shapes(spark):
     semi = explain(spark, Q.QUERIES["semi-join"](spark, SF))
     anti = explain(spark, Q.QUERIES["roi-patient-anti-join"](spark, SF))
