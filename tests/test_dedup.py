@@ -35,6 +35,54 @@ def test_minhash_identical_docs_pair(spark, docs):
     assert all(p["a_id"] < p["b_id"] for p in pairs)
 
 
+def test_incremental_dedup_edges(spark):
+    """Empty batch → empty out; empty seen corpus → pure within-batch
+    dedup with lowest-id survivor; exact content match required."""
+    rows = [(1, "alpha beta"), (2, "alpha beta"), (3, "gamma")]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    empty = batch.limit(0)
+    out = sorted(
+        r["doc_id"] for r in DD.incremental_dedup(batch, empty).collect()
+    )
+    assert out == [1, 3]  # 2 loses within-batch to 1; 3 unique
+    assert DD.incremental_dedup(empty, batch).count() == 0
+    # seen kills exact matches only — near-misses survive
+    seen = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    out2 = sorted(
+        r["doc_id"] for r in DD.incremental_dedup(batch, seen).collect()
+    )
+    assert out2 == [3]
+
+
+def test_contamination_min_grams_threshold(spark):
+    """min_grams raises the overlap bar: one shared 3-gram passes
+    min_grams=1 but not min_grams=2."""
+    train = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "zz yy xx ww")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(10, "aa bb cc qq rr ss")], "doc_id long, text string"
+    )
+    hits1 = {r["doc_id"] for r in DD.contamination_flags(train, bench, n=3, min_grams=1).collect()}
+    hits2 = {r["doc_id"] for r in DD.contamination_flags(train, bench, n=3, min_grams=2).collect()}
+    assert hits1 == {1} and hits2 == set()
+
+
+def test_minhash_storage_modes_agree(spark, docs):
+    """storage="DISK_ONLY" (cluster persist path) must produce the same
+    candidate pairs as the default localCheckpoint path."""
+    corpus = docs.select("doc_id", "text").limit(300)
+    default = sorted(
+        map(tuple, DD.minhash_lsh_pairs(corpus, num_hashes=16, bands=4).collect())
+    )
+    persisted_df = DD.minhash_lsh_pairs(
+        corpus, num_hashes=16, bands=4, storage="DISK_ONLY"
+    )
+    persisted = sorted(map(tuple, persisted_df.collect()))
+    assert default == persisted
+    spark.catalog.clearCache()
+
+
 def test_minhash_deterministic_across_fresh_plans(spark, sf_dir):
     """Regression: stacked same-named HOF lambdas in one projection
     were nondeterministic on Spark 4.1 — rebuild the plan from scratch
