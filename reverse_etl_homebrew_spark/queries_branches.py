@@ -492,6 +492,25 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+@register("video-frame-index")
+def q_video_frame_index(spark, sf_dir):
+    """Demux every video payload into one row per sampled frame — REAL
+    mp4 sample-table parse (stsd/stts/stsz/stsc/stco), real byte
+    ranges sliced from mdat, 1-per-second sampling. Rows-only: no SQL
+    engine demuxes mp4; structural ground truth is pinned by
+    tests/test_multimodal_observability.py. Frame bytes are projected
+    out here (the driver hashes rows); byte-range correctness is
+    covered by the rawvideo pixel-decode tests."""
+    from .multimodal import fake_media_table
+    from .multimodal.binary import video_frame_index
+
+    media = fake_media_table(spark, 120)
+    return video_frame_index(media, every_ms=1000).select(
+        "media_id", "sample_idx", "ts_ms", "byte_offset", "n_bytes",
+        "codec", "decode_ok",
+    )
+
+
 @register("similarity-join")
 def q_similarity_join(spark, sf_dir):
     """All-pairs similarity join within a cosine threshold, candidate-
