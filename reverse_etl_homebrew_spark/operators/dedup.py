@@ -367,6 +367,91 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Cross-engine-portable SimHash: token hashes come from md5 (hex
+    prefix parsed as an integer) instead of xxhash64, so the ENTIRE
+    fingerprint algebra — token votes, sign bits, block banding,
+    Hamming verify — is reproducible in ANSI SQL and the operator is
+    oracle-checkable end-to-end (the xxhash64 variant above stays the
+    perf default; md5 costs more per token).
+
+    Recall is exact by construction: a pair within Hamming
+    ``max_hamming`` < ``blocks`` must agree on at least one of the
+    ``blocks`` bit-blocks (pigeonhole), so block banding loses nothing
+    and the output equals the brute-force Hamming pair set. Pairs
+    sharing several blocks dedup before the verify.
+
+    Shape: one explode over tokens, one groupBy for votes (``bits``
+    small sum aggregates — integer, JIT-friendly), block explode +
+    equi-join. No all-pairs."""
+    hexlen = bits // 4
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.split(TX.normalized_text(F.col(text_col)), " "))
+        ).alias("t"),
+    )
+    h = toks.select(
+        "id", F.conv(F.substring(F.md5("t"), 1, hexlen), 16, 10).cast("long").alias("h")
+    )
+    votes = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.shiftleft(
+            F.when(F.col(f"v{i}") >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            i,
+        )
+    fp = votes.select("id", acc.alias("f"))
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    blocked = fp.select(
+        "id",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    # tag with the block index so different blocks never
+                    # collide in one equi-join key
+                    (
+                        F.shiftrightunsigned("f", b * block_bits).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        + F.lit(b * (mask + 1))
+                    ).cast("long")
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    )
+    a = blocked.select(F.col("id").alias("a_id"), F.col("f").alias("a_f"), "blk")
+    b = blocked.select(F.col("id").alias("b_id"), F.col("f").alias("b_f"), "blk")
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", F.bit_count(F.col("a_f").bitwiseXOR(F.col("b_f"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, bucket-bounded)
 # ---------------------------------------------------------------------------

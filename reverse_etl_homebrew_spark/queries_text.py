@@ -563,6 +563,48 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def _simhash_md5_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fpexpr = " + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, t
+      FROM (
+        SELECT doc_id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS t
+        FROM documents
+      )
+    ), hv AS (
+      SELECT id, ('0x' || substr(md5(t), 1, {bits // 4}))::BIGINT AS h FROM toks
+    ), votes AS (
+      SELECT id, {votes}
+      FROM hv GROUP BY id
+    ), fp AS (
+      SELECT id, CAST({fpexpr} AS BIGINT) AS f FROM votes
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+    """
+
+
+@register("simhash-dedup-md5", sql=_simhash_md5_sql())
+def q_simhash_dedup_md5(spark, sf_dir):
+    """Portable SimHash near-dup pairs: md5-derived token hashes make
+    the whole fingerprint algebra (votes → sign bits → block banding →
+    Hamming verify) reproducible in SQL, so this variant is
+    oracle-checked end-to-end against a brute-force all-pairs Hamming
+    scan — and block-banding recall is exact by pigeonhole (hamming ≤
+    3 over 4 blocks must share one). The xxhash64 `simhash-dedup`
+    stays the perf default (cheaper hash, rows-only)."""
+    return DD.simhash_pairs_md5(_corpus(spark, sf_dir))
+
+
 @register("simhash-dedup")
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup candidate pairs (64-bit fingerprint,
