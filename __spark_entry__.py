@@ -62,11 +62,10 @@ _PRIORITY = [
     "topk-similarity-pandas", "topk-similarity-ivf", "multimodal-decode",
     # -- new in round 3 (no driver row yet) --
     "decontaminate", "repetition-metrics", "incremental-dedup", "knn-join-lsh",
-    "knn-join-tables",
+    "knn-join-tables", "simhash-dedup-md5",
     # -- keep-fresh §2 rows (code touched in round 3) --
     "knn-join", "fuzzy-dedup", "external-scan-pushdown", "multimodal-cols",
     "similarity-join", "exact-dedup", "topk-similarity", "merge-upsert",
-    "tiered-match-join",
 ]
 
 
