@@ -68,6 +68,22 @@ def test_contamination_min_grams_threshold(spark):
     assert hits1 == {1} and hits2 == set()
 
 
+def test_simhash_md5_identical_docs_zero_hamming(spark, docs):
+    """Exact duplicates must pair at hamming 0 in the portable md5
+    variant (the oracle checks the full corpus; this pins the planted
+    edge in isolation)."""
+    d0 = docs.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").limit(50).unionByName(d0)
+    pairs = DD.simhash_pairs_md5(corpus).collect()
+    hit = [p for p in pairs if p["a_id"] == 0 and p["b_id"] == 999999]
+    assert hit and hit[0]["hamming"] == 0
+    assert all(p["a_id"] < p["b_id"] for p in pairs)
+    # pair set is deduped across shared blocks
+    assert len({(p["a_id"], p["b_id"]) for p in pairs}) == len(pairs)
+
+
 def test_minhash_storage_modes_agree(spark, docs):
     """storage="DISK_ONLY" (cluster persist path) must produce the same
     candidate pairs as the default localCheckpoint path."""
