@@ -33,39 +33,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry emission order. The driver evaluates queries in dict order
 # and caps CORRECTNESS at ~50 entries per round, so rounds rotate which
-# keys lead. Round 3: the 36 keys that had no driver row in rounds 1-2
-# (end-to-end sync plans, the analytic tier, training-mix ops, text
-# retrieval, dq ops) come first, then 14 keep-fresh §2 rows whose code
-# is touched this round. Keys not listed keep registry order after
-# these.
+# keys lead. Round 5: refresh stale driver evidence — the rounds-3/4
+# cap re-certified the same 50 keys twice, leaving 62 keys whose latest
+# driver row is r1/r2 (or none). Order: never-checked first
+# (video-frame-index; ngram-jaccard's oracle SQL postdates its last
+# driver run), then the 18 keys last seen in r1, then the r2 cohort,
+# then keys whose code is touched this round. Keys not listed keep
+# registry order after these.
 _PRIORITY = [
-    # -- never driver-checked through round 2 (evidence capture) --
-    # end-to-end sync plans
-    "patient-sync-pipeline", "roi-sync-pipeline",
-    # temporal / range joins
-    "asof-join", "range-join",
-    # multi-dimensional aggregation tier
-    "cube-agg", "rollup-agg", "grouping-sets", "pivot-agg",
-    # windowed analytics
-    "running-window", "lag-lead", "quantiles",
-    # aggregation / expression variety
-    "distinct-agg", "conditional-agg", "string-funcs", "null-safe-join",
-    "unpivot-melt", "gap-fill", "array-ops", "struct-json-ops",
-    "explode-posexplode",
-    # training-data pipeline ops
-    "pack-sequences", "stratified-sample", "split-assign", "quota-sample",
-    # text retrieval + data quality
-    "bm25-topk", "hybrid-rrf", "fk-orphans", "dq-audit", "hll-sketch-merge",
-    "skew-salted-join",
-    # rows-only extension ops that have never had a driver row
-    "embedding-near-dup", "fuzzy-dedup-clusters", "topk-similarity-lsh",
-    "topk-similarity-pandas", "topk-similarity-ivf", "multimodal-decode",
-    # -- new in round 3 (no driver row yet) --
-    "decontaminate", "repetition-metrics", "incremental-dedup", "knn-join-lsh",
-    "knn-join-tables", "simhash-dedup-md5",
-    # -- keep-fresh §2 rows (code touched in round 3) --
-    "knn-join", "fuzzy-dedup", "external-scan-pushdown", "multimodal-cols",
-    "similarity-join", "exact-dedup", "topk-similarity", "merge-upsert",
+    # -- no usable driver evidence at all --
+    "video-frame-index",   # registered r3, never inside the cap
+    "ngram-jaccard",       # oracle SQL added after its last driver run
+    # -- latest driver row is round 1 --
+    "anti-join", "semi-join", "bool-normalize", "identifier-canon",
+    "email-normalize", "phi-redact", "epoch-millis", "eastern-date",
+    "json-payload", "natural-key", "next-birthday", "roi-projection",
+    "token-count", "quality-score", "doc-fingerprint", "lang-id",
+    "simhash-dedup",
+    # -- latest driver row is round 2 --
+    "full-scan", "delta-scan", "point-lookup", "topk-sort",
+    "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
+    "ambiguity-count", "approx-distinct", "equi-inner-join", "idmap-join",
+    "email-match-join", "tiered-match-join", "dlq-attempt-join",
+    "window-rank", "dedup-lastwin", "union-all", "set-intersect",
+    "set-except", "patient-projection", "processed-skip",
+    "retry-threshold", "tumbling-window", "sliding-window",
+    "session-window", "text-analysis", "remote-search", "remote-get",
+    "ledger-watermark-read", "dlq-attempt-read", "coalesce-chain",
+    # -- keep-fresh: code touched in round 5 --
+    "topk-similarity-pandas", "multimodal-decode", "fuzzy-dedup-clusters",
+    # -- remaining r2 cohort (overflow past the ~50 cap rolls to r6) --
+    "json-coerce", "drop-null-props", "protected-drop", "const-columns",
+    "watermark-filter", "override-skip", "lock-projection",
+    "ambiguity-no-key", "ambiguity-multi", "roi-patient-anti-join",
+    "threetier-composite",
 ]
 
 

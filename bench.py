@@ -5,9 +5,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing methodology: one warm session; each query is built lazily and
-timed over its full action (plan + execute + collect-to-count). A
-first untimed warmup runs a trivial action so JVM/codegen startup
-isn't billed to the first query.
+timed over its full action (plan + execute + materialize via the noop
+sink). An untimed warmup pass pays JVM/codegen startup, then every
+query is timed over REPS runs and the MEDIAN is recorded — a single
+host-contention spike (the r4 lesson: ~1.5× uniform inflation on
+byte-identical code) can poison at most one of the three samples.
+The 1-min/5-min/15-min load averages are recorded alongside so a
+future reader can tell contention from regression.
 """
 
 from __future__ import annotations
@@ -86,15 +90,23 @@ def main() -> None:
         Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     import gc
+    import statistics
 
-    timings: dict[str, float] = {}
-    for name in names:
+    REPS = 3
+
+    def timed_run(name: str) -> float:
         t0 = time.perf_counter()
         df = Q.QUERIES[name](spark, sf_dir)
         # noop sink forces full materialization of every row without
         # serializing results to the driver
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(
+            statistics.median(timed_run(name) for _ in range(REPS)), 4
+        )
 
     # heavy additions: warm-then-measure each in isolation, gc between
     # so localCheckpoint/persist blocks from one never bill the next
@@ -102,11 +114,12 @@ def main() -> None:
         gc.collect()
         Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         gc.collect()
-        t0 = time.perf_counter()
-        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        gc.collect()
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(REPS):
+            samples.append(timed_run(name))
+            gc.collect()
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -119,6 +132,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "reps": REPS,
+        "stat": "median",
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
     spark.stop()

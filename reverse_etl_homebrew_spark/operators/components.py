@@ -29,22 +29,45 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 20,
+    storage: "str | None" = None,
 ) -> DataFrame:
     """(a_id, b_id) undirected edges → (id, component) with component
-    = min node id in the component. Deterministic."""
-    edges = (
+    = min node id in the component. Deterministic.
+
+    ``storage`` picks how per-round state is pinned, mirroring
+    ``minhash_candidate_pairs``: ``None`` (default) uses
+    ``localCheckpoint`` — right for single-node / local[*], and also
+    cuts lineage so plan depth stays O(1) per round; on a real cluster
+    pass a ``pyspark.StorageLevel`` name (e.g. ``"DISK_ONLY"``,
+    ``"MEMORY_AND_DISK"``) to ``persist`` instead, which tolerates
+    executor loss via lineage recompute. In persist mode each round's
+    labels are materialized by the convergence count and the previous
+    round's block is unpersisted, so pinned state stays O(nodes).
+    """
+    if storage is None:
+        pin_lazy = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+        pin_round = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
+        unpin = lambda df: None  # noqa: E731
+    else:
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, storage)
+        pin_lazy = lambda df: df.persist(level)  # noqa: E731
+        pin_round = lambda df: df.persist(level)  # noqa: E731
+        unpin = lambda df: df.unpersist()  # noqa: E731
+
+    edges = pin_lazy(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         # materialize once: every propagation round joins edges, and
-        # without the lineage cut the upstream pair-generation pipeline
-        # (often a full LSH run) re-executes per iteration. Cluster
-        # substitution: persist(DISK_ONLY)/checkpoint dir (SCALE.md).
-        .localCheckpoint(eager=False)
+        # without the pin the upstream pair-generation pipeline (often
+        # a full LSH run) re-executes per iteration.
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    prev = None
     for _ in range(max_iter):
         # each node adopts min(own label, neighbors' labels)
         neighbor_labels = (
@@ -53,7 +76,7 @@ def connected_components(
             .agg(F.min("component").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
+        new_labels = pin_round(
             labels.join(neighbor_labels, ["id"], "left")
             .select(
                 "id",
@@ -61,15 +84,18 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), ["id"])
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels = new_labels
+        if prev is not None:
+            unpin(prev)
+        prev, labels = labels, new_labels
         if changed == 0:
+            unpin(edges)
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 

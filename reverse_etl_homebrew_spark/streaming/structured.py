@@ -35,17 +35,37 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# Any int64 event time above this is nanoseconds: ns for dates after
+# 1974-10 exceed it, while µs would have to encode year ~6700 to reach
+# it. Below it, the value is already microseconds (µs for 1974..6700).
+# The streaming parquet reader does not honor the session's
+# legacy nanosAsLong conf the way the batch reader does — observed on
+# PySpark 4.1.2: the same TIMESTAMP(NANOS) column arrives as raw ns in
+# batch but µs in streaming — so the conversion must be unit-robust
+# rather than assume one reader behavior.
+_NANOS_FLOOR = 150_000_000_000_000_000
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """File-source stream over events parquet files (ns → µs NTZ
-    conversion identical to the batch catalog loader)."""
+    """File-source stream over events parquet files, normalized to the
+    same timestamp semantics as the batch catalog loader.
+
+    The int64 ``ts`` column is converted to a timestamp with a per-row
+    magnitude branch (see ``_NANOS_FLOOR``): values in ns range are
+    integer-divided to µs; values already in µs pass through. This is
+    deterministic for any event date between 1974 and ~6700 and makes
+    the stream agree with the batch path regardless of which unit the
+    parquet reader delivers.
+    """
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
         .parquet(events_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+    micros = F.when(
+        F.col("ts") > F.lit(_NANOS_FLOOR), F.expr("ts div 1000")
+    ).otherwise(F.col("ts"))
+    return raw.withColumn("ts", F.timestamp_micros(micros).cast("timestamp"))
 
 
 def stream_events_tumbling(

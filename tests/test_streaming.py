@@ -66,6 +66,7 @@ def test_stream_restart_is_incremental(spark, tmp_path):
 
     stream_events_tumbling(spark, events_dir, out_dir, ckpt)
     n1 = spark.read.parquet(out_dir).count()
+    assert n1 > 0, "first run must emit rows (else the check is vacuous)"
     stream_events_tumbling(spark, events_dir, out_dir, ckpt)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2
