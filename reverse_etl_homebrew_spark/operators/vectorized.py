@@ -51,11 +51,17 @@ def topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k via the vectorized scorer + TakeOrdered."""
+    """Exact top-k via the vectorized scorer + TakeOrdered.
+
+    Zero-norm vectors score NaN in the numpy scorer; map them to NULL
+    so ranking matches the codegen/SQL path (Spark sorts NaN *above*
+    every number in DESC, while a SQL CASE yields NULL which sorts
+    last — silently promoting degenerate vectors into the top-k)."""
     scored = cosine_scores_pandas(df, query, id_col, vec_col)
+    clean = F.when(~F.isnan("score"), F.round("score", 6))
     return (
-        scored.select(id_col, F.round("score", 6).alias("score"))
-        .orderBy(F.desc("score"), F.col(id_col))
+        scored.select(id_col, clean.alias("score"))
+        .orderBy(F.desc_nulls_last("score"), F.col(id_col))
         .limit(k)
     )
 

@@ -228,12 +228,21 @@ def q_lag_lead(spark, sf_dir):
     )
 
 
-@register("topk-similarity-pandas")
+def _topk_pandas_sql() -> str:
+    from .queries_text import _TOPK_SIM_SQL
+
+    return _TOPK_SIM_SQL
+
+
+@register("topk-similarity-pandas", sql=_topk_pandas_sql())
 def q_topk_similarity_pandas(spark, sf_dir):
     """Arrow-batched numpy top-k (the high-dimensional scale path —
-    plan size independent of vector dimension). Rows-only: numpy's
-    pairwise/SIMD summation rounds differently from the oracle's
-    strict left fold in the last bits."""
+    plan size independent of vector dimension). Oracle-backed: both
+    scorers round to 6 decimals before ranking, which absorbs the
+    last-bit difference between numpy's pairwise/SIMD summation and
+    the oracle's strict left fold (relative gap ~1e-15, nine orders
+    below the rounding quantum), so the shared brute-force SQL checks
+    this physical path too."""
     from .operators.vectorized import topk_pandas
 
     emb = _t(spark, sf_dir, "embeddings")

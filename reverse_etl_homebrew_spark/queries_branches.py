@@ -492,15 +492,30 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
-@register("video-frame-index")
+def _frame_index_sql() -> str:
+    from .multimodal.fixture import FRAME_INDEX_FIXTURE
+
+    return f"""
+    SELECT media_id, sample_idx, ts_ms, byte_offset, n_bytes, codec,
+           TRUE AS decode_ok
+    FROM read_parquet('{FRAME_INDEX_FIXTURE}')
+    QUALIFY row_number() OVER (
+        PARTITION BY media_id, ts_ms // 1000 ORDER BY sample_idx) = 1
+    """
+
+
+@register("video-frame-index", sql=_frame_index_sql())
 def q_video_frame_index(spark, sf_dir):
     """Demux every video payload into one row per sampled frame — REAL
     mp4 sample-table parse (stsd/stts/stsz/stsc/stco), real byte
-    ranges sliced from mdat, 1-per-second sampling. Rows-only: no SQL
-    engine demuxes mp4; structural ground truth is pinned by
-    tests/test_multimodal_observability.py. Frame bytes are projected
-    out here (the driver hashes rows); byte-range correctness is
-    covered by the rawvideo pixel-decode tests."""
+    ranges sliced from mdat, 1-per-second sampling. Oracle-backed: the
+    SQL reads the generation-time ground-truth fixture (frame offsets/
+    sizes/timestamps recomputed from the encoder's construction math,
+    independent of the demuxer — multimodal/fixture.py) and re-derives
+    the 1-per-second selection, so both the demux and the sampling are
+    checked. Frame bytes are projected out here (the driver hashes
+    rows); byte-range *content* correctness is covered by the rawvideo
+    pixel-decode tests."""
     from .multimodal import fake_media_table
     from .multimodal.binary import video_frame_index
 

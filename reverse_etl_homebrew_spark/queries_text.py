@@ -189,9 +189,10 @@ def _bucket_sql(vec_expr: str, planes) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-@register(
-    "topk-similarity",
-    sql=f"""
+# Shared by topk-similarity (codegen fold scorer) and
+# topk-similarity-pandas (Arrow/numpy scorer): both round scores to 6
+# decimals, so one brute-force SQL oracle checks either physical path.
+_TOPK_SIM_SQL = f"""
     WITH q AS (
       SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
     ), scored AS (
@@ -206,8 +207,10 @@ def _bucket_sql(vec_expr: str, planes) -> str:
     FROM scored
     ORDER BY score DESC, vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("topk-similarity", sql=_TOPK_SIM_SQL)
 def q_topk_similarity(spark, sf_dir):
     """Exact top-k cosine similarity against a query vector (vec_id 0)
     — brute-force baseline: map-side scoring in double precision plus

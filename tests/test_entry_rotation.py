@@ -1,0 +1,52 @@
+"""Guard the driver-registry emission order in ``__spark_entry__``.
+
+The driver caps CORRECTNESS at ~50 entries per round, evaluating
+``queries()`` in dict order. Round 5 learned the hard way that the cap
+must be *counted*: the keys whose code changed that round landed at
+positions 52-54 and got no driver row. These tests pin the invariants
+so a future rotation can't repeat that.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+CAP = 50
+
+# Keys that MUST be inside the cap this round: code or oracle changed,
+# or driver evidence is stale (round 2).
+MUST_RUN_R6 = {
+    # code rewritten in r5 with no post-change driver row
+    "fuzzy-dedup-clusters",
+    # r2-stale cohort
+    "coalesce-chain", "json-coerce", "drop-null-props", "protected-drop",
+    "const-columns", "watermark-filter", "override-skip",
+    "lock-projection", "ambiguity-no-key", "ambiguity-multi",
+    "roi-patient-anti-join", "threetier-composite",
+    # oracle/code changes this round
+    "video-frame-index", "topk-similarity-pandas", "multimodal-decode",
+}
+
+
+def test_priority_has_no_duplicates_and_resolves():
+    qs = entry.queries()
+    assert len(entry._PRIORITY) == len(set(entry._PRIORITY))
+    missing = [k for k in entry._PRIORITY if k not in qs]
+    assert not missing, f"_PRIORITY names unknown keys: {missing}"
+
+
+def test_must_run_keys_inside_cap():
+    head = list(entry.queries().keys())[:CAP]
+    assert len(head) == CAP
+    outside = MUST_RUN_R6 - set(head)
+    assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
+
+
+def test_queries_and_oracle_emit_same_order():
+    qkeys = list(entry.queries().keys())
+    okeys = list(entry.oracle_sql().keys())
+    # oracle registry is a subset (rows-only keys omit SQL) but the
+    # relative order of shared keys must match, so the driver pairs
+    # them correctly under the cap.
+    shared = [k for k in qkeys if k in set(okeys)]
+    assert shared == [k for k in okeys if k in set(qkeys)]
