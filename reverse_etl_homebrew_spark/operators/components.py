@@ -42,7 +42,15 @@ def connected_components(
     ``"MEMORY_AND_DISK"``) to ``persist`` instead, which tolerates
     executor loss via lineage recompute. In persist mode each round's
     labels are materialized by the convergence count and the previous
-    round's block is unpersisted, so pinned state stays O(nodes).
+    round's block is unpersisted, so pinned state stays O(nodes);
+    every intermediate block is released on ANY exit path (success,
+    non-convergence, mid-round failure).
+
+    Persist-mode contract for the RETURNED DataFrame: it is still
+    persisted at ``storage`` level — its lineage is the whole iterative
+    chain, so dropping the pin before the caller materializes it would
+    re-run every round. Call ``.unpersist()`` on it once downstream
+    results are written.
     """
     if storage is None:
         pin_lazy = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
@@ -68,47 +76,66 @@ def connected_components(
         "component", F.col("id")
     )
     prev = None
-    for _ in range(max_iter):
-        # each node adopts min(own label, neighbors' labels)
-        neighbor_labels = (
-            edges.join(labels.withColumnRenamed("id", "dst"), ["dst"])
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-            .withColumnRenamed("src", "id")
-        )
-        new_labels = pin_round(
-            labels.join(neighbor_labels, ["id"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
+    converged = False
+    try:
+        for _ in range(max_iter):
+            # each node adopts min(own label, neighbors' labels)
+            neighbor_labels = (
+                edges.join(labels.withColumnRenamed("id", "dst"), ["dst"])
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
+                .withColumnRenamed("src", "id")
             )
+            new_labels = pin_round(
+                labels.join(neighbor_labels, ["id"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            try:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), ["id"])
+                    .filter(F.col("n.component") != F.col("o.component"))
+                    .count()
+                )
+            except Exception:
+                unpin(new_labels)
+                raise
+            if prev is not None:
+                unpin(prev)
+            prev, labels = labels, new_labels
+            if changed == 0:
+                converged = True
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), ["id"])
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        if prev is not None:
+    finally:
+        # release every pinned block except (on success) the returned
+        # labels frame — see the persist-mode contract above.
+        unpin(edges)
+        if prev is not None and prev is not labels:
             unpin(prev)
-        prev, labels = labels, new_labels
-        if changed == 0:
-            unpin(edges)
-            return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        if not converged:
+            unpin(labels)
 
 
 def dedup_survivors(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    storage: "str | None" = None,
 ) -> DataFrame:
     """Keep one survivor (min id) per duplicate cluster; rows not in
     any pair survive untouched. The standard last stage of a corpus
-    near-dedup pipeline."""
-    comps = connected_components(pairs)
+    near-dedup pipeline. ``storage`` is forwarded to
+    ``connected_components`` (set a StorageLevel name on a cluster)."""
+    comps = connected_components(pairs, storage=storage)
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

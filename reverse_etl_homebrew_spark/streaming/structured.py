@@ -45,8 +45,17 @@ EVENTS_SCHEMA = T.StructType(
 # rather than assume one reader behavior.
 _NANOS_FLOOR = 150_000_000_000_000_000
 
+#: µs for 1974-10. A non-null int64 event time below this encodes a
+#: pre-1974 date or a unit other than µs/ns — the magnitude branch
+#: cannot classify it, so strict mode fails the batch loudly instead
+#: of letting a wrong unit bleed into watermarks and window
+#: assignment undetected.
+_MICROS_FLOOR = 150_000_000_000_000
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, strict_units: bool = True
+) -> DataFrame:
     """File-source stream over events parquet files, normalized to the
     same timestamp semantics as the batch catalog loader.
 
@@ -56,6 +65,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     deterministic for any event date between 1974 and ~6700 and makes
     the stream agree with the batch path regardless of which unit the
     parquet reader delivers.
+
+    ``strict_units`` (default on) raises in-task on any non-null value
+    below the detection floor (``_MICROS_FLOOR``) — the micro-batch
+    fails with a named error rather than silently producing
+    near-epoch timestamps. Pass ``False`` only for corpora that
+    genuinely contain pre-1974 event times in a known unit.
     """
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -65,6 +80,19 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     micros = F.when(
         F.col("ts") > F.lit(_NANOS_FLOOR), F.expr("ts div 1000")
     ).otherwise(F.col("ts"))
+    if strict_units:
+        micros = F.when(
+            F.col("ts").isNotNull() & (F.col("ts") < F.lit(_MICROS_FLOOR)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "event ts below unit-detection floor "
+                        "(pre-1974 date or non-µs/ns unit): "
+                    ),
+                    F.col("ts").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(micros)
     return raw.withColumn("ts", F.timestamp_micros(micros).cast("timestamp"))
 
 

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from reverse_etl_homebrew_spark.operators.components import (
@@ -14,16 +16,35 @@ from reverse_etl_homebrew_spark.sources.catalog import load_table
 SF = "/root/testdata/sf0.001"
 
 
-def test_chain_and_triangle_merge(spark):
+@pytest.mark.parametrize("storage", [None, "MEMORY_AND_DISK", "DISK_ONLY"])
+def test_chain_and_triangle_merge(spark, storage):
+    """Same answers under the localCheckpoint default AND both real
+    persist levels — the cluster path must not be dead code."""
     # chain 1-2-3 plus triangle 10-11-12 plus isolated pair 20-21
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
         "a_id long, b_id long",
     )
-    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    labels = connected_components(pairs, storage=storage)
+    comps = {r["id"]: r["component"] for r in labels.collect()}
+    if storage is not None:
+        labels.unpersist()  # persist-mode contract: caller releases
     assert comps[1] == comps[2] == comps[3] == 1
     assert comps[10] == comps[11] == comps[12] == 10
     assert comps[20] == comps[21] == 20
+
+
+def test_persist_mode_releases_blocks_on_non_convergence(spark):
+    """A path graph that cannot converge in max_iter must raise AND
+    leave no pinned blocks behind (try/finally on the error path)."""
+    sc = spark.sparkContext
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "a_id long, b_id long")
+    before = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2, storage="MEMORY_AND_DISK")
+    after = len([r for r in sc._jsc.sc().getRDDStorageInfo()])
+    assert after <= before
 
 
 def test_dedup_survivors_keeps_one_per_cluster(spark):

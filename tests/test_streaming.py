@@ -137,3 +137,61 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # first arrival wins: keys 25..49 keep their 'first' payload
     by_key = {r["k"]: r["payload"] for r in got}
     assert all(by_key[k].startswith("first") for k in range(25, 50))
+
+
+def test_stream_reader_event_time_unit_guard(spark, tmp_path):
+    """Regression guard for the PySpark-4.1 streaming ns/µs reader bug:
+    events read through read_events_stream must land in their true
+    decade (year > 2000), not near the epoch. Fails if the
+    _NANOS_FLOOR magnitude branch is removed or inverted."""
+    import uuid
+
+    from reverse_etl_homebrew_spark.streaming.structured import read_events_stream
+
+    events_dir = str(tmp_path / "events_in")
+    os.makedirs(events_dir)
+    shutil.copy(os.path.join(SF, "events.parquet"), events_dir)
+    name = f"unit_guard_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_events_stream(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.sql(f"SELECT max(year(ts)) AS y, count(*) AS n FROM {name}").first()
+    assert row["n"] > 0
+    assert row["y"] is not None and row["y"] > 2000, (
+        f"stream event times collapsed to {row['y']} — unit branch broken"
+    )
+
+
+def test_stream_reader_strict_units_fails_loudly(spark, tmp_path):
+    """A batch containing a sub-floor event time (wrong unit / pre-1974)
+    must fail the micro-batch with a named error, not silently produce
+    near-epoch timestamps."""
+    import uuid
+
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from reverse_etl_homebrew_spark.streaming.structured import read_events_stream
+
+    events_dir = str(tmp_path / "events_in")
+    os.makedirs(events_dir)
+    spark.createDataFrame(
+        [(1, 12_345, 1, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(events_dir, mode="append")
+    name = f"strict_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_events_stream(spark, events_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(PySparkException, match="unit-detection floor"):
+        q.awaitTermination()
