@@ -104,9 +104,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(
-            statistics.median(timed_run(name) for _ in range(REPS)), 4
-        )
+        # gc + cache-clear between samples (not inside the timed
+        # window): queries that pin state (fuzzy-dedup's
+        # localCheckpoint blocks) must not accumulate across reps and
+        # bill later queries' medians
+        samples = []
+        for _ in range(REPS):
+            samples.append(timed_run(name))
+            gc.collect()
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 4)
 
     # heavy additions: warm-then-measure each in isolation, gc between
     # so localCheckpoint/persist blocks from one never bill the next
@@ -121,6 +128,56 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(statistics.median(samples), 4)
 
+    # cluster-substitution datapoint: the two heavy iterative operators
+    # under persist(MEMORY_AND_DISK) — the mode a real cluster would
+    # run — vs their localCheckpoint default above, so SCALE.md's
+    # substitution claim carries a measured local number.
+    def _fuzzy_storage(spark, sf, storage):
+        from reverse_etl_homebrew_spark.operators import dedup as DD
+        from reverse_etl_homebrew_spark.queries_text import _corpus
+
+        return DD.minhash_verified_pairs(
+            _corpus(spark, sf), num_hashes=32, bands=4, storage=storage
+        )
+
+    def _clusters_storage(spark, sf, storage):
+        from reverse_etl_homebrew_spark.operators import dedup as DD
+        from reverse_etl_homebrew_spark.operators.components import dedup_survivors
+        from reverse_etl_homebrew_spark.queries_text import _corpus
+
+        d = _corpus(spark, sf).select("doc_id", "text")
+        pairs = DD.minhash_verified_pairs(
+            d, num_hashes=32, bands=4, storage=storage
+        )
+        return dedup_survivors(d, pairs, storage=storage).select("doc_id")
+
+    variants = {
+        "fuzzy-dedup[MEMORY_AND_DISK]": _fuzzy_storage,
+        "fuzzy-dedup-clusters[MEMORY_AND_DISK]": _clusters_storage,
+    }
+    import tempfile
+
+    # storage-mode components checkpoints rounds reliably (lineage cut)
+    spark.sparkContext.setCheckpointDir(tempfile.mkdtemp(prefix="sg-ckpt-"))
+    variant_timings: dict[str, float] = {}
+    for label, fn in variants.items():
+        gc.collect()
+        fn(spark, sf_dir, "MEMORY_AND_DISK").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        gc.collect()
+        spark.catalog.clearCache()
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir, "MEMORY_AND_DISK").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.perf_counter() - t0)
+            gc.collect()
+            spark.catalog.clearCache()
+        variant_timings[label] = round(statistics.median(samples), 4)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -131,6 +188,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # labeled persist-mode rows, kept OUT of "queries"/"value" so
+        # round-over-round totals stay comparable
+        "storage_variants": variant_timings,
         "sf": sf_val,
         "reps": REPS,
         "stat": "median",

@@ -19,9 +19,12 @@ Codecs (stdlib-only, no external media libraries):
   absolute byte ranges (``mp4_sample_table`` / ``video_frame_index``).
   Frame-content features are REAL pixel statistics for the
   uncompressed ``'raw '`` codec (RGB24 planes sliced straight out of
-  mdat and decoded); compressed bitstreams (H.264 etc., out of stdlib
-  reach) keep a clearly-marked deterministic stub and are labeled
-  ``content_source="stub-hash"`` in the output.
+  mdat and decoded) AND for Motion-JPEG (``'jpeg'`` fourcc): each
+  frame is a standalone baseline JPEG, decoded by a real stdlib
+  Huffman + DC-plane decoder (``decode_jpeg_dc``) to the standard
+  8x-downsampled image. Inter-frame-predicted bitstreams (H.264 etc.,
+  out of stdlib reach) keep a clearly-marked deterministic stub and
+  are labeled ``content_source="stub-hash"`` in the output.
 
 Per-row decode failures become ``decode_ok=false`` rows (the DLQ
 pattern applied to media) — a poisoned payload never fails the task.
@@ -352,11 +355,23 @@ def encode_mp4_skeleton(
     features stay stubbed and labeled). ``codec="raw "`` (QuickTime
     uncompressed RGB24): frames are REAL packed pixel data that
     ``_rawvideo_content_features`` decodes for pixel-derived features.
+    ``codec="jpeg"`` (QuickTime Motion-JPEG): each frame is a REAL
+    standalone baseline JPEG (``encode_mjpeg_frame``) that
+    ``decode_jpeg_dc`` decodes back to pixels.
     """
     n_samples = max(1, duration_ms * fps // 1000)
     delta = _MP4_MEDIA_TS // fps
+    jpeg_frames: list = []
     if codec == "raw ":
         sizes = [width * height * 3] * n_samples
+    elif codec == "jpeg":
+        jpeg_frames = [
+            encode_mjpeg_frame(
+                width, height, _rawvideo_frame_bytes(content_seed, i, width, height)
+            )
+            for i in range(n_samples)
+        ]
+        sizes = [len(f) for f in jpeg_frames]
     else:
         sizes = [24 + (i % 7) * 8 for i in range(n_samples)]
 
@@ -428,6 +443,8 @@ def encode_mp4_skeleton(
             _rawvideo_frame_bytes(content_seed, i, width, height)
             for i in range(n_samples)
         )
+    elif codec == "jpeg":
+        frames = b"".join(jpeg_frames)
     else:
         frames = b"".join(
             _mp4_frame_bytes(content_seed, i, s) for i, s in enumerate(sizes)
@@ -600,6 +617,357 @@ def _rawvideo_content_features(
     return (feat + [0.0] * k)[:k]
 
 
+# ---------------------------------------------------------------------------
+# Motion-JPEG codec (stdlib-only baseline JPEG, DC-plane decode)
+# ---------------------------------------------------------------------------
+
+#: uniform quantization step for encoded skeleton frames.
+_JPEG_Q = 16
+
+# minimal canonical Huffman tables the ENCODER emits (the decoder
+# never assumes them — it reads whatever DHT the stream carries):
+# DC: categories 0..11, all at code length 4 (12 of 16 length-4 codes,
+# all-ones code unused per spec); AC: the single symbol 0x00 (EOB) at
+# code length 1.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [1] + [0] * 15
+_ENC_AC_VALS = [0x00]
+
+
+def _huff_canonical(bits, vals):
+    """(length, code) → symbol map from DHT bits/vals (ITU T.81 C.2)."""
+    m = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            m[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return m
+
+
+def _huff_codes(bits, vals):
+    """symbol → (length, code) for the encoder (inverse of above)."""
+    return {sym: (ln, code) for (ln, code), sym in _huff_canonical(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _dc_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_mjpeg_frame(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal baseline JPEG (YCbCr 4:4:4, DC-only blocks): each 8x8
+    block encodes its mean color — a structurally complete, spec-valid
+    JPEG any baseline decoder can read. Width/height must be multiples
+    of 8. Used to build REAL Motion-JPEG video fixtures."""
+    if width % 8 or height % 8:
+        raise ValueError("encode_mjpeg_frame needs multiple-of-8 dims")
+    bw, bh = width // 8, height // 8
+    # per-block YCbCr means (level-shifted DC = 8*(mean-128), quantized)
+    dcs = [[0] * (bw * bh) for _ in range(3)]
+    for by in range(bh):
+        for bx in range(bw):
+            sr = sg = sb = 0
+            for y in range(by * 8, by * 8 + 8):
+                row = y * width * 3
+                for x in range(bx * 8, bx * 8 + 8):
+                    sr += rgb[row + x * 3]
+                    sg += rgb[row + x * 3 + 1]
+                    sb += rgb[row + x * 3 + 2]
+            mr, mg, mb = sr / 64.0, sg / 64.0, sb / 64.0
+            yy = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            cb = 128.0 - 0.168736 * mr - 0.331264 * mg + 0.5 * mb
+            cr = 128.0 + 0.5 * mr - 0.418688 * mg - 0.081312 * mb
+            for ci, comp_mean in enumerate((yy, cb, cr)):
+                dcs[ci][by * bw + bx] = round(8.0 * (comp_mean - 128.0) / _JPEG_Q)
+
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for blk in range(bw * bh):
+        for ci in range(3):
+            diff = dcs[ci][blk] - preds[ci]
+            preds[ci] = dcs[ci][blk]
+            cat = _dc_category(diff)
+            ln, code = dc_codes[cat]
+            w.write(code, ln)
+            if cat:
+                w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            ln, code = ac_codes[0x00]  # EOB: all 63 ACs are zero
+            w.write(code, ln)
+    entropy = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes([_JPEG_Q] * 64))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"".join(struct.pack(">BBB", cid, 0x11, 0) for cid in (1, 2, 3)),
+    )
+    dht_dc = seg(0xFFC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+    dht_ac = seg(0xFFC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+    sos = seg(
+        0xFFDA,
+        b"\x03"
+        + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+        + b"\x00\x3f\x00",
+    )
+    return b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    """Entropy-segment reader: FF00 unstuffing; restart markers are
+    consumed at MCU boundaries via ``sync_restart`` (T.81 E.2.4 — a
+    conformant stream byte-pads before each RSTn, so the reset must
+    discard the pad bits, never splice post-marker bits onto them)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.buf[self.pos + 1] == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("entropy data ended at marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def sync_restart(self) -> None:
+        """Byte-align (drop pad bits) and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if (
+            self.pos + 1 < len(self.buf)
+            and self.buf[self.pos] == 0xFF
+            and 0xD0 <= self.buf[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_dc(payload: bytes) -> Tuple[int, int, bytes]:
+    """REAL baseline-JPEG decode of the DC plane: Huffman-decode every
+    coefficient (AC codes are walked to advance the bitstream), keep
+    each block's quantized DC, dequantize, and reconstruct one pixel
+    per 8x8 block — the standard 8x-downsampled JPEG decode (DC IDCT
+    basis is flat, so DC/8 + 128 IS the block mean; T.81 A.3.3).
+
+    Returns (blocks_w, blocks_h, rgb) with ``rgb`` packed RGB24 of the
+    downsampled image. Supports grayscale and 4:4:4 color, the shapes
+    this engine's MJPEG world emits; subsampled chroma raises
+    ValueError (callers fall back to the labeled stub)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict = {}
+    huff: dict = {}
+    comps: list = []
+    scan: list = []
+    width = height = 0
+    ri = 0  # restart interval (MCUs), DRI segment
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack(">HH", body[1:5])
+            n = body[5]
+            comps = [
+                (body[6 + 3 * i], body[7 + 3 * i] >> 4, body[7 + 3 * i] & 15,
+                 body[8 + 3 * i])
+                for i in range(n)
+            ]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                huff[(tc, th)] = _huff_canonical(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                    for i in range(ns)]
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if not (width and height and comps and scan):
+        raise ValueError("missing SOF/SOS")
+    if any(h != 1 or v != 1 for _, h, v, _ in comps):
+        raise ValueError("subsampled chroma unsupported (4:4:4/gray only)")
+
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    by_id = {cid: (hh, vv, tq) for cid, hh, vv, tq in comps}
+    reader = _BitReader(payload, pos)
+    preds = {cid: 0 for cid, _, _ in scan}
+    planes = {cid: [] for cid, _, _ in scan}
+    for m in range(bw * bh):
+        if ri and m and m % ri == 0:
+            reader.sync_restart()
+            preds = {cid: 0 for cid, _, _ in scan}
+        for cid, td, ta in scan:
+            s = reader.huff(huff[(0, td)])
+            preds[cid] += _extend(reader.bits(s) if s else 0, s)
+            q0 = qt[by_id[cid][2]][0]
+            planes[cid].append(preds[cid] * q0 / 8.0 + 128.0)
+            k = 1
+            while k <= 63:  # walk AC codes to stay bit-aligned
+                sym = reader.huff(huff[(1, ta)])
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 15
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break
+                k += run
+                reader.bits(size)
+                k += 1
+
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(v + 0.5))  # noqa: E731
+    out = bytearray()
+    ids = [cid for cid, _, _ in scan]
+    for i in range(bw * bh):
+        if len(ids) >= 3:
+            y, cb, cr = planes[ids[0]][i], planes[ids[1]][i], planes[ids[2]][i]
+            out.append(clamp(y + 1.402 * (cr - 128.0)))
+            out.append(clamp(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+            out.append(clamp(y + 1.772 * (cb - 128.0)))
+        else:
+            g = clamp(planes[ids[0]][i])
+            out.extend((g, g, g))
+    return bw, bh, bytes(out)
+
+
+def _mjpeg_content_features(
+    payload: bytes, tab: dict, k: int, max_frames: int = 8
+) -> Optional[list]:
+    """REAL pixel decode for Motion-JPEG ('jpeg' fourcc): sample up to
+    ``max_frames`` evenly spaced frames, DC-decode each standalone
+    JPEG sliced out of mdat, and reduce the 8x-downsampled pixels with
+    the same statistics as the rawvideo path. Returns None when frames
+    don't decode (caller falls back to the labeled stub)."""
+    samples = tab["samples"]
+    if not samples:
+        return None
+    step = max(1, len(samples) // max_frames)
+    picked = samples[::step][:max_frames]
+    mr = mg = mb = ml = lvar = motion = 0.0
+    prev_luma = None
+    n_used = 0
+    geom = None
+    for _idx, _ts, off, size in picked:
+        try:
+            bw, bh, rgb = decode_jpeg_dc(payload[off : off + size])
+        except (ValueError, IndexError, struct.error):
+            return None
+        if geom is None:
+            geom = (bw, bh)
+        elif geom != (bw, bh):
+            return None
+        r_m, g_m, b_m, luma = _rawvideo_frame_stats(rgb)
+        l_m = sum(luma) / len(luma)
+        mr += r_m
+        mg += g_m
+        mb += b_m
+        ml += l_m
+        lvar += sum((x - l_m) ** 2 for x in luma) / len(luma)
+        if prev_luma is not None:
+            motion += sum(abs(a - b) for a, b in zip(luma, prev_luma)) / len(luma)
+        prev_luma = luma
+        n_used += 1
+    if n_used == 0:
+        return None
+    feat = [
+        mr / n_used / 255.0,
+        mg / n_used / 255.0,
+        mb / n_used / 255.0,
+        ml / n_used / 255.0,
+        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
+        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
+    ]
+    return (feat + [0.0] * k)[:k]
+
+
 def _mp4_features(payload: bytes) -> Tuple[list, Optional[int], str]:
     duration_ms = mp4_duration_ms(payload)  # real container parse
     tab = None
@@ -612,6 +980,10 @@ def _mp4_features(payload: bytes) -> Tuple[list, Optional[int], str]:
     source = "stub-hash"
     if tab is not None and tab["codec"] == "raw ":
         content = _rawvideo_content_features(payload, tab, FEATURE_DIM - 2)
+        if content is not None:
+            source = "pixels"
+    if tab is not None and content is None and tab["codec"] == "jpeg":
+        content = _mjpeg_content_features(payload, tab, FEATURE_DIM - 2)
         if content is not None:
             source = "pixels"
     if content is None:
@@ -669,6 +1041,18 @@ def _fake_media_rows(n: int) -> tuple:
                 duration,
                 content_seed=f"media-{i}".encode(),
                 codec="raw ",
+                width=width,
+                height=height,
+            )
+        elif i % 12 == 2:
+            # Motion-JPEG: every frame a REAL standalone baseline JPEG
+            # — decoded by decode_jpeg_dc for pixel-derived features
+            duration = 1000 + (i * 53) % 5000
+            width, height = 16, 8
+            payload = encode_mp4_skeleton(
+                duration,
+                content_seed=f"media-{i}".encode(),
+                codec="jpeg",
                 width=width,
                 height=height,
             )

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import struct
 
-from .binary import _MP4_MEDIA_TS, _fake_media_rows
+from .binary import (
+    _MP4_MEDIA_TS,
+    _fake_media_rows,
+    _rawvideo_frame_bytes,
+    encode_mjpeg_frame,
+)
 
 #: repo-absolute fixture path referenced by the oracle SQL.
 FRAME_INDEX_FIXTURE = "/root/repo/fixtures/mp4_frame_index_n120.parquet"
@@ -57,6 +62,17 @@ def ground_truth_frame_rows(n: int = 120) -> list:
             codec = "raw "
             duration = 500 + (i * 37) % 7500
             sizes_of = lambda ns: [16 * 12 * 3] * ns
+        elif i % 12 == 2:
+            # Motion-JPEG rows: frame sizes are the lengths of the
+            # real encoded JPEGs — generation-time knowledge (the
+            # encoder, not the demuxer under test)
+            codec = "jpeg"
+            duration = 1000 + (i * 53) % 5000
+            seed = f"media-{i}".encode()
+            sizes_of = lambda ns, s=seed: [
+                len(encode_mjpeg_frame(16, 8, _rawvideo_frame_bytes(s, j, 16, 8)))
+                for j in range(ns)
+            ]
         else:
             codec = "avc1"
             duration = (i * 37) % 120_000

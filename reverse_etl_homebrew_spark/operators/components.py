@@ -34,23 +34,36 @@ def connected_components(
     """(a_id, b_id) undirected edges → (id, component) with component
     = min node id in the component. Deterministic.
 
-    ``storage`` picks how per-round state is pinned, mirroring
-    ``minhash_candidate_pairs``: ``None`` (default) uses
-    ``localCheckpoint`` — right for single-node / local[*], and also
-    cuts lineage so plan depth stays O(1) per round; on a real cluster
-    pass a ``pyspark.StorageLevel`` name (e.g. ``"DISK_ONLY"``,
-    ``"MEMORY_AND_DISK"``) to ``persist`` instead, which tolerates
-    executor loss via lineage recompute. In persist mode each round's
-    labels are materialized by the convergence count and the previous
-    round's block is unpersisted, so pinned state stays O(nodes);
-    every intermediate block is released on ANY exit path (success,
+    ``storage`` picks how per-round state is pinned: ``None``
+    (default) uses ``localCheckpoint`` — right for single-node /
+    local[*]; blocks are not fault-tolerant but the lineage cut keeps
+    plan size O(1) per round. On a real cluster pass a
+    ``pyspark.StorageLevel`` name (e.g. ``"DISK_ONLY"``,
+    ``"MEMORY_AND_DISK"``): each round is then RELIABLY CHECKPOINTED
+    (``df.checkpoint(eager=True)`` — requires
+    ``sparkContext.setCheckpointDir`` on shared storage, enforced
+    loudly) and the checkpointed scan is cached at the given level.
+
+    Why checkpoint and not persist alone: persist does NOT truncate
+    the logical plan, and each label round references the previous
+    round twice (neighbor join + carry-through), so persist-only plan
+    size grows EXPONENTIALLY in rounds — measured 7x wall-clock blowup
+    at sf0.01 (21.5 s vs 3.1 s) before any cluster even gets involved.
+    The checkpoint is also what survives executor loss; lineage
+    recompute through an iterative chain would be quadratic anyway.
+    Checkpoint files are garbage-collected by Spark's ContextCleaner
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true``;
+    otherwise they live until the checkpoint dir is cleaned.
+
+    In both modes each round's pinned/cached state is released as the
+    next round materializes, so pinned state stays O(nodes); every
+    intermediate block is released on ANY exit path (success,
     non-convergence, mid-round failure).
 
-    Persist-mode contract for the RETURNED DataFrame: it is still
-    persisted at ``storage`` level — its lineage is the whole iterative
-    chain, so dropping the pin before the caller materializes it would
-    re-run every round. Call ``.unpersist()`` on it once downstream
-    results are written.
+    Storage-mode contract for the RETURNED DataFrame: it is a cached
+    checkpoint scan — call ``.unpersist()`` once downstream results
+    are written (the data remains available from the checkpoint
+    files).
     """
     if storage is None:
         pin_lazy = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
@@ -60,8 +73,21 @@ def connected_components(
         from pyspark import StorageLevel
 
         level = getattr(StorageLevel, storage)
-        pin_lazy = lambda df: df.persist(level)  # noqa: E731
-        pin_round = lambda df: df.persist(level)  # noqa: E731
+        sc = pairs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "connected_components(storage=...) needs a reliable "
+                "checkpoint dir: call "
+                "spark.sparkContext.setCheckpointDir('<shared path>') "
+                "first (persist alone cannot cut iterative lineage)"
+            )
+
+        def pin_lazy(df):  # checkpoint runs a job, so 'lazy' = eager here
+            ck = df.checkpoint(eager=True)
+            ck.persist(level)
+            return ck
+
+        pin_round = pin_lazy
         unpin = lambda df: df.unpersist()  # noqa: E731
 
     edges = pin_lazy(
@@ -139,4 +165,10 @@ def dedup_survivors(
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(losers, [id_col], "left_anti")
+    out = df.join(losers, [id_col], "left_anti")
+    if storage is not None:
+        # safe before materialization: the labels frame is a cached
+        # checkpoint scan, so dropping the cache just means the join
+        # reads the checkpoint files
+        comps.unpersist()
+    return out

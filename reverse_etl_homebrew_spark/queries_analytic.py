@@ -229,7 +229,7 @@ def q_lag_lead(spark, sf_dir):
 
 
 def _topk_pandas_sql() -> str:
-    from .queries_text import _TOPK_SIM_SQL
+    from .sqlfrags import _TOPK_SIM_SQL
 
     return _TOPK_SIM_SQL
 
@@ -251,7 +251,7 @@ def q_topk_similarity_pandas(spark, sf_dir):
 
 
 def _ivf_sql() -> str:
-    from .queries_text import _DOT_SQL
+    from .sqlfrags import _DOT_SQL
 
     d_ec = _DOT_SQL.format(a="e.embedding", b="c.cv")
     d_cq = _DOT_SQL.format(a="c.cv", b="q.qv")

@@ -471,9 +471,11 @@ def q_multimodal_cols(spark, sf_dir):
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched media decode/feature-extraction over binary
     columns via mapInPandas — REAL stdlib codecs for PNG pixels, WAV
-    PCM, mp4 container metadata, AND uncompressed ('raw ') video frame
-    pixels; codecs with no stdlib decoder (H.264) keep hash stand-ins
-    and are labeled content_source='stub-hash' so consumers can filter
+    PCM, mp4 container metadata, uncompressed ('raw ') video frame
+    pixels, AND Motion-JPEG frames (baseline-JPEG Huffman + DC-plane
+    decode, the standard 8x-downsampled path); codecs with no stdlib
+    decoder (H.264) keep hash stand-ins and are labeled
+    content_source='stub-hash' so consumers can filter
     (multimodal/binary.py). Rows-only: features are deterministic but
     not SQL-reproducible."""
     from .multimodal import decode_and_featurize, fake_media_table

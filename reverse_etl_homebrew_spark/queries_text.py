@@ -172,7 +172,7 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
-_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+from .sqlfrags import _DOT_SQL, _TOPK_SIM_SQL  # noqa: E402
 
 
 def _bucket_sql(vec_expr: str, planes) -> str:
@@ -187,27 +187,6 @@ def _bucket_sql(vec_expr: str, planes) -> str:
         dot = _DOT_SQL.format(a=vec_expr, b=lit)
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << (n - 1 - i)} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
-
-
-# Shared by topk-similarity (codegen fold scorer) and
-# topk-similarity-pandas (Arrow/numpy scorer): both round scores to 6
-# decimals, so one brute-force SQL oracle checks either physical path.
-_TOPK_SIM_SQL = f"""
-    WITH q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
-    ), scored AS (
-      SELECT e.vec_id,
-             {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dp,
-             sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS na,
-             sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nq
-      FROM embeddings e, q
-    )
-    SELECT vec_id,
-           ROUND(CASE WHEN na * nq > 0 THEN dp / (na * nq) END, 6) AS score
-    FROM scored
-    ORDER BY score DESC, vec_id
-    LIMIT 10
-    """
 
 
 @register("topk-similarity", sql=_TOPK_SIM_SQL)

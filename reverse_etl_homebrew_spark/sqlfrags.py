@@ -1,0 +1,31 @@
+"""Shared DuckDB-oracle SQL fragments.
+
+Leaf module (no package imports) so both ``queries_text`` and
+``queries_analytic`` can use these at module-import time without
+creating a cycle through ``queries``.
+"""
+
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+# Shared by topk-similarity (codegen fold scorer) and
+# topk-similarity-pandas (Arrow/numpy scorer): both round scores to 6
+# decimals, so one brute-force SQL oracle checks either physical path.
+_TOPK_SIM_SQL = f"""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id,
+             {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dp,
+             sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS na,
+             sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nq
+      FROM embeddings e, q
+    )
+    SELECT vec_id,
+           ROUND(CASE WHEN na * nq > 0 THEN dp / (na * nq) END, 6) AS score
+    FROM scored
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """

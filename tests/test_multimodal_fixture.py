@@ -53,8 +53,9 @@ def test_checked_in_fixture_is_fresh():
 
 
 def test_sampled_selection_matches_query_semantics():
-    """The oracle's QUALIFY re-derivation picks the same 110 frames the
-    Spark-side bucket sampler keeps (first frame per (video, second))."""
+    """The oracle's QUALIFY re-derivation picks the same 118 frames the
+    Spark-side bucket sampler keeps (first frame per (video, second);
+    40 videos: 20 raw, 10 mjpeg, 10 avc1)."""
     truth = sorted(ground_truth_frame_rows(120))
     last = {}
     picked = []
@@ -64,4 +65,4 @@ def test_sampled_selection_matches_query_semantics():
             continue
         last[mid] = b
         picked.append((mid, idx))
-    assert len(picked) == 110
+    assert len(picked) == 118

@@ -310,3 +310,136 @@ def test_rawvideo_motion_feature_nonzero():
     feat, _, _, _, source = decode_payload(payload, "video/mp4")
     assert source == "pixels"
     assert feat[7] > 0.0  # motion slot
+
+
+def test_mjpeg_frames_decode_to_pixel_features():
+    """VERDICT r5 #4: Motion-JPEG frame content must be PIXEL-derived
+    via the real baseline-JPEG DC decode — verified against per-block
+    means computed independently from the same frame generator."""
+    from reverse_etl_homebrew_spark.multimodal import decode_payload
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        _rawvideo_frame_bytes,
+        _stub_content_features,
+        encode_mp4_skeleton,
+        mp4_sample_table,
+    )
+
+    w, h = 16, 8
+    payload = encode_mp4_skeleton(
+        3000, content_seed=b"vidJ", codec="jpeg", width=w, height=h
+    )
+    tab = mp4_sample_table(payload)
+    assert tab["codec"] == "jpeg" and len(tab["samples"]) == 12
+
+    feat, _, _, dur, source = decode_payload(payload, "video/mp4")
+    assert source == "pixels" and dur == 3000
+
+    # independent ground truth for the mean-R feature: per-block means
+    # of the generator frames (the decoder samples the first 8 of 12;
+    # step = max(1, 12 // 8) = 1). DC quantization (q=16 → mean step
+    # 2) plus YCbCr roundtrip bounds the error well under 4/255.
+    frames = [_rawvideo_frame_bytes(b"vidJ", i, w, h) for i in range(8)]
+    exp_r = sum(sum(f[0::3]) / (w * h) for f in frames) / len(frames) / 255.0
+    assert abs(feat[2] - exp_r) < 4 / 255, "mean-R must come from real pixels"
+    assert feat[2:] != _stub_content_features(payload, 6)
+
+    # same geometry, different pixels → different content features
+    payload_b = encode_mp4_skeleton(
+        3000, content_seed=b"vidK", codec="jpeg", width=w, height=h
+    )
+    feat_b, _, _, _, source_b = decode_payload(payload_b, "video/mp4")
+    assert source_b == "pixels" and feat_b[2:] != feat[2:]
+
+    # motion: the gradient shifts per frame, so |delta-luma| > 0
+    assert feat[7] > 0.0
+
+
+def test_jpeg_dc_decode_exact_blocks():
+    """decode_jpeg_dc reconstructs flat 8x8 blocks to their true color
+    within DC-quantization error, and rejects what it cannot decode."""
+    import pytest
+
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        decode_jpeg_dc,
+        encode_mjpeg_frame,
+    )
+
+    colors = [(200, 50, 100), (20, 220, 60), (0, 0, 0), (255, 255, 255)]
+    rgb = bytearray()
+    for y in range(8):
+        for x in range(32):
+            rgb += bytes(colors[x // 8])
+    bw, bh, out = decode_jpeg_dc(encode_mjpeg_frame(32, 8, bytes(rgb)))
+    assert (bw, bh) == (4, 1)
+    for bi, (r, g, b) in enumerate(colors):
+        dr, dg, db = out[bi * 3 : bi * 3 + 3]
+        assert abs(dr - r) <= 4 and abs(dg - g) <= 4 and abs(db - b) <= 4
+
+    with pytest.raises(ValueError):
+        decode_jpeg_dc(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_dc_decode_grayscale_with_restart_markers():
+    """The decoder must handle streams our encoder never emits:
+    single-component grayscale with a DRI restart interval and RSTn
+    markers between MCUs (predictor reset + byte realignment)."""
+    import struct
+
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _BitWriter,
+        _dc_category,
+        _huff_codes,
+        decode_jpeg_dc,
+    )
+
+    q = 16
+    means = [40, 130, 250]  # three 8x8 blocks, 24x8 grayscale
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    # one entropy-coded segment per MCU; DC predictor resets at each
+    # restart, so every diff is absolute
+    chunks = []
+    for m in means:
+        dc = round(8.0 * (m - 128.0) / q)
+        w = _BitWriter()
+        cat = _dc_category(dc)
+        ln, code = dc_codes[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(dc if dc >= 0 else dc + (1 << cat) - 1, cat)
+        ln, code = ac_codes[0x00]
+        w.write(code, ln)
+        chunks.append(w.flush())
+    entropy = (
+        chunks[0] + b"\xff\xd0" + chunks[1] + b"\xff\xd1" + chunks[2]
+    )
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([q] * 64))
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 24, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+        + seg(0xFFDD, struct.pack(">H", 1))
+        + seg(
+            0xFFDA,
+            b"\x01\x01\x00\x00\x3f\x00",
+        )
+        + entropy
+        + b"\xff\xd9"
+    )
+    bw, bh, rgb = decode_jpeg_dc(payload)
+    assert (bw, bh) == (3, 1)
+    for i, m in enumerate(means):
+        r, g, b = rgb[i * 3 : i * 3 + 3]
+        assert r == g == b
+        assert abs(r - m) <= 2, f"block {i}: {r} vs {m}"
