@@ -67,6 +67,11 @@ HEADLINE = [
 HEAVY_ADDITIONS = [
     "fuzzy-dedup-clusters",
     "bm25-topk",
+    # NOTE r6: multimodal-decode gained REAL Motion-JPEG frame decode
+    # (10 of the 40 videos, up to 8 frames each through the baseline-
+    # JPEG DC decoder) — measured +~0.13 s vs the r5 hash-stub rows in
+    # a same-session A/B. Price of the stronger operator, not a
+    # regression.
     "multimodal-decode",
 ]
 

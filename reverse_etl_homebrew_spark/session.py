@@ -114,6 +114,8 @@ def cluster_conf(
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         "spark.sql.parquet.compression.codec": "zstd",
+        # checkpoint-file GC for the iterative storage-mode operators
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     }
 
 
@@ -135,6 +137,11 @@ def get_spark(app_name: str = "reverse-etl-homebrew-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # storage-mode iterative operators reliably checkpoint each
+        # round (operators/components.py); let the ContextCleaner
+        # delete checkpoint files once their RDDs are GC'd so a
+        # long-running job doesn't accumulate them
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
