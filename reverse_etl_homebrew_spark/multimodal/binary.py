@@ -812,10 +812,13 @@ def decode_jpeg_dc(payload: bytes) -> Tuple[int, int, bytes]:
     per 8x8 block — the standard 8x-downsampled JPEG decode (DC IDCT
     basis is flat, so DC/8 + 128 IS the block mean; T.81 A.3.3).
 
-    Returns (blocks_w, blocks_h, rgb) with ``rgb`` packed RGB24 of the
-    downsampled image. Supports grayscale and 4:4:4 color, the shapes
-    this engine's MJPEG world emits; subsampled chroma raises
-    ValueError (callers fall back to the labeled stub)."""
+    Returns (out_w, out_h, rgb) with ``rgb`` packed RGB24 of the
+    downsampled image — ONE PIXEL PER MCU (for 4:4:4/grayscale that is
+    one per 8x8 block, i.e. the classic 8x downsample; for 4:2:0 one
+    per 16x16 macroblock, with the component's blocks averaged).
+    Handles grayscale, 4:4:4, 4:2:2 and 4:2:0 baseline streams;
+    progressive JPEG raises ValueError (callers fall back to the
+    labeled stub)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     pos = 2
@@ -871,11 +874,12 @@ def decode_jpeg_dc(payload: bytes) -> Tuple[int, int, bytes]:
         pos += 2 + seglen
     if not (width and height and comps and scan):
         raise ValueError("missing SOF/SOS")
-    if any(h != 1 or v != 1 for _, h, v, _ in comps):
-        raise ValueError("subsampled chroma unsupported (4:4:4/gray only)")
 
-    bw, bh = (width + 7) // 8, (height + 7) // 8
     by_id = {cid: (hh, vv, tq) for cid, hh, vv, tq in comps}
+    hmax = max(hh for _, hh, _, _ in comps)
+    vmax = max(vv for _, vv, _, _ in comps)
+    bw = (width + 8 * hmax - 1) // (8 * hmax)
+    bh = (height + 8 * vmax - 1) // (8 * vmax)
     reader = _BitReader(payload, pos)
     preds = {cid: 0 for cid, _, _ in scan}
     planes = {cid: [] for cid, _, _ in scan}
@@ -884,24 +888,30 @@ def decode_jpeg_dc(payload: bytes) -> Tuple[int, int, bytes]:
             reader.sync_restart()
             preds = {cid: 0 for cid, _, _ in scan}
         for cid, td, ta in scan:
-            s = reader.huff(huff[(0, td)])
-            preds[cid] += _extend(reader.bits(s) if s else 0, s)
-            q0 = qt[by_id[cid][2]][0]
-            planes[cid].append(preds[cid] * q0 / 8.0 + 128.0)
-            k = 1
-            while k <= 63:  # walk AC codes to stay bit-aligned
-                sym = reader.huff(huff[(1, ta)])
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 15
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break
-                k += run
-                reader.bits(size)
-                k += 1
+            hc, vc, tq = by_id[cid]
+            q0 = qt[tq][0]
+            acc = 0.0
+            # hc*vc data units per MCU for this component (T.81 A.2.3);
+            # their DC means are averaged into the MCU's pixel
+            for _ in range(hc * vc):
+                s = reader.huff(huff[(0, td)])
+                preds[cid] += _extend(reader.bits(s) if s else 0, s)
+                acc += preds[cid] * q0 / 8.0 + 128.0
+                k = 1
+                while k <= 63:  # walk AC codes to stay bit-aligned
+                    sym = reader.huff(huff[(1, ta)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break
+                    k += run
+                    reader.bits(size)
+                    k += 1
+            planes[cid].append(acc / (hc * vc))
 
     clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(v + 0.5))  # noqa: E731
     out = bytearray()

@@ -443,3 +443,77 @@ def test_jpeg_dc_decode_grayscale_with_restart_markers():
         r, g, b = rgb[i * 3 : i * 3 + 3]
         assert r == g == b
         assert abs(r - m) <= 2, f"block {i}: {r} vs {m}"
+
+
+def test_jpeg_dc_decode_420_subsampled():
+    """4:2:0 MJPEG (the common camera format): one MCU = four Y blocks
+    + one Cb + one Cr. The decoder must walk all six data units with
+    per-component DC prediction and average Y into the MCU pixel."""
+    import struct
+
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _BitWriter,
+        _dc_category,
+        _huff_codes,
+        decode_jpeg_dc,
+    )
+
+    q = 16
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    # 32x16 image → two 16x16 MCUs. Per MCU: 4 Y blocks, 1 Cb, 1 Cr.
+    y_means = [[10, 60, 110, 160], [200, 210, 220, 230]]  # per-MCU
+    w = _BitWriter()
+    pred = {"y": 0, "cb": 0, "cr": 0}
+
+    def put(comp, mean):
+        dc = round(8.0 * (mean - 128.0) / q)
+        diff = dc - pred[comp]
+        pred[comp] = dc
+        cat = _dc_category(diff)
+        ln, code = dc_codes[cat]
+        w.write(code, ln)
+        if cat:
+            w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        ln, code = ac_codes[0x00]
+        w.write(code, ln)
+
+    for mcu in range(2):
+        for m in y_means[mcu]:
+            put("y", m)
+        put("cb", 128)
+        put("cr", 128)
+    entropy = w.flush()
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([q] * 64))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 16, 32, 3)
+            + b"\x01\x22\x00"  # Y: 2x2 sampling
+            + b"\x02\x11\x00"
+            + b"\x03\x11\x00",
+        )
+        + seg(0xFFC4, b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS))
+        + seg(0xFFDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+        + entropy
+        + b"\xff\xd9"
+    )
+    bw, bh, rgb = decode_jpeg_dc(payload)
+    assert (bw, bh) == (2, 1)
+    for mcu in range(2):
+        exp = sum(y_means[mcu]) / 4.0
+        r, g, b = rgb[mcu * 3 : mcu * 3 + 3]
+        # neutral chroma → gray; Y averaged over the 4 blocks
+        assert abs(r - exp) <= 3 and abs(g - exp) <= 3 and abs(b - exp) <= 3
