@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys whose latest driver evidence is round 2; (c) keys whose code
 # or oracle changes this round (video-frame-index gains a parquet
 # sample-table oracle, topk-similarity-pandas gains a rounded-score
-# oracle, multimodal-decode gains real MJPEG decode); (d) round-4
+# oracle, multimodal-decode gains real MJPEG decode AND a
+# generation-time feature-fixture oracle); (d) round-4
 # evidenced keys, complex operators first. 13 simple Catalyst
 # built-in r4 keys (string-funcs, array-ops, ...) overflow to r7 —
 # they are the least likely to regress. Keys not listed keep registry

@@ -22,14 +22,18 @@ from __future__ import annotations
 import struct
 
 from .binary import (
+    _JPEG_Q,
     _MP4_MEDIA_TS,
     _fake_media_rows,
     _rawvideo_frame_bytes,
+    _rawvideo_frame_stats,
+    _stub_content_features,
     encode_mjpeg_frame,
 )
 
-#: repo-absolute fixture path referenced by the oracle SQL.
+#: repo-absolute fixture paths referenced by the oracle SQL.
 FRAME_INDEX_FIXTURE = "/root/repo/fixtures/mp4_frame_index_n120.parquet"
+MEDIA_FEATURES_FIXTURE = "/root/repo/fixtures/media_features_n120.parquet"
 
 
 def _mdat_body_offset(payload: bytes) -> int:
@@ -104,6 +108,203 @@ def write_frame_index_fixture(path: str = FRAME_INDEX_FIXTURE, n: int = 120) -> 
             "byte_offset": pa.array(cols[3], pa.int64()),
             "n_bytes": pa.array(cols[4], pa.int32()),
             "codec": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    return len(rows)
+
+
+# ---------------------------------------------------------------------------
+# decode-feature ground truth (multimodal-decode oracle)
+# ---------------------------------------------------------------------------
+#
+# The synthetic media generator knows the RAW content (pixel bytes, PCM
+# samples, frame planes) before any codec touches it, so the expected
+# decode features are computable without running the PNG/WAV/mp4/MJPEG
+# DECODERS under test. Shared with the decoders: only the pure
+# statistics formulas (channel means, rms, luma motion) and, for
+# Motion-JPEG, the documented DC quantization roundtrip — re-derived
+# here from the encoder's constants, not by calling decode_jpeg_dc.
+
+
+def _video_content_truth(frames: list, k: int, max_frames: int = 8) -> list:
+    """Replicates the feature aggregation over a list of decoded frame
+    pixel buffers (same op order as _rawvideo_content_features /
+    _mjpeg_content_features so float results are bit-identical)."""
+    step = max(1, len(frames) // max_frames)
+    picked = frames[::step][:max_frames]
+    mr = mg = mb = ml = lvar = motion = 0.0
+    prev_luma = None
+    n_used = 0
+    for frame in picked:
+        r_m, g_m, b_m, luma = _rawvideo_frame_stats(frame)
+        l_m = sum(luma) / len(luma)
+        mr += r_m
+        mg += g_m
+        mb += b_m
+        ml += l_m
+        lvar += sum((x - l_m) ** 2 for x in luma) / len(luma)
+        if prev_luma is not None:
+            motion += sum(abs(a - b) for a, b in zip(luma, prev_luma)) / len(luma)
+        prev_luma = luma
+        n_used += 1
+    feat = [
+        mr / n_used / 255.0,
+        mg / n_used / 255.0,
+        mb / n_used / 255.0,
+        ml / n_used / 255.0,
+        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
+        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
+    ]
+    return (feat + [0.0] * k)[:k]
+
+
+def _mjpeg_decoded_frame_truth(rgb: bytes, width: int, height: int) -> bytes:
+    """Expected decode_jpeg_dc output for an encode_mjpeg_frame payload,
+    derived from the DC quantization roundtrip (encoder constants +
+    T.81 math), not from the bitstream decoder."""
+    bw, bh = width // 8, height // 8
+    out = bytearray()
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(v + 0.5))  # noqa: E731
+    for by in range(bh):
+        for bx in range(bw):
+            sr = sg = sb = 0
+            for y in range(by * 8, by * 8 + 8):
+                row = y * width * 3
+                for x in range(bx * 8, bx * 8 + 8):
+                    sr += rgb[row + x * 3]
+                    sg += rgb[row + x * 3 + 1]
+                    sb += rgb[row + x * 3 + 2]
+            mr, mg, mb = sr / 64.0, sg / 64.0, sb / 64.0
+            yy = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            cb = 128.0 - 0.168736 * mr - 0.331264 * mg + 0.5 * mb
+            cr = 128.0 + 0.5 * mr - 0.418688 * mg - 0.081312 * mb
+            dy, dcb, dcr = (
+                round(8.0 * (v - 128.0) / _JPEG_Q) * _JPEG_Q / 8.0 + 128.0
+                for v in (yy, cb, cr)
+            )
+            out.append(clamp(dy + 1.402 * (dcr - 128.0)))
+            out.append(
+                clamp(dy - 0.344136 * (dcb - 128.0) - 0.714136 * (dcr - 128.0))
+            )
+            out.append(clamp(dy + 1.772 * (dcb - 128.0)))
+    return bytes(out)
+
+
+def ground_truth_media_feature_rows(n: int = 120) -> list:
+    """Expected decode_and_featurize output per media row — computed
+    from generation-time raw content. Returns (media_id, kind,
+    decode_ok, content_source, dec_width, dec_height, dec_duration_ms,
+    f0..f7) with feature values widened through float32 exactly as the
+    Arrow array<float> column stores them."""
+    import numpy as np
+
+    f32 = lambda v: float(np.float32(v))  # noqa: E731
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 4 + i % 13, 3 + i % 7
+            rgb = bytes(
+                (x * 7 + y * 13 + c * 29 + i) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            feat = [
+                min(w / 4096.0, 1.0),
+                min(h / 4096.0, 1.0),
+                3 / 4.0,
+                float(arr[..., 0].mean()) / 255.0,
+                float(arr[..., 1].mean()) / 255.0,
+                float(arr[..., 2].mean()) / 255.0,
+                float(arr.std()) / 255.0,
+                min(w / max(h, 1) / 8.0, 1.0),
+            ]
+            meta = (w, h, None, "pixels")
+        elif kind == "audio":
+            n_samp = 160 + (i * 37) % 640
+            samples = np.array(
+                [((j * (13 + i)) % 4096) - 2048 for j in range(n_samp)],
+                dtype=np.int16,
+            )
+            x = samples.astype(np.float64) / 32768.0
+            dur = int(len(x) / 1 / 8000 * 1000)
+            zcr = (
+                float(np.mean(np.abs(np.diff(np.sign(x))) > 0))
+                if len(x) > 1
+                else 0.0
+            )
+            feat = [
+                min(dur / 60_000.0, 1.0),
+                min(8000 / 48_000.0, 1.0),
+                1 / 2.0,
+                float(np.sqrt(np.mean(x**2))),
+                zcr,
+                float(np.mean(np.abs(x))),
+                float(np.max(np.abs(x))),
+                0.0,
+            ]
+            meta = (None, None, dur, "pcm")
+        else:
+            seed = f"media-{i}".encode()
+            if i % 6 == 5:
+                duration, w, h = 500 + (i * 37) % 7500, 16, 12
+                n_samples = max(1, duration * 4 // 1000)
+                frames = [
+                    _rawvideo_frame_bytes(seed, j, w, h) for j in range(n_samples)
+                ]
+                content, source = _video_content_truth(frames, 6), "pixels"
+            elif i % 12 == 2:
+                duration, w, h = 1000 + (i * 53) % 5000, 16, 8
+                n_samples = max(1, duration * 4 // 1000)
+                frames = [
+                    _mjpeg_decoded_frame_truth(
+                        _rawvideo_frame_bytes(seed, j, w, h), w, h
+                    )
+                    for j in range(n_samples)
+                ]
+                content, source = _video_content_truth(frames, 6), "pixels"
+            else:
+                duration = (i * 37) % 120_000
+                n_samples = max(1, duration * 4 // 1000)
+                payload = bytes(_fake_media_rows(n)[i][1])
+                content, source = _stub_content_features(payload, 6), "stub-hash"
+            feat = [
+                min(duration / 120_000.0, 1.0),
+                min(n_samples / 4096.0, 1.0),
+                *content,
+            ]
+            meta = (None, None, duration, source)
+        rows.append(
+            (i, kind, True, meta[3], meta[0], meta[1], meta[2],
+             *[f32(v) for v in feat])
+        )
+    return rows
+
+
+def write_media_features_fixture(
+    path: str = MEDIA_FEATURES_FIXTURE, n: int = 120
+) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = ground_truth_media_feature_rows(n)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "kind": pa.array(cols[1], pa.string()),
+            "decode_ok": pa.array(cols[2], pa.bool_()),
+            "content_source": pa.array(cols[3], pa.string()),
+            "dec_width": pa.array(cols[4], pa.int32()),
+            "dec_height": pa.array(cols[5], pa.int32()),
+            "dec_duration_ms": pa.array(cols[6], pa.int64()),
+            **{
+                f"f{k}": pa.array(cols[7 + k], pa.float64())
+                for k in range(8)
+            },
         }
     )
     pq.write_table(table, path)

@@ -467,7 +467,18 @@ def q_multimodal_cols(spark, sf_dir):
     )
 
 
-@register("multimodal-decode")
+def _media_features_sql() -> str:
+    from .multimodal.fixture import MEDIA_FEATURES_FIXTURE
+
+    return f"""
+    SELECT media_id, kind, decode_ok, content_source,
+           dec_width, dec_height, dec_duration_ms,
+           ROUND(f0, 6) AS f0, ROUND(f3, 6) AS f3
+    FROM read_parquet('{MEDIA_FEATURES_FIXTURE}')
+    """
+
+
+@register("multimodal-decode", sql=_media_features_sql())
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched media decode/feature-extraction over binary
     columns via mapInPandas — REAL stdlib codecs for PNG pixels, WAV
@@ -476,8 +487,12 @@ def q_multimodal_decode(spark, sf_dir):
     decode, the standard 8x-downsampled path); codecs with no stdlib
     decoder (H.264) keep hash stand-ins and are labeled
     content_source='stub-hash' so consumers can filter
-    (multimodal/binary.py). Rows-only: features are deterministic but
-    not SQL-reproducible."""
+    (multimodal/binary.py). Oracle-backed via the generation-time
+    feature fixture (multimodal/fixture.py): expected features are
+    computed from the RAW pre-encode content (pixels/PCM/frame
+    planes), so every codec's decode is checked end-to-end — f0 is a
+    metadata-derived feature, f3 a content-derived one (image mean-R /
+    audio RMS / video mean-G)."""
     from .multimodal import decode_and_featurize, fake_media_table
 
     media = fake_media_table(spark, 120)
@@ -491,6 +506,7 @@ def q_multimodal_decode(spark, sf_dir):
         "dec_height",
         "dec_duration_ms",
         F.round(F.element_at("feature", F.lit(1)).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("feature", F.lit(4)).cast("double"), 6).alias("f3"),
     )
 
 

@@ -66,3 +66,41 @@ def test_sampled_selection_matches_query_semantics():
         last[mid] = b
         picked.append((mid, idx))
     assert len(picked) == 118
+
+
+def test_feature_ground_truth_matches_decode_pipeline():
+    """Generation-time feature truth must equal the decode pipeline
+    EXACTLY (after float32 widening) for every media row — the gate
+    that makes the multimodal-decode oracle trustworthy."""
+    import numpy as np
+
+    from reverse_etl_homebrew_spark.multimodal.binary import decode_payload
+    from reverse_etl_homebrew_spark.multimodal.fixture import (
+        ground_truth_media_feature_rows,
+    )
+
+    truth = ground_truth_media_feature_rows(120)
+    for i in range(120):
+        _, payload, meta = _fake_media_rows(120)[i]
+        feat, w, h, dur, source = decode_payload(bytes(payload), meta[1])
+        t = truth[i]
+        assert (w, h, dur, source) == (t[4], t[5], t[6], t[3]), f"row {i}"
+        got = [float(np.float32(v)) for v in feat]
+        assert got == list(t[7:]), f"row {i}: features diverge"
+
+
+def test_checked_in_features_fixture_is_fresh():
+    import duckdb
+
+    from reverse_etl_homebrew_spark.multimodal.fixture import (
+        MEDIA_FEATURES_FIXTURE,
+        ground_truth_media_feature_rows,
+    )
+
+    assert os.path.exists(MEDIA_FEATURES_FIXTURE), (
+        "fixture missing — run write_media_features_fixture()"
+    )
+    on_disk = duckdb.sql(
+        f"SELECT * FROM read_parquet('{MEDIA_FEATURES_FIXTURE}') ORDER BY media_id"
+    ).fetchall()
+    assert [tuple(r) for r in on_disk] == ground_truth_media_feature_rows(120)
