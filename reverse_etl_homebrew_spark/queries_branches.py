@@ -544,13 +544,66 @@ def q_video_frame_index(spark, sf_dir):
     )
 
 
-@register("similarity-join")
+def _similarity_join_sql() -> str:
+    """Re-derive the WHOLE LSH path in SQL — hyperplane sign buckets,
+    radius-1 multi-probe, candidate join, cosine threshold — the same
+    implementation-parity oracle pattern as topk-similarity-ivf (at
+    cosine ≈ 0.5 sign-LSH recall is genuinely not exhaustive, so a
+    brute-force oracle would mismatch by design; this one checks that
+    the pruning computes exactly what it claims)."""
+    from .operators.dedup import _deterministic_planes
+    from .queries_text import _bucket_sql
+    from .sqlfrags import _DOT_SQL
+
+    planes = _deterministic_planes(8, 64)
+    b_expr = _bucket_sql("embedding", planes)
+    dot = _DOT_SQL.format(a="pa.embedding", b="pb.embedding")
+    na = _DOT_SQL.format(a="pa.embedding", b="pa.embedding")
+    nb = _DOT_SQL.format(a="pb.embedding", b="pb.embedding")
+    probes = " UNION ALL ".join(
+        ["SELECT vec_id, b0 AS bucket FROM bucketed"]
+        + [
+            f"SELECT vec_id, xor(b0, {1 << i}) AS bucket FROM bucketed"
+            for i in range(8)
+        ]
+    )
+    return f"""
+    WITH planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(embedding, (x, i) -> CAST(x + 0.003 * (((i-1) % 5) - 2.0) AS FLOAT))
+      FROM embeddings WHERE vec_id < 100
+    ), bucketed AS (
+      SELECT vec_id, {b_expr} AS b0 FROM planted
+    ), probes AS (
+      {probes}
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS a_id, a.vec_id AS b_id
+      FROM probes p JOIN bucketed a ON p.bucket = a.b0 AND p.vec_id < a.vec_id
+    ), scored AS (
+      SELECT c.a_id, c.b_id,
+             CASE WHEN sqrt({na}) * sqrt({nb}) > 0
+                  THEN {dot} / (sqrt({na}) * sqrt({nb})) END AS cos_raw
+      FROM cand c
+      JOIN planted pa ON pa.vec_id = c.a_id
+      JOIN planted pb ON pb.vec_id = c.b_id
+    )
+    SELECT a_id, b_id, ROUND(cos_raw, 6) AS cos
+    FROM scored WHERE cos_raw >= 0.5
+    """
+
+
+@register("similarity-join", sql=_similarity_join_sql())
 def q_similarity_join(spark, sf_dir):
     """All-pairs similarity join within a cosine threshold, candidate-
     bounded by hyperplane LSH (SURVEY.md §2.11; alias surface of the
     embedding near-dup operator at a looser threshold). Runs over the
     planted-near-dup corpus (random embeddings have no similar pairs
-    — a 0-row result would make the rows-only check vacuous)."""
+    — a 0-row result would prove nothing). Oracle-backed by SQL that
+    re-derives the sign buckets and radius-1 probes, so the candidate
+    pruning itself is verified (see _similarity_join_sql on why a
+    brute-force oracle is wrong for this surface)."""
     from .operators import dedup as DD
     from .queries_text import _planted_embeddings
 

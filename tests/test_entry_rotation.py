@@ -25,6 +25,7 @@ MUST_RUN_R6 = {
     "roi-patient-anti-join", "threetier-composite",
     # oracle/code changes this round
     "video-frame-index", "topk-similarity-pandas", "multimodal-decode",
+    "similarity-join",
 }
 
 
