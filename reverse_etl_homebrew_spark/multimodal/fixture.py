@@ -19,6 +19,7 @@ recomputed from the same arithmetic the encoder used.
 
 from __future__ import annotations
 
+import os
 import struct
 
 from .binary import (
@@ -31,9 +32,13 @@ from .binary import (
     encode_mjpeg_frame,
 )
 
-#: repo-absolute fixture paths referenced by the oracle SQL.
-FRAME_INDEX_FIXTURE = "/root/repo/fixtures/mp4_frame_index_n120.parquet"
-MEDIA_FEATURES_FIXTURE = "/root/repo/fixtures/media_features_n120.parquet"
+#: fixture paths referenced by the oracle SQL — resolved relative to
+#: the package so the oracle keeps working wherever the repo lives.
+_FIXTURE_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures")
+)
+FRAME_INDEX_FIXTURE = os.path.join(_FIXTURE_DIR, "mp4_frame_index_n120.parquet")
+MEDIA_FEATURES_FIXTURE = os.path.join(_FIXTURE_DIR, "media_features_n120.parquet")
 
 
 def _mdat_body_offset(payload: bytes) -> int:
