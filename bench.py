@@ -81,6 +81,7 @@ def main() -> None:
     from reverse_etl_homebrew_spark.session import get_spark
     from reverse_etl_homebrew_spark import queries as Q
 
+    loadavg_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("bench")
     names = [n for n in HEADLINE if n in Q.QUERIES]
     heavy = [n for n in HEAVY_ADDITIONS if n in Q.QUERIES]
@@ -199,6 +200,9 @@ def main() -> None:
         "sf": sf_val,
         "reps": REPS,
         "stat": "median",
+        # start AND end 1/5/15-min load: a contended host shows up
+        # here, so a slow round can be told apart from a regression
+        "loadavg_start": loadavg_start,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     print(json.dumps(out))
