@@ -174,3 +174,45 @@ def stream_dedup_within_watermark(
     return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "ts",
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: pair each left
+    event with same-key right events whose event time falls in
+    [left_time, left_time + within] — the streaming twin of the batch
+    range-join operator (e.g. impressions x clicks attribution in a
+    training-data event pipeline).
+
+    Scale contract (the reason both inputs must be watermarked and the
+    join condition must bound BOTH event times): Spark keeps each
+    side's rows in the state store only until the other side's
+    watermark passes the interval bound, so state is
+    O(arrival rate x (watermark + within)) per side — never unbounded.
+    An un-watermarked stream-stream join is rejected by Spark in
+    append mode precisely because its state could not be reclaimed.
+
+    Right columns come back suffixed ``_r`` (a self-join of one events
+    stream would otherwise collide on every column).
+    """
+    l = left.withWatermark(left_time, watermark).alias("l")
+    r_renamed = right.select(
+        [F.col(c).alias(f"{c}_r") for c in right.columns]
+    )
+    r = r_renamed.withWatermark(f"{right_time}_r", watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}_r"))
+        & (F.col(f"r.{right_time}_r") >= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}_r")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    return l.join(r, cond, "inner")

@@ -195,3 +195,61 @@ def test_stream_reader_strict_units_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(PySparkException, match="unit-detection floor"):
         q.awaitTermination()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join must produce exactly the
+    batch interval-join pairs when no data is late (generous watermark
+    so no state is reclaimed mid-drain)."""
+    import uuid
+
+    from reverse_etl_homebrew_spark.streaming.structured import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        stream_interval_join,
+    )
+
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(os.path.join(SF, "events.parquet"))
+    types = sorted(
+        r["event_type"] for r in raw.select("event_type").distinct().collect()
+    )[:2]
+    ta, tb = types
+    dir_a, dir_b = str(tmp_path / "a"), str(tmp_path / "b")
+    raw.filter(F.col("event_type") == ta).write.parquet(dir_a)
+    raw.filter(F.col("event_type") == tb).write.parquet(dir_b)
+
+    joined = stream_interval_join(
+        read_events_stream(spark, dir_a),
+        read_events_stream(spark, dir_b),
+        watermark="3650 days",
+        within="30 minutes",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql(f"SELECT event_id, event_id_r FROM {name}").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    ba = ev.filter(F.col("event_type") == ta)
+    bb = ev.filter(F.col("event_type") == tb).select(
+        *[F.col(c).alias(f"{c}_r") for c in ev.columns]
+    )
+    cond = (
+        (ba["user_id"] == bb["user_id_r"])
+        & (bb["ts_r"] >= ba["ts"])
+        & (bb["ts_r"] <= ba["ts"] + F.expr("INTERVAL 30 minutes"))
+    )
+    expected = {
+        (r["event_id"], r["event_id_r"])
+        for r in ba.join(bb, cond, "inner").select("event_id", "event_id_r").collect()
+    }
+    assert len(expected) > 0, "empty batch join would make the test vacuous"
+    assert streamed == expected
