@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -234,8 +235,93 @@ class DuckDBParquetDataSource(DataSource):
     def reader(self, schema: StructType) -> DuckDBParquetReader:
         return DuckDBParquetReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "DuckDBWatermarkStreamReader":
+        return DuckDBWatermarkStreamReader(schema, self.options)
+
     def writer(self, schema: StructType, overwrite: bool) -> "DuckDBParquetWriter":
         return DuckDBParquetWriter(self.options, overwrite)
+
+
+class DuckDBWatermarkStreamReader(SimpleDataSourceStreamReader):
+    """The reference's high-watermark incremental read (main.py:534-549
+    ``WHERE {updated_col} >= @watermark`` + ledger advance) as a NATIVE
+    Spark streaming source: the stream offset IS the watermark.
+
+    Each micro-batch asks the external engine for rows with
+    ``updated_col`` strictly greater than the committed watermark and
+    advances the offset to the batch's max — Spark's checkpoint then
+    plays the role of the reference's run ledger (exactly-once offset
+    tracking, ``readBetweenOffsets`` replay on recovery). Inherits the
+    reference's watermark-read caveat verbatim: a row that lands with
+    an ``updated_col`` at or below an already-committed watermark is
+    not picked up (the reference's answer is a periodic full
+    re-scan; so is this engine's).
+
+    Options: ``path`` (parquet file/glob standing in for the remote
+    table), ``updated_col`` (the watermark column, a timestamp)."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options.get("path")
+        self.updated_col = options.get("updated_col")
+        if not self.path:
+            raise ValueError("duckdb_parquet: 'path' option is required")
+        if not self.updated_col:
+            raise ValueError(
+                "duckdb_parquet streaming: 'updated_col' option is required"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"watermark": ""}  # empty = read from the beginning
+
+    def _select(self, con, start_wm: str, end_wm: Optional[str]):
+        cols = ", ".join(_quote_ident(f.name) for f in self.schema.fields)
+        wm_col = _quote_ident(self.updated_col)
+        where = []
+        if start_wm:
+            where.append(f"{wm_col} > TIMESTAMP '{start_wm}'")
+        if end_wm:
+            where.append(f"{wm_col} <= TIMESTAMP '{end_wm}'")
+        sql = f"SELECT {cols} FROM read_parquet({_quote_path(self.path)})"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        return con.execute(sql).fetchall()
+
+    @staticmethod
+    def _fmt(ts: dt.datetime) -> str:
+        return ts.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+    def read(self, start: dict):
+        import duckdb
+
+        start_wm = start.get("watermark", "")
+        con = duckdb.connect()
+        try:
+            wm_col = _quote_ident(self.updated_col)
+            pred = f" WHERE {wm_col} > TIMESTAMP '{start_wm}'" if start_wm else ""
+            (max_wm,) = con.execute(
+                f"SELECT max({wm_col}) FROM read_parquet({_quote_path(self.path)})"
+                + pred
+            ).fetchone()
+            if max_wm is None:  # nothing new — offset unchanged
+                return iter([]), start
+            end_wm = self._fmt(max_wm)
+            rows = self._select(con, start_wm, end_wm)
+        finally:
+            con.close()
+        return iter([tuple(r) for r in rows]), {"watermark": end_wm}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            rows = self._select(
+                con, start.get("watermark", ""), end.get("watermark") or None
+            )
+        finally:
+            con.close()
+        return iter([tuple(r) for r in rows])
 
 
 @dataclass
