@@ -130,3 +130,83 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState surface (Spark 4's successor stateful API)
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _make_running_totals_processor(ttl_ms):
+    """Built lazily so importing this module never requires the
+    stateful-processor API (present from Spark 4.0)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """Per-user running event count + value sum in a ValueState
+        cell, optionally TTL-expired — the transformWithState twin of
+        the applyInPandasWithState sessionizer above, exercising the
+        API Spark 4 positions as the long-term custom-stateful path
+        (typed state cells + TTL instead of one packed tuple)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._totals.get()
+            n, total = got if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningTotalsProcessor()
+
+
+def streaming_running_totals(
+    events: DataFrame, ttl_ms: "int | None" = None
+) -> DataFrame:
+    """events (user_id, value) stream → one updated running-total row
+    per user per micro-batch (Update output). State is one fixed-size
+    ValueState cell per active user — O(active keys), and with
+    ``ttl_ms`` set, idle keys expire from the store entirely (the
+    bound that matters when user_id cardinality grows without limit).
+
+    Runtime requirements (Spark enforces/needs both): the RocksDB
+    state store provider, and the ``google.protobuf`` Python package —
+    the transformWithState state server speaks protobuf to the JVM.
+    Standard on real clusters; the correctness test self-skips where
+    the package is absent."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_make_running_totals_processor(ttl_ms),
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
