@@ -13,19 +13,16 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round: code or oracle changed,
-# or driver evidence is stale (round 2).
-MUST_RUN_R6 = {
-    # code rewritten in r5 with no post-change driver row
-    "fuzzy-dedup-clusters",
-    # r2-stale cohort
-    "coalesce-chain", "json-coerce", "drop-null-props", "protected-drop",
-    "const-columns", "watermark-filter", "override-skip",
-    "lock-projection", "ambiguity-no-key", "ambiguity-multi",
-    "roi-patient-anti-join", "threetier-composite",
-    # oracle/code changes this round
-    "video-frame-index", "topk-similarity-pandas", "multimodal-decode",
-    "similarity-join",
+# Keys that MUST be inside the cap this round: code changed, or driver
+# evidence is stale (round 4 — the planned round-6 overflow).
+MUST_RUN_R7 = {
+    # r4-stale cohort (round-6 overflow, now the stalest evidence)
+    "pivot-agg", "running-window", "lag-lead", "unpivot-melt",
+    "gap-fill", "quantiles", "string-funcs", "null-safe-join",
+    "distinct-agg", "array-ops", "struct-json-ops",
+    "explode-posexplode", "conditional-agg",
+    # code changed (numpy MJPEG decode) / perf-audited this round
+    "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
 }
 
 
@@ -39,7 +36,7 @@ def test_priority_has_no_duplicates_and_resolves():
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R6 - set(head)
+    outside = MUST_RUN_R7 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
