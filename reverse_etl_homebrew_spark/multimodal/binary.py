@@ -562,12 +562,43 @@ def _stub_content_features(payload: bytes, k: int) -> list:
     return [int.from_bytes(h[4 * i : 4 * i + 4], "big") / 2**32 for i in range(k)]
 
 
-def _rawvideo_frame_stats(frame: bytes) -> Tuple[float, float, float, list]:
-    """Per-frame channel means + per-pixel luma list (RGB24)."""
-    r, g, b = frame[0::3], frame[1::3], frame[2::3]
-    n = len(r)
-    luma = [0.299 * rr + 0.587 * gg + 0.114 * bb for rr, gg, bb in zip(r, g, b)]
-    return sum(r) / n, sum(g) / n, sum(b) / n, luma
+def _video_feature_agg(frames: list, k: int) -> list:
+    """Numpy-vectorized feature aggregation over equal-size RGB24
+    frame buffers: channel means, mean luma, luma std, inter-frame
+    motion (mean |Δluma| of consecutive frames).
+
+    SHARED by the mdat decode paths (`_rawvideo_content_features`,
+    `_mjpeg_content_features`) and the generation-time oracle fixture
+    (multimodal/fixture.py `_video_content_truth`), so the decoder
+    output and the oracle expectation go through bit-identical float
+    reductions — numpy's pairwise sums are deterministic for a given
+    shape, and both sides see the same shape."""
+    import numpy as np
+
+    n_used = len(frames)
+    f = (
+        np.frombuffer(b"".join(frames), np.uint8)
+        .reshape(n_used, -1, 3)
+        .astype(np.float64)
+    )
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b  # (frames, pixels)
+    l_m = luma.mean(axis=1)
+    lvar = float(((luma - l_m[:, None]) ** 2).mean(axis=1).sum())
+    motion = (
+        float(np.abs(luma[1:] - luma[:-1]).mean(axis=1).sum())
+        if n_used > 1
+        else 0.0
+    )
+    feat = [
+        float(r.mean(axis=1).sum()) / n_used / 255.0,
+        float(g.mean(axis=1).sum()) / n_used / 255.0,
+        float(b.mean(axis=1).sum()) / n_used / 255.0,
+        float(l_m.sum()) / n_used / 255.0,
+        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
+        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
+    ]
+    return (feat + [0.0] * k)[:k]
 
 
 def _rawvideo_content_features(
@@ -586,35 +617,15 @@ def _rawvideo_content_features(
     frame_len = w * h * 3
     step = max(1, len(samples) // max_frames)
     picked = samples[::step][:max_frames]
-    mr = mg = mb = ml = lvar = motion = 0.0
-    prev_luma = None
-    n_used = 0
+    frames = []
     for _idx, _ts, off, size in picked:
         frame = payload[off : off + size]
         if size != frame_len or len(frame) != frame_len:
             return None
-        r_m, g_m, b_m, luma = _rawvideo_frame_stats(frame)
-        l_m = sum(luma) / len(luma)
-        mr += r_m
-        mg += g_m
-        mb += b_m
-        ml += l_m
-        lvar += sum((x - l_m) ** 2 for x in luma) / len(luma)
-        if prev_luma is not None:
-            motion += sum(abs(a - b) for a, b in zip(luma, prev_luma)) / len(luma)
-        prev_luma = luma
-        n_used += 1
-    if n_used == 0:
+        frames.append(frame)
+    if not frames:
         return None
-    feat = [
-        mr / n_used / 255.0,
-        mg / n_used / 255.0,
-        mb / n_used / 255.0,
-        ml / n_used / 255.0,
-        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
-        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
-    ]
-    return (feat + [0.0] * k)[:k]
+    return _video_feature_agg(frames, k)
 
 
 # ---------------------------------------------------------------------------
@@ -913,19 +924,31 @@ def decode_jpeg_dc(payload: bytes) -> Tuple[int, int, bytes]:
                     k += 1
             planes[cid].append(acc / (hc * vc))
 
-    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else int(v + 0.5))  # noqa: E731
-    out = bytearray()
+    # YCbCr→RGB over all MCU pixels at once. np.floor(v + 0.5) clipped
+    # to [0,255] is exactly the scalar `0 if v<0 else 255 if v>255 else
+    # int(v+0.5)` (for v in-range int(v+0.5)=floor(v+0.5); out-of-range
+    # values clip to the same endpoints), and elementwise numpy float64
+    # ops are IEEE-identical to the scalar expressions they replace.
+    import numpy as np
+
     ids = [cid for cid, _, _ in scan]
-    for i in range(bw * bh):
-        if len(ids) >= 3:
-            y, cb, cr = planes[ids[0]][i], planes[ids[1]][i], planes[ids[2]][i]
-            out.append(clamp(y + 1.402 * (cr - 128.0)))
-            out.append(clamp(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
-            out.append(clamp(y + 1.772 * (cb - 128.0)))
-        else:
-            g = clamp(planes[ids[0]][i])
-            out.extend((g, g, g))
-    return bw, bh, bytes(out)
+    if len(ids) >= 3:
+        y = np.asarray(planes[ids[0]], dtype=np.float64)
+        cb = np.asarray(planes[ids[1]], dtype=np.float64) - 128.0
+        cr = np.asarray(planes[ids[2]], dtype=np.float64) - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=1,
+        )
+    else:
+        g = np.asarray(planes[ids[0]], dtype=np.float64)
+        rgb = np.stack([g, g, g], axis=1)
+    out = np.clip(np.floor(rgb + 0.5), 0.0, 255.0).astype(np.uint8)
+    return bw, bh, out.tobytes()
 
 
 def _mjpeg_content_features(
@@ -941,10 +964,8 @@ def _mjpeg_content_features(
         return None
     step = max(1, len(samples) // max_frames)
     picked = samples[::step][:max_frames]
-    mr = mg = mb = ml = lvar = motion = 0.0
-    prev_luma = None
-    n_used = 0
     geom = None
+    frames = []
     for _idx, _ts, off, size in picked:
         try:
             bw, bh, rgb = decode_jpeg_dc(payload[off : off + size])
@@ -954,28 +975,10 @@ def _mjpeg_content_features(
             geom = (bw, bh)
         elif geom != (bw, bh):
             return None
-        r_m, g_m, b_m, luma = _rawvideo_frame_stats(rgb)
-        l_m = sum(luma) / len(luma)
-        mr += r_m
-        mg += g_m
-        mb += b_m
-        ml += l_m
-        lvar += sum((x - l_m) ** 2 for x in luma) / len(luma)
-        if prev_luma is not None:
-            motion += sum(abs(a - b) for a, b in zip(luma, prev_luma)) / len(luma)
-        prev_luma = luma
-        n_used += 1
-    if n_used == 0:
+        frames.append(rgb)
+    if not frames:
         return None
-    feat = [
-        mr / n_used / 255.0,
-        mg / n_used / 255.0,
-        mb / n_used / 255.0,
-        ml / n_used / 255.0,
-        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
-        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
-    ]
-    return (feat + [0.0] * k)[:k]
+    return _video_feature_agg(frames, k)
 
 
 def _mp4_features(payload: bytes) -> Tuple[list, Optional[int], str]:

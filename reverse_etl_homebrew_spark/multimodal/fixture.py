@@ -27,8 +27,8 @@ from .binary import (
     _MP4_MEDIA_TS,
     _fake_media_rows,
     _rawvideo_frame_bytes,
-    _rawvideo_frame_stats,
     _stub_content_features,
+    _video_feature_agg,
     encode_mjpeg_frame,
 )
 
@@ -133,35 +133,14 @@ def write_frame_index_fixture(path: str = FRAME_INDEX_FIXTURE, n: int = 120) -> 
 
 
 def _video_content_truth(frames: list, k: int, max_frames: int = 8) -> list:
-    """Replicates the feature aggregation over a list of decoded frame
-    pixel buffers (same op order as _rawvideo_content_features /
-    _mjpeg_content_features so float results are bit-identical)."""
+    """Feature aggregation over the truth frame pixel buffers: same
+    frame-sampling step as the decode paths, then the SAME shared
+    numpy reduction (`_video_feature_agg`) the decoders use — so float
+    results are bit-identical whenever the decoded pixels match the
+    construction-time pixels (which is the thing under test)."""
     step = max(1, len(frames) // max_frames)
     picked = frames[::step][:max_frames]
-    mr = mg = mb = ml = lvar = motion = 0.0
-    prev_luma = None
-    n_used = 0
-    for frame in picked:
-        r_m, g_m, b_m, luma = _rawvideo_frame_stats(frame)
-        l_m = sum(luma) / len(luma)
-        mr += r_m
-        mg += g_m
-        mb += b_m
-        ml += l_m
-        lvar += sum((x - l_m) ** 2 for x in luma) / len(luma)
-        if prev_luma is not None:
-            motion += sum(abs(a - b) for a, b in zip(luma, prev_luma)) / len(luma)
-        prev_luma = luma
-        n_used += 1
-    feat = [
-        mr / n_used / 255.0,
-        mg / n_used / 255.0,
-        mb / n_used / 255.0,
-        ml / n_used / 255.0,
-        min((lvar / n_used) ** 0.5 / 255.0, 1.0),
-        min(motion / max(n_used - 1, 1) / 255.0, 1.0),
-    ]
-    return (feat + [0.0] * k)[:k]
+    return _video_feature_agg(picked, k)
 
 
 def _mjpeg_decoded_frame_truth(rgb: bytes, width: int, height: int) -> bytes:
