@@ -71,8 +71,15 @@ HEAVY_ADDITIONS = [
     # (10 of the 40 videos, up to 8 frames each through the baseline-
     # JPEG DC decoder) — measured +~0.13 s vs the r5 hash-stub rows in
     # a same-session A/B. Price of the stronger operator, not a
-    # regression.
+    # regression. r7: DC block loops numpy-vectorized.
     "multimodal-decode",
+    # r7: the ANN/dedup tier — the 100×-scale cost centers — gets a
+    # per-round wall-time ledger (previously correctness rows only)
+    "knn-join",
+    "knn-join-tables",
+    "decontaminate",
+    "incremental-dedup",
+    "similarity-join",
 ]
 
 
@@ -122,11 +129,17 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 4)
 
     # heavy additions: warm-then-measure each in isolation, gc between
-    # so localCheckpoint/persist blocks from one never bill the next
+    # so localCheckpoint/persist blocks from one never bill the next.
+    # THREE untimed warm passes, not one: the r7 isolated A/B showed
+    # this VM class runs the first 3-4 executions of a heavy iterative
+    # plan 2-8x slow (JIT tiering + page cache) — a single warmup
+    # leaves the median-of-3 reading warm-up, not the operator.
     for name in heavy:
         gc.collect()
-        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        gc.collect()
+        for _ in range(3):
+            Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            gc.collect()
+            spark.catalog.clearCache()
         samples = []
         for _ in range(REPS):
             samples.append(timed_run(name))
