@@ -361,3 +361,85 @@ def test_watermark_stream_reader_incremental(spark, tmp_path):
         assert got == [1, 2, 3, 4, 5]
     finally:
         q.stop()
+
+
+def test_watermark_stream_reader_restart_resumes_offset(spark, tmp_path):
+    """Kill-and-restart recovery: a NEW query instance over the SAME
+    checkpointLocation resumes from the committed watermark offset and
+    does not re-emit rows the dead query already delivered — the
+    property that lets Spark's checkpoint replace the reference's
+    hand-rolled run ledger (main.py:330-345 read, 838 advance). Uses
+    the exactly-once parquet file sink (the memory sink refuses
+    checkpoint recovery), so the output dir after restart is also the
+    end-to-end exactly-once witness: no duplicates, no gaps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reverse_etl_homebrew_spark.sources.duckdb_source import register
+
+    register(spark)
+    src = tmp_path / "remote"
+    src.mkdir()
+
+    def write_file(name, ids, base_day):
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "updated_at": pa.array(
+                        [
+                            dt.datetime(2024, 2, base_day, 9, 0, k)
+                            for k in range(len(ids))
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(src / name),
+        )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start_query():
+        stream = (
+            spark.readStream.format("duckdb_parquet")
+            .option("path", str(src / "*.parquet"))
+            .option("updated_col", "updated_at")
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def sink_ids():
+        return sorted(r["id"] for r in spark.read.parquet(out).collect())
+
+    write_file("f1.parquet", [1, 2, 3], base_day=1)
+    q1 = start_query()
+    try:
+        q1.processAllAvailable()
+        assert sink_ids() == [1, 2, 3]
+    finally:
+        q1.stop()  # simulated crash/shutdown after the commit
+
+    # new data lands while no query is running
+    write_file("f2.parquet", [4, 5], base_day=2)
+
+    # restart: fresh query instance, same checkpoint. Ids 1-3 appearing
+    # twice in the sink would mean the committed offset was not resumed.
+    q2 = start_query()
+    try:
+        q2.processAllAvailable()
+        assert sink_ids() == [1, 2, 3, 4, 5], "restart re-emitted or dropped rows"
+
+        # and the resumed query keeps advancing normally
+        write_file("f3.parquet", [6], base_day=3)
+        q2.processAllAvailable()
+        assert sink_ids() == [1, 2, 3, 4, 5, 6]
+    finally:
+        q2.stop()
