@@ -301,3 +301,128 @@ def bm25_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "bm25")
     )
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k characteristic terms by tf-idf — the
+    keyword-extraction face of the retrieval stack (tf and idf from
+    the same tokenize→aggregate spine as ``bm25_topk``).
+
+    Shape: one explode (map-side), one (id, term) groupBy for tf, one
+    small term groupBy for df, a 1-row corpus count crossJoin, and a
+    per-id window for the top-k cut. The df join is on the term
+    vocabulary — heavy-tailed but bounded; AQE handles the skewed
+    stop-term buckets (tf rows for a stop term are at most n_docs).
+
+    Determinism: tf/df/n_docs are integers; the float score is rounded
+    to 6 decimals BEFORE ranking with a term tie-break, so the window
+    order (and therefore the emitted row set) is cross-engine stable
+    — the same device the oracle-green ``bm25_topk`` uses."""
+    from pyspark.sql import Window as W
+
+    from ..functions import text as TX
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(TX.normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.agg(F.countDistinct("id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, ["term"])
+        .crossJoin(stats)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
+    )
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document cross-entropy under a char-trigram language model
+    trained on the corpus itself — the classic cheap perplexity-style
+    quality filter for training-data pipelines (docs whose character
+    statistics diverge from the corpus — boilerplate, foreign text,
+    binary junk — score high).
+
+    Model: add-one-smoothed P(c3 | c1c2) = (count(g)+1) /
+    (count(ctx)+V), with count(ctx) the corpus occurrences of the
+    2-char context as a trigram prefix and V the corpus alphabet size
+    (distinct third chars). Score = mean over the document's trigram
+    OCCURRENCES of -ln P, i.e. its per-char cross-entropy in nats.
+
+    Shape: trigram explode from a pre-split char array (O(1) per char
+    — UTF8String.substring would be O(position), see SCALE.md), one
+    groupBy for the trigram counts, a prefix re-aggregation OF THE
+    COUNTS (vocabulary-sized, not corpus-sized), the model joined back
+    to the per-doc gram rows on the trigram key, and one per-doc agg.
+    The model table is vocabulary-bounded (≤ V^3 rows): broadcastable
+    on a cluster; the in-doc sum is exact DECIMAL so the result is
+    independent of partition/accumulation order (cross-engine stable
+    after the 6-decimal round)."""
+    from ..functions import text as TX
+
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            TX.char_ngrams_from(
+                TX.char_array(TX.normalized_text(F.col(text_col))), 3
+            )
+        ).alias("g"),
+    )
+    c3 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
+    ctx = c3.groupBy(F.substring("g", 1, 2).alias("pfx")).agg(
+        F.sum("c3").alias("c2")
+    )
+    vocab = c3.agg(
+        F.countDistinct(F.substring("g", 3, 1)).alias("v_next")
+    )
+    model = (
+        c3.withColumn("pfx", F.substring("g", 1, 2))
+        .join(ctx, ["pfx"])
+        .crossJoin(vocab)
+        .select(
+            "g",
+            (
+                -F.log(
+                    (F.col("c3") + F.lit(1).cast("double"))
+                    / (F.col("c2") + F.col("v_next"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        grams.join(model, ["g"])
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.round(
+                (
+                    F.sum(F.col("nll").cast("decimal(38,12)"))
+                    / F.count(F.lit(1))
+                ).cast("double"),
+                6,
+            ).alias("xent_nats"),
+        )
+        .select(F.col("id").alias(id_col), "n_trigrams", "xent_nats")
+    )

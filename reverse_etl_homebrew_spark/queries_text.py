@@ -947,3 +947,120 @@ def q_hybrid_rrf(spark, sf_dir):
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.col("doc_id")).limit(10)
+
+
+@register(
+    "tfidf-topterms",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split({_NORM_SQL.format(c='text')}, ' ')) AS term
+      FROM documents
+    ), toks2 AS (
+      SELECT id, term FROM toks WHERE length(term) > 0
+    ), tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM toks2 GROUP BY id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), stats AS (
+      SELECT COUNT(DISTINCT id) AS n_docs FROM toks2
+    )
+    SELECT id AS doc_id, term, tfidf, rank FROM (
+      SELECT id, term,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY id
+               ORDER BY ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC, term
+             ) AS rank
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf (score
+    rounded before ranking, term tie-break → cross-engine-stable row
+    set; operators/similarity.py tfidf_topterms)."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.tfidf_topterms(d, k=3)
+
+
+@register(
+    "trigram-lm-score",
+    sql=f"""
+    WITH norm AS (
+      SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS t FROM documents
+    ), grams AS (
+      SELECT id, substr(t, i, 3) AS g
+      FROM norm, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+    ), c3 AS (
+      SELECT g, COUNT(*) AS c3 FROM grams GROUP BY g
+    ), ctx AS (
+      SELECT substr(g, 1, 2) AS pfx, SUM(c3) AS c2 FROM c3 GROUP BY pfx
+    ), vocab AS (
+      SELECT COUNT(DISTINCT substr(g, 3, 1)) AS v_next FROM c3
+    ), model AS (
+      SELECT g, -ln((c3 + CAST(1 AS DOUBLE)) / (c2 + v_next)) AS nll
+      FROM c3 JOIN ctx ON substr(g, 1, 2) = pfx CROSS JOIN vocab
+    )
+    SELECT id AS doc_id,
+           COUNT(*) AS n_trigrams,
+           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) / COUNT(*) AS DOUBLE), 6)
+             AS xent_nats
+    FROM grams JOIN model USING (g)
+    GROUP BY id
+    """,
+)
+def q_trigram_lm_score(spark, sf_dir):
+    """Char-trigram LM cross-entropy per document (add-one smoothing,
+    corpus-trained) — the cheap perplexity-style quality filter;
+    DECIMAL-exact in-doc sum makes the float result accumulation-order
+    independent (operators/similarity.py trigram_lm_score)."""
+    d = _t(spark, sf_dir, "documents")
+    return SIM.trigram_lm_score(d)
+
+
+@register(
+    "weighted-sample",
+    sql=r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(trim(text), '\S+')) AS DOUBLE) AS n_tok,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+                            AS DOUBLE) / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END AS punct_ratio
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             0.4::DOUBLE * (CASE WHEN n_chars >= 50 AND n_chars <= 20000
+                                 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+           + 0.3::DOUBLE * (CASE WHEN n_tok > 0 AND n_chars / n_tok >= 3.0
+                                      AND n_chars / n_tok <= 12.0
+                                 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+           + 0.3::DOUBLE * (CASE WHEN punct_ratio <= 0.2
+                                 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+      FROM m
+    )
+    SELECT doc_id, quality
+    FROM q
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+          < quality * 32768.0
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic quality-weighted sampling: keep each document
+    with probability quality/2, decided by an md5-derived uniform —
+    importance sampling for training-data mixing, seedless and stable
+    under reruns/repartitioning (same md5-prefix device as
+    stratified-sample; comparison is integer-vs-double with a discrete
+    quality lattice, so the kept set is cross-engine exact)."""
+    d = _t(spark, sf_dir, "documents")
+    u16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    q = TX.quality_score(F.col("text"))
+    return (
+        d.select("doc_id", q.alias("quality"), u16.alias("__u"))
+        .filter(F.col("__u") < F.col("quality") * 32768.0)
+        .drop("__u")
+    )
