@@ -681,7 +681,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes: int = 8,
+    planes: "int | None" = 8,
     probe_radius: int = 1,
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, candidate-bounded
@@ -693,12 +693,32 @@ def embedding_near_dup_pairs(
     exhaustive-recall configuration the oracle-checked queries use
     (twin vectors land ≥2 bit flips apart often enough that radius 1
     measurably loses pairs). Scores round to 6 decimals for
-    cross-engine determinism."""
+    cross-engine determinism.
+
+    ``planes=None`` auto-sizes the bucket space to the corpus like
+    ``knn_join`` (target ~64 vectors/bucket, 4..16 planes): in-bucket
+    candidate count scales with n²/2^planes, so a constant plane count
+    turns corpus growth into quadratic join work. The oracle-checked
+    queries pin ``planes=8`` because their SQL re-derives the same
+    bucket constants.
+
+    Per-pair work is one dot product: vector norms are computed once
+    per vector (same doubles as computing them per pair — the cosine
+    value is bit-identical) instead of once per candidate. No
+    candidate dedup pass is needed: a vector's probe values are
+    pairwise-distinct, so an ordered pair can match on exactly one
+    bucket value — the join already emits each pair at most once."""
     dim = VEC.infer_dim(df, vec_col)
+    if planes is None:
+        import math
+
+        n = df.count()
+        planes = max(4, min(16, math.ceil(math.log2(max(n, 2) / 64))))
     hyperplanes = _deterministic_planes(planes, dim)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        VEC.l2_norm(F.col(vec_col), dim).alias("nrm"),
         VEC.random_hyperplane_signs(F.col(vec_col), hyperplanes).alias("b0"),
     )
     probes = [F.col("b0")] + [
@@ -710,15 +730,22 @@ def embedding_near_dup_pairs(
             for i in range(planes)
             for j in range(i)
         ]
-    probed = base.select("id", "v", F.explode(F.array(*probes)).alias("bucket"))
-    anchors = base.select(
-        F.col("id").alias("b_id"), F.col("v").alias("b_v"), F.col("b0").alias("bucket")
+    probed = base.select(
+        "id", "v", "nrm", F.explode(F.array(*probes)).alias("bucket")
     )
+    anchors = base.select(
+        F.col("id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("b0").alias("bucket"),
+    )
+    den = F.col("nrm") * F.col("b_nrm")
     pairs = (
         probed.join(anchors, ["bucket"])
         .filter(F.col("id") < F.col("b_id"))
-        .dropDuplicates(["id", "b_id"])
-        .withColumn("cos", VEC.cosine(F.col("v"), F.col("b_v"), dim))
+        .withColumn(
+            "cos", F.when(den > 0, VEC.dot(F.col("v"), F.col("b_v"), dim) / den)
+        )
         .filter(F.col("cos") >= threshold)
         .select(F.col("id").alias("a_id"), "b_id", F.round("cos", 6).alias("cos"))
     )

@@ -140,11 +140,27 @@ def knn_join(
     if planes is None and not exact:
         n_right = right.count()
         planes = min(16, max(6, math.ceil(math.log2(max(n_right, 1) / 64 + 1))))
-    l = left.select(F.col(left_id).alias("l_id"), F.col(vec_col).alias("l_v"))
-    r = right.select(F.col(right_id).alias("r_id"), F.col(vec_col).alias("r_v"))
+    # norms computed once per vector, not once per candidate pair —
+    # bit-identical score (see VEC.cosine_with_norms)
+    l = left.select(
+        F.col(left_id).alias("l_id"),
+        F.col(vec_col).alias("l_v"),
+        VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
+    )
+    r = right.select(
+        F.col(right_id).alias("r_id"),
+        F.col(vec_col).alias("r_v"),
+        VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
+    )
+    score_expr = F.round(
+        VEC.cosine_with_norms(
+            F.col("l_v"), F.col("r_v"), F.col("l_nrm"), F.col("r_nrm"), dim
+        ),
+        6,
+    )
     if exact:
         scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
-            "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
+            "score", score_expr
         )
     elif tables == 1:
         # single-table: pure-codegen sign fold (bit-identical to the
@@ -171,9 +187,7 @@ def knn_join(
         # equi-join on the bucket key: each right row lives in exactly
         # one bucket and probe buckets are distinct, so a (l, r) pair
         # matches at most once — no post-join dedup needed
-        scored = l.join(r, "__bucket").withColumn(
-            "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
-        )
+        scored = l.join(r, "__bucket").withColumn("score", score_expr)
     else:
         # multi-table: L·p flat sign folds in one projection overflow
         # the JIT method budget and run interpreted (measured 6×
@@ -201,9 +215,7 @@ def knn_join(
         ).drop("__tb")
         # a pair can match in several tables → dedup before scoring
         cand = l.join(r, "__bucket").dropDuplicates(["l_id", "r_id"])
-        scored = cand.withColumn(
-            "score", F.round(VEC.cosine(F.col("l_v"), F.col("r_v"), dim), 6)
-        )
+        scored = cand.withColumn("score", score_expr)
     w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))

@@ -178,3 +178,33 @@ def test_content_dedup_removes_planted_dup(spark, docs):
     out = DD.content_dedup(corpus, "text")
     ids = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 0 in ids and 999999 not in ids
+
+
+def test_embedding_near_dup_emits_each_pair_once(spark, emb):
+    """The probe join's correctness argument for having no dedup pass:
+    a vector's probe values are pairwise-distinct, so an ordered pair
+    can collide on exactly one bucket value — verified here at the
+    exhaustive probe_radius=2 where duplicates would be likeliest."""
+    pairs = DD.embedding_near_dup_pairs(
+        emb, threshold=-1.0, probe_radius=2
+    ).collect()
+    keys = [(r["a_id"], r["b_id"]) for r in pairs]
+    assert len(keys) == len(set(keys)), "duplicate candidate pairs emitted"
+    assert all(a < b for a, b in keys)
+
+
+def test_embedding_near_dup_auto_planes(spark, emb):
+    """planes=None sizes the bucket space from the corpus (4..16) and
+    still finds the self-duplicate planted pairs."""
+    base = emb.select("vec_id", "embedding")
+    doubled = base.unionByName(
+        base.selectExpr("vec_id + 100000 AS vec_id", "embedding")
+    )
+    pairs = DD.embedding_near_dup_pairs(
+        doubled, threshold=0.999, planes=None, probe_radius=2
+    ).collect()
+    found = {(r["a_id"], r["b_id"]) for r in pairs}
+    expected = {
+        (r["vec_id"], r["vec_id"] + 100000) for r in emb.select("vec_id").collect()
+    }
+    assert expected <= found
