@@ -1064,3 +1064,130 @@ def q_weighted_sample(spark, sf_dir):
         .filter(F.col("__u") < F.col("quality") * 32768.0)
         .drop("__u")
     )
+
+
+# Patterns shared by the Spark and DuckDB sides of pii-scrub: the
+# common Java-regex/RE2 subset (no lookaround, no \d shorthand inside
+# classes) so both engines match the exact same spans.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@register(
+    "pii-scrub",
+    sql=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+           len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g'),
+                 '{_PII_IP}', '[IP]', 'g')) AS scrubbed_md5
+    FROM planted
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + masking over document text — the scrub pass a
+    training-data pipeline runs before anything else (emails, phone
+    numbers, IP addresses → typed placeholder tokens, with per-doc
+    match counts for audit). The corpus carries no real PII, so a
+    deterministic planted sentence (every 7th doc) makes the expected
+    matches known by construction; the md5 of the scrubbed text proves
+    the REPLACEMENT byte-exactly, not just the counts. Pure Column
+    regex ops — map-side, no shuffle, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ),
+    ).otherwise(F.col("text"))
+    t = planted
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), 0)).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "dedup-rate-report",
+    sql=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256({_NORM_SQL.format(c='text')})) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT sha256({_NORM_SQL.format(c='text')}))
+                            AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_dedup_rate_report(spark, sf_dir):
+    """Per-source duplication audit: doc counts, distinct canonical
+    fingerprints, and the implied duplicate rate — the observability
+    face of the dedup tier (which sources are worth scrubbing first).
+    One hash-groupBy; the distinct-count is exact (it feeds a rate
+    gate, not a dashboard — approx_count_distinct would jitter the
+    report across runs)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = TX.sha_fingerprint(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct(fp).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "length-histogram",
+    sql=r"""
+    SELECT least(len(regexp_extract_all(trim(text), '\S+')) // 50, 20) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY bucket
+    """,
+)
+def q_length_histogram(spark, sf_dir):
+    """Token-length histogram (50-token buckets, top-coded at 1000+):
+    the distribution a sequence-packing planner reads before choosing
+    context length / packing strategy. Map-side bucket expression +
+    one small groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(TX.token_count(F.col("text")) / 50), F.lit(20)
+    ).cast("long")
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
