@@ -1255,3 +1255,97 @@ def video_frame_index(df: DataFrame, every_ms: Optional[int] = None) -> DataFram
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_INDEX_SCHEMA])
 
     return videos.mapInPandas(demux, FRAME_INDEX_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Image resize (decode → numpy gather → stats), SURVEY §2.11 multimodal
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("src_w", T.IntegerType()),
+        T.StructField("src_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        # md5 of the resized RGB24 buffer: proves the resample
+        # byte-exactly against the generation-time fixture without
+        # shipping pixels through the compare
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def resize_rgb(rgb: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor RGB24 resize: source index = floor(i·src/out)
+    per axis (the left-aligned NN convention — deterministic, no
+    float sampling grid), as one numpy fancy-index gather. SHARED by
+    the operator and the generation-time fixture truth, so resized
+    bytes compare md5-exactly whenever the decoded pixels match the
+    construction-time pixels (PNG is lossless, so they must)."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return a[ys][:, xs].tobytes()
+
+
+def resized_stats(rgb: bytes, out_w: int, out_h: int) -> list:
+    """Channel means of a resized RGB24 buffer, rounded to 6 — also
+    shared with the fixture truth (same reduction, same rounding)."""
+    import numpy as np
+
+    a = (
+        np.frombuffer(rgb, np.uint8)
+        .reshape(out_w * out_h, 3)
+        .astype(np.float64)
+        .mean(axis=0)
+    )
+    return [round(float(x), 6) for x in a]
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Arrow-batched PNG decode → nearest-neighbor resize over
+    ``mapInPandas`` — the resize stage of a multimodal ingest pipeline
+    (normalize every image to a fixed training resolution). Failed or
+    non-PNG payloads yield decode_ok=false rows (media-DLQ pattern),
+    never task failures. Only ``media_id``/``payload``/``meta`` are
+    read; callers filtering ``meta.kind == 'image'`` first keep the
+    payload scan pruned to image rows."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, ch, rgb = decode_png(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    if ch != 3:
+                        raise ValueError("resize expects RGB8")
+                    rz = resize_rgb(rgb, w, h, out_w, out_h)
+                    st = resized_stats(rz, out_w, out_h)
+                    row = (
+                        True, w, h, out_w, out_h,
+                        _hashlib.md5(rz).hexdigest(), st[0], st[1], st[2],
+                    )
+                except Exception:
+                    row = (False, None, None, out_w, out_h, None, None, None, None)
+                out["media_id"].append(media_id)
+                for f, v in zip(
+                    ["decode_ok", "src_w", "src_h", "out_w", "out_h",
+                     "resized_md5", "mean_r", "mean_g", "mean_b"],
+                    row,
+                ):
+                    out[f].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)

@@ -293,3 +293,65 @@ def write_media_features_fixture(
     )
     pq.write_table(table, path)
     return len(rows)
+
+
+# ---------------------------------------------------------------------------
+# image-resize ground truth (resize oracle)
+# ---------------------------------------------------------------------------
+
+IMAGE_RESIZE_FIXTURE = os.path.join(_FIXTURE_DIR, "image_resize_n120.parquet")
+
+
+def ground_truth_resize_rows(n: int = 120, out_w: int = 8, out_h: int = 8) -> list:
+    """Expected resize_images output per IMAGE row, from the
+    generation-time raw pixels (PNG is lossless, so the decoded pixels
+    must equal the construction pixels; the resize + stats helpers are
+    the shared ones, making the md5/means exact)."""
+    import hashlib
+
+    from .binary import resize_rgb, resized_stats
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 0:  # not an image row
+            continue
+        w, h = 4 + i % 13, 3 + i % 7
+        rgb = bytes(
+            (x * 7 + y * 13 + c * 29 + i) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        rz = resize_rgb(rgb, w, h, out_w, out_h)
+        st = resized_stats(rz, out_w, out_h)
+        rows.append(
+            (i, True, w, h, out_w, out_h,
+             hashlib.md5(rz).hexdigest(), st[0], st[1], st[2])
+        )
+    return rows
+
+
+def write_image_resize_fixture(
+    path: str = IMAGE_RESIZE_FIXTURE, n: int = 120
+) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = ground_truth_resize_rows(n)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "decode_ok": pa.array(cols[1], pa.bool_()),
+            "src_w": pa.array(cols[2], pa.int32()),
+            "src_h": pa.array(cols[3], pa.int32()),
+            "out_w": pa.array(cols[4], pa.int32()),
+            "out_h": pa.array(cols[5], pa.int32()),
+            "resized_md5": pa.array(cols[6], pa.string()),
+            "mean_r": pa.array(cols[7], pa.float64()),
+            "mean_g": pa.array(cols[8], pa.float64()),
+            "mean_b": pa.array(cols[9], pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+    return len(rows)

@@ -610,3 +610,29 @@ def q_similarity_join(spark, sf_dir):
     return DD.embedding_near_dup_pairs(
         _planted_embeddings(spark, sf_dir), threshold=0.5
     )
+
+
+def _image_resize_sql() -> str:
+    from .multimodal.fixture import IMAGE_RESIZE_FIXTURE
+
+    return f"""
+    SELECT media_id, decode_ok, src_w, src_h, out_w, out_h,
+           resized_md5, mean_r, mean_g, mean_b
+    FROM read_parquet('{IMAGE_RESIZE_FIXTURE}')
+    """
+
+
+@register("image-resize", sql=_image_resize_sql())
+def q_image_resize(spark, sf_dir):
+    """Image resize stage of the multimodal ingest pipeline: PNG
+    decode → nearest-neighbor resample to a fixed training resolution
+    (8x8 here) over Arrow-batched mapInPandas. Oracle-backed by the
+    generation-time fixture: expected resized bytes (compared by md5)
+    and channel means are computed from the RAW pre-encode pixels —
+    PNG is lossless, so any decoder or resampler defect is a value
+    mismatch (multimodal/binary.py resize_images)."""
+    from .multimodal.binary import fake_media_table, resize_images
+
+    media = fake_media_table(spark, 120)
+    images = media.filter(F.col("meta.kind") == "image")
+    return resize_images(images, out_w=8, out_h=8)

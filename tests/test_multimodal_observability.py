@@ -517,3 +517,47 @@ def test_jpeg_dc_decode_420_subsampled():
         r, g, b = rgb[mcu * 3 : mcu * 3 + 3]
         # neutral chroma → gray; Y averaged over the 4 blocks
         assert abs(r - exp) <= 3 and abs(g - exp) <= 3 and abs(b - exp) <= 3
+
+
+def test_resize_rgb_nearest_neighbor_exact():
+    """2x2 -> 4x4 nearest neighbor: each source pixel becomes a 2x2
+    block (left-aligned floor mapping: src = floor(i*2/4))."""
+    from reverse_etl_homebrew_spark.multimodal.binary import resize_rgb
+
+    px = {
+        (0, 0): b"\x01\x02\x03", (1, 0): b"\x04\x05\x06",
+        (0, 1): b"\x07\x08\x09", (1, 1): b"\x0a\x0b\x0c",
+    }
+    rgb = px[(0, 0)] + px[(1, 0)] + px[(0, 1)] + px[(1, 1)]
+    out = resize_rgb(rgb, 2, 2, 4, 4)
+    expect = b"".join(
+        px[(min(x // 2, 1), min(y // 2, 1))] for y in range(4) for x in range(4)
+    )
+    assert out == expect
+    # downscale 4x4 -> 2x2 picks the top-left of each block
+    back = resize_rgb(out, 4, 4, 2, 2)
+    assert back == rgb
+
+
+def test_resize_images_bad_payload_is_dlq_row(spark):
+    """A poisoned payload yields decode_ok=false, never a task error."""
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        encode_png,
+        resize_images,
+    )
+
+    rows = [
+        (1, bytearray(encode_png(2, 2, bytes(range(12)))),
+         ("image", "image/png", 2, 2, None, 0)),
+        (2, bytearray(b"not a png at all"),
+         ("image", "image/png", 2, 2, None, 0)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resize_images(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), 4, 4
+        ).collect()
+    }
+    assert out[1]["decode_ok"] and out[1]["resized_md5"]
+    assert out[2]["decode_ok"] is False and out[2]["resized_md5"] is None
