@@ -197,6 +197,33 @@ def main() -> None:
             spark.catalog.clearCache()
         variant_timings[label] = round(statistics.median(samples), 4)
 
+    # plan-variant datapoint: the near-dup pair join with an
+    # auto-sized bucket space (the production default at scale) vs the
+    # registered query's oracle-pinned 8 planes above — records what
+    # right-sizing the bucket count buys at this SF.
+    def _simjoin_auto(spark, sf):
+        from reverse_etl_homebrew_spark.operators import dedup as DD
+        from reverse_etl_homebrew_spark.queries_text import _planted_embeddings
+
+        return DD.embedding_near_dup_pairs(
+            _planted_embeddings(spark, sf), threshold=0.5, planes=None
+        )
+
+    gc.collect()
+    _simjoin_auto(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    gc.collect()
+    spark.catalog.clearCache()
+    samples = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        _simjoin_auto(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+        gc.collect()
+        spark.catalog.clearCache()
+    variant_timings["similarity-join[auto-planes]"] = round(
+        statistics.median(samples), 4
+    )
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
