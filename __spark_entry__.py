@@ -36,33 +36,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys lead. Round 7: the cap is COUNTED (asserted by
 # tests/test_entry_rotation.py). Order: (a) the 13 keys whose latest
 # driver evidence is round 4 — the planned round-6 overflow, now the
-# stalest cohort; (b) keys whose code changed this round
-# (multimodal-decode: numpy-vectorized MJPEG DC decode) plus the two
-# perf-audited heavy operators so the post-A/B code gets fresh rows;
-# (c) 34 of the 49 round-5-evidenced keys, so no key's evidence is
-# older than r5 after this round. 15 simple scalar-projection r5 keys
-# (bool-normalize, email-normalize, patient-projection, ...) overflow
-# to round 8 — pure Column expressions, least likely to regress. Keys
-# not listed keep registry order after these.
+# stalest cohort; (b) the 7 keys ADDED this round (never had a driver
+# row) and the keys whose code changed (multimodal-decode: numpy
+# MJPEG DC; similarity-join/embedding-near-dup/knn family: pair-
+# scoring rewrite) plus the two perf-audited heavy operators; (c) 21
+# of the 49 round-5-evidenced keys. The remaining 28 r5 keys (simple
+# scalar projections and small variants) roll to round 8 still
+# satisfying "no evidence older than r5". Keys not listed keep
+# registry order after these.
 _PRIORITY = [
     # -- (a) round-4 cohort: stalest driver evidence --
     "pivot-agg", "running-window", "lag-lead", "unpivot-melt",
     "gap-fill", "quantiles", "string-funcs", "null-safe-join",
     "distinct-agg", "array-ops", "struct-json-ops",
     "explode-posexplode", "conditional-agg",
+    # -- (b) new this round (no driver row yet) --
+    "tfidf-topterms", "trigram-lm-score", "weighted-sample",
+    "pii-scrub", "dedup-rate-report", "length-histogram",
+    "image-resize",
     # -- (b) code changed / perf-audited this round --
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
-    # -- (c) round-5 cohort, 34 of 49 --
+    "similarity-join", "embedding-near-dup", "knn-join",
+    "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
+    # -- (c) round-5 cohort, 21 of 49 --
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
     "ambiguity-count", "approx-distinct", "equi-inner-join",
     "idmap-join", "email-match-join", "tiered-match-join", "anti-join",
     "semi-join", "dlq-attempt-join", "window-rank", "dedup-lastwin",
-    "union-all", "set-intersect", "set-except", "tumbling-window",
-    "sliding-window", "session-window", "token-count", "text-analysis",
-    "quality-score", "doc-fingerprint", "lang-id", "simhash-dedup",
-    "ngram-jaccard", "ledger-watermark-read", "dlq-attempt-read",
+    "union-all", "tumbling-window",
     # ---- 50-cap boundary: everything below rolls to round 8 ----
+    "sliding-window", "session-window", "text-analysis",
+    "set-intersect", "set-except", "token-count", "quality-score",
+    "doc-fingerprint", "lang-id", "simhash-dedup", "ngram-jaccard",
+    "ledger-watermark-read", "dlq-attempt-read",
     "bool-normalize", "identifier-canon", "email-normalize",
     "phi-redact", "epoch-millis", "eastern-date", "json-payload",
     "natural-key", "next-birthday", "patient-projection",

@@ -13,16 +13,24 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round: code changed, or driver
-# evidence is stale (round 4 — the planned round-6 overflow).
+# Keys that MUST be inside the cap this round: added or code changed
+# this round, or driver evidence is stale (round 4 — the planned
+# round-6 overflow).
 MUST_RUN_R7 = {
     # r4-stale cohort (round-6 overflow, now the stalest evidence)
     "pivot-agg", "running-window", "lag-lead", "unpivot-melt",
     "gap-fill", "quantiles", "string-funcs", "null-safe-join",
     "distinct-agg", "array-ops", "struct-json-ops",
     "explode-posexplode", "conditional-agg",
-    # code changed (numpy MJPEG decode) / perf-audited this round
+    # added this round — never had a driver row
+    "tfidf-topterms", "trigram-lm-score", "weighted-sample",
+    "pii-scrub", "dedup-rate-report", "length-histogram",
+    "image-resize",
+    # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
+    # perf-audited this round
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
+    "similarity-join", "embedding-near-dup", "knn-join",
+    "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
 }
 
 
