@@ -36,11 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys lead. Round 7: the cap is COUNTED (asserted by
 # tests/test_entry_rotation.py). Order: (a) the 13 keys whose latest
 # driver evidence is round 4 — the planned round-6 overflow, now the
-# stalest cohort; (b) the 7 keys ADDED this round (never had a driver
+# stalest cohort; (b) the 8 keys ADDED this round (never had a driver
 # row) and the keys whose code changed (multimodal-decode: numpy
 # MJPEG DC; similarity-join/embedding-near-dup/knn family: pair-
-# scoring rewrite) plus the two perf-audited heavy operators; (c) 21
-# of the 49 round-5-evidenced keys. The remaining 28 r5 keys (simple
+# scoring rewrite) plus the two perf-audited heavy operators; (c) 20
+# of the 49 round-5-evidenced keys. The remaining 29 r5 keys (simple
 # scalar projections and small variants) roll to round 8 still
 # satisfying "no evidence older than r5". Keys not listed keep
 # registry order after these.
@@ -50,22 +50,23 @@ _PRIORITY = [
     "gap-fill", "quantiles", "string-funcs", "null-safe-join",
     "distinct-agg", "array-ops", "struct-json-ops",
     "explode-posexplode", "conditional-agg",
-    # -- (b) new this round (no driver row yet) --
+    # -- (b) new this round (no driver row yet, 8 keys) --
     "tfidf-topterms", "trigram-lm-score", "weighted-sample",
     "pii-scrub", "dedup-rate-report", "length-histogram",
-    "image-resize",
+    "image-resize", "audio-resample",
     # -- (b) code changed / perf-audited this round --
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
     "similarity-join", "embedding-near-dup", "knn-join",
     "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
-    # -- (c) round-5 cohort, 21 of 49 --
+    # -- (c) round-5 cohort, 20 of 49 --
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
     "ambiguity-count", "approx-distinct", "equi-inner-join",
     "idmap-join", "email-match-join", "tiered-match-join", "anti-join",
     "semi-join", "dlq-attempt-join", "window-rank", "dedup-lastwin",
-    "union-all", "tumbling-window",
+    "union-all",
     # ---- 50-cap boundary: everything below rolls to round 8 ----
+    "tumbling-window",
     "sliding-window", "session-window", "text-analysis",
     "set-intersect", "set-except", "token-count", "quality-score",
     "doc-fingerprint", "lang-id", "simhash-dedup", "ngram-jaccard",

@@ -1349,3 +1349,93 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio resample (decode → numpy gather → stats) — the audio twin of
+# image-resize in the multimodal ingest pipeline
+# ---------------------------------------------------------------------------
+
+RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("src_rate", T.IntegerType()),
+        T.StructField("src_n", T.IntegerType()),
+        T.StructField("out_rate", T.IntegerType()),
+        T.StructField("out_n", T.IntegerType()),
+        T.StructField("resampled_md5", T.StringType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+
+def resample_pcm(samples, src_rate: int, out_rate: int):
+    """Nearest-sample PCM resample: output index i reads source index
+    floor(i·src/out) — the sample-and-hold analog of the image
+    resize's left-aligned NN gather (no interpolation, so int16
+    values pass through bit-exactly; a real DSP pipeline would swap
+    in a polyphase filter here, the Spark-side shape is identical).
+    Output length = ceil(n·out/src) so the clip duration is
+    preserved. SHARED with the fixture truth."""
+    import numpy as np
+
+    n = len(samples)
+    out_n = -(-n * out_rate // src_rate)  # ceil
+    idx = (np.arange(out_n) * src_rate) // out_rate
+    return samples[idx]
+
+
+def pcm_stats(samples) -> list:
+    """RMS and peak of int16 PCM in [-1,1], rounded to 6 — shared
+    with the fixture truth (same reduction, same rounding)."""
+    import numpy as np
+
+    if len(samples) == 0:
+        return [0.0, 0.0]
+    x = samples.astype(np.float64) / 32768.0
+    return [
+        round(float(np.sqrt(np.mean(x**2))), 6),
+        round(float(np.max(np.abs(x))), 6),
+    ]
+
+
+def resample_audio(df: DataFrame, out_rate: int = 4000) -> DataFrame:
+    """Arrow-batched WAV decode → nearest-sample resample over
+    ``mapInPandas`` — normalize every clip to a fixed training sample
+    rate. Same contracts as ``resize_images``: failed decodes become
+    decode_ok=false rows; audio rows should be routed in by the
+    caller's metadata filter so the payload scan stays pruned."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = {k.name: [] for k in RESAMPLE_SCHEMA.fields}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, nch, samples = decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    if nch != 1:
+                        raise ValueError("resample expects mono PCM")
+                    rz = resample_pcm(samples, rate, out_rate)
+                    st = pcm_stats(rz)
+                    row = (
+                        True, rate, len(samples), out_rate, len(rz),
+                        _hashlib.md5(rz.tobytes()).hexdigest(), st[0], st[1],
+                    )
+                except Exception:
+                    row = (False, None, None, out_rate, None, None, None, None)
+                out["media_id"].append(media_id)
+                for f, v in zip(
+                    ["decode_ok", "src_rate", "src_n", "out_rate", "out_n",
+                     "resampled_md5", "rms", "peak"],
+                    row,
+                ):
+                    out[f].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, RESAMPLE_SCHEMA)

@@ -355,3 +355,64 @@ def write_image_resize_fixture(
     )
     pq.write_table(table, path)
     return len(rows)
+
+
+# ---------------------------------------------------------------------------
+# audio-resample ground truth (resample oracle)
+# ---------------------------------------------------------------------------
+
+AUDIO_RESAMPLE_FIXTURE = os.path.join(_FIXTURE_DIR, "audio_resample_n120.parquet")
+
+
+def ground_truth_resample_rows(n: int = 120, out_rate: int = 4000) -> list:
+    """Expected resample_audio output per AUDIO row, from the
+    generation-time raw PCM samples (WAV is lossless int16, so the
+    decoded samples must equal the construction samples; the resample
+    + stats helpers are the shared ones)."""
+    import hashlib
+
+    import numpy as np
+
+    from .binary import pcm_stats, resample_pcm
+
+    rows = []
+    for i in range(n):
+        if i % 3 != 1:  # not an audio row
+            continue
+        n_samp = 160 + (i * 37) % 640
+        samples = np.array(
+            [((j * (13 + i)) % 4096) - 2048 for j in range(n_samp)],
+            dtype=np.int16,
+        )
+        rz = resample_pcm(samples, 8000, out_rate)
+        st = pcm_stats(rz)
+        rows.append(
+            (i, True, 8000, n_samp, out_rate, len(rz),
+             hashlib.md5(rz.tobytes()).hexdigest(), st[0], st[1])
+        )
+    return rows
+
+
+def write_audio_resample_fixture(
+    path: str = AUDIO_RESAMPLE_FIXTURE, n: int = 120
+) -> int:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = ground_truth_resample_rows(n)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "decode_ok": pa.array(cols[1], pa.bool_()),
+            "src_rate": pa.array(cols[2], pa.int32()),
+            "src_n": pa.array(cols[3], pa.int32()),
+            "out_rate": pa.array(cols[4], pa.int32()),
+            "out_n": pa.array(cols[5], pa.int32()),
+            "resampled_md5": pa.array(cols[6], pa.string()),
+            "rms": pa.array(cols[7], pa.float64()),
+            "peak": pa.array(cols[8], pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+    return len(rows)

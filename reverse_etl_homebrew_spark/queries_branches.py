@@ -636,3 +636,29 @@ def q_image_resize(spark, sf_dir):
     media = fake_media_table(spark, 120)
     images = media.filter(F.col("meta.kind") == "image")
     return resize_images(images, out_w=8, out_h=8)
+
+
+def _audio_resample_sql() -> str:
+    from .multimodal.fixture import AUDIO_RESAMPLE_FIXTURE
+
+    return f"""
+    SELECT media_id, decode_ok, src_rate, src_n, out_rate, out_n,
+           resampled_md5, rms, peak
+    FROM read_parquet('{AUDIO_RESAMPLE_FIXTURE}')
+    """
+
+
+@register("audio-resample", sql=_audio_resample_sql())
+def q_audio_resample(spark, sf_dir):
+    """Audio resample stage of the multimodal ingest pipeline: WAV
+    decode → nearest-sample (sample-and-hold) resample from 8 kHz to a
+    fixed 4 kHz training rate over Arrow-batched mapInPandas.
+    Oracle-backed by the generation-time fixture: expected resampled
+    bytes (md5) and rms/peak come from the RAW pre-encode PCM — WAV is
+    lossless int16, so any decoder or resampler defect is a value
+    mismatch (multimodal/binary.py resample_audio)."""
+    from .multimodal.binary import fake_media_table, resample_audio
+
+    media = fake_media_table(spark, 120)
+    audio = media.filter(F.col("meta.kind") == "audio")
+    return resample_audio(audio, out_rate=4000)

@@ -25,7 +25,7 @@ MUST_RUN_R7 = {
     # added this round — never had a driver row
     "tfidf-topterms", "trigram-lm-score", "weighted-sample",
     "pii-scrub", "dedup-rate-report", "length-histogram",
-    "image-resize",
+    "image-resize", "audio-resample",
     # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
     # perf-audited this round
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",

@@ -561,3 +561,41 @@ def test_resize_images_bad_payload_is_dlq_row(spark):
     }
     assert out[1]["decode_ok"] and out[1]["resized_md5"]
     assert out[2]["decode_ok"] is False and out[2]["resized_md5"] is None
+
+
+def test_resample_pcm_exact_semantics():
+    """8->4 kHz sample-and-hold keeps every other sample (floor map),
+    upsampling repeats samples, and clip duration is preserved
+    (out_n = ceil(n*out/src))."""
+    import numpy as np
+
+    from reverse_etl_homebrew_spark.multimodal.binary import resample_pcm
+
+    x = np.array([10, -20, 30, -40, 50], dtype=np.int16)
+    down = resample_pcm(x, 8000, 4000)
+    assert down.tolist() == [10, 30, 50]  # ceil(5/2)=3 samples
+    up = resample_pcm(x, 4000, 8000)
+    assert up.tolist() == [10, 10, -20, -20, 30, 30, -40, -40, 50, 50]
+    assert up.dtype == np.int16  # int16 passes through bit-exactly
+
+
+def test_resample_audio_bad_payload_is_dlq_row(spark):
+    from reverse_etl_homebrew_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        resample_audio,
+    )
+
+    rows = [
+        (1, bytearray(encode_wav([100, -100, 50], 8000)),
+         ("audio", "audio/wav", None, None, 0, 0)),
+        (2, bytearray(b"RIFFgarbage"), ("audio", "audio/wav", None, None, 0, 0)),
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resample_audio(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), 4000
+        ).collect()
+    }
+    assert out[1]["decode_ok"] and out[1]["out_n"] == 2
+    assert out[2]["decode_ok"] is False and out[2]["resampled_md5"] is None
