@@ -50,22 +50,25 @@ _PRIORITY = [
     "gap-fill", "quantiles", "string-funcs", "null-safe-join",
     "distinct-agg", "array-ops", "struct-json-ops",
     "explode-posexplode", "conditional-agg",
-    # -- (b) new this round (no driver row yet, 8 keys) --
+    # -- (b) new this round (no driver row yet, 15 keys) --
     "tfidf-topterms", "trigram-lm-score", "weighted-sample",
     "pii-scrub", "dedup-rate-report", "length-histogram",
     "image-resize", "audio-resample",
+    "ngram-topk", "vocab-stats", "domain-stats", "embedding-centroid",
+    "anomaly-zscore", "scd2-history", "bucketed-join",
     # -- (b) code changed / perf-audited this round --
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
     "similarity-join", "embedding-near-dup", "knn-join",
     "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
-    # -- (c) round-5 cohort, 20 of 49 --
+    # -- (c) round-5 cohort, 13 of 49 --
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
     "ambiguity-count", "approx-distinct", "equi-inner-join",
-    "idmap-join", "email-match-join", "tiered-match-join", "anti-join",
+    "idmap-join", "email-match-join",
+    # ---- 50-cap boundary: everything below rolls to round 8 ----
+    "tiered-match-join", "anti-join",
     "semi-join", "dlq-attempt-join", "window-rank", "dedup-lastwin",
     "union-all",
-    # ---- 50-cap boundary: everything below rolls to round 8 ----
     "tumbling-window",
     "sliding-window", "session-window", "text-analysis",
     "set-intersect", "set-except", "token-count", "quality-score",

@@ -80,6 +80,11 @@ HEAVY_ADDITIONS = [
     "decontaminate",
     "incremental-dedup",
     "similarity-join",
+    # r7: corpus-profiling tier — ngram-topk explodes every adjacent
+    # token pair in the corpus (the heaviest profiling scan);
+    # scd2-history is the windowed history build over events
+    "ngram-topk",
+    "scd2-history",
 ]
 
 

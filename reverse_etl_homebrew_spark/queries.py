@@ -579,3 +579,4 @@ from . import queries_pipeline  # noqa: E402,F401
 from . import queries_branches  # noqa: E402,F401
 from . import queries_analytic  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
+from . import queries_corpus  # noqa: E402,F401

@@ -1,0 +1,428 @@
+"""Corpus-profiling and warehouse-layout operators (round 7 extension
+tier additions, SURVEY.md §2.11).
+
+Six corpus/quality operators a training-data pipeline runs before and
+after the dedup tier — corpus n-gram statistics, vocabulary audits,
+URL/domain extraction, per-class embedding centroids, metric anomaly
+detection, and SCD2 history construction — plus one warehouse-layout
+operator (`bucketed-join`) demonstrating the shuffle-free co-located
+join that bucketing buys at 100 TB.
+
+All determinism rules from queries.py apply: decimal(38,6) per-row
+casts before double sums, 6-decimal rounding before any rank, and
+total-order tie-breaks on every LIMIT.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Window as W, functions as F
+
+from .functions import text as TX
+from .queries import register
+from .sources.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Corpus n-gram statistics
+# ===========================================================================
+
+@register(
+    "ngram-topk",
+    sql=r"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(trim(text)), '\S+') AS t
+      FROM documents
+      WHERE len(regexp_extract_all(lower(trim(text)), '\S+')) >= 2
+    ),
+    pairs AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM pairs
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_ngram_topk(spark, sf_dir):
+    """Corpus-level top-k word bigrams — the n-gram frequency profile a
+    data-quality pass reads to spot boilerplate and template text
+    (repeated high-count n-grams are the #1 boilerplate signal).
+
+    Plan shape: map-side tokenize + adjacent-pair zip (pure Column
+    exprs inside codegen), explode, one partial+final hash aggregation
+    on the bigram, then TakeOrderedAndProject for the top-k — shuffled
+    bytes are proportional to DISTINCT bigrams, not corpus size, and
+    the top-k never materializes a global sort. Tie-break on the
+    bigram string makes the result set deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("t")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "vocab-stats",
+    sql=r"""
+    WITH ex AS (
+      SELECT source, u.tok
+      FROM documents,
+           UNNEST(regexp_extract_all(lower(trim(text)), '\S+')) AS u(tok)
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS vocab_size,
+           ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6)
+             AS type_token_ratio
+    FROM ex
+    GROUP BY source
+    """,
+)
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary audit: token volume, vocabulary size, and
+    type-token ratio — the lexical-diversity gate (template-generated
+    sources show pathologically low TTR). Explode + one hash
+    aggregation; the distinct-count shuffles (source, token) pairs —
+    bounded by vocabulary, not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "source", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    return ex.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab_size"),
+        F.round(
+            F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+# URL pattern shared by both engines: Java-regex/RE2 common subset.
+_URL_DOMAIN = r"https?://([A-Za-z0-9.-]+)"
+
+
+@register(
+    "domain-stats",
+    sql=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' See https://site' || CAST(doc_id % 97 AS VARCHAR)
+                    || '.example.org/a and http://cdn'
+                    || CAST(doc_id % 13 AS VARCHAR) || '.example.net/x.png'
+             ELSE text END AS t
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, u.domain
+      FROM planted, UNNEST(regexp_extract_all(t, '{_URL_DOMAIN}', 1)) AS u(domain)
+    )
+    SELECT domain,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM ex
+    GROUP BY domain
+    """,
+)
+def q_domain_stats(spark, sf_dir):
+    """URL extraction + per-domain rollup — the provenance audit a
+    web-scale corpus runs to find over-represented domains before
+    sampling. The synthetic corpus carries no URLs, so a deterministic
+    planted sentence (every 5th doc, two URLs with doc_id-derived
+    hosts) makes the expected extraction known by construction — same
+    device as pii-scrub. Pure Column regex (Java/RE2 common subset),
+    explode, one hash aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" See https://site"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example.org/a and http://cdn"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.net/x.png"),
+        ),
+    ).otherwise(F.col("text"))
+    ex = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(planted, F.lit(_URL_DOMAIN), F.lit(1))
+        ).alias("domain"),
+    )
+    return ex.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+# ===========================================================================
+# Embedding-class centroids
+# ===========================================================================
+
+@register(
+    "embedding-centroid",
+    sql="""
+    WITH ex AS (
+      SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ),
+    m AS (
+      SELECT label, i,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+               AS c,
+             COUNT(*) AS n
+      FROM ex
+      GROUP BY label, i
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           list(c ORDER BY i) AS centroid
+    FROM m
+    GROUP BY label
+    """,
+)
+def q_embedding_centroid(spark, sf_dir):
+    """Per-label mean embedding (class centroids) — the seed step of
+    IVF indexing, cluster-balanced sampling, and embedding-drift
+    monitoring. posexplode → one (label, dim) hash aggregation with
+    decimal(38,6) order-independent sums → re-assemble the vector
+    sorted by dimension. Shuffled bytes ∝ labels × dims, not rows;
+    no driver-side collection anywhere."""
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", "pos", F.col("v").cast("double").alias("v"))
+    m = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return m.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid"),
+    )
+
+
+# ===========================================================================
+# Metric anomaly detection (z-score outliers)
+# ===========================================================================
+
+@register(
+    "anomaly-zscore",
+    sql="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS mean,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS msq
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mean) / sqrt(s.msq - s.mean * s.mean), 4) AS z
+    FROM events e
+    JOIN s USING (event_type)
+    WHERE e.value IS NOT NULL
+      AND s.msq - s.mean * s.mean > 0
+      AND abs((e.value - s.mean) / sqrt(s.msq - s.mean * s.mean)) > 3
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-metric z-score outlier detection (|z| > 3) — the telemetry
+    anomaly sweep over the events stream. Two-pass: a map-side partial
+    aggregation reduces 100 TB of events to one tiny per-event_type
+    stats row (decimal-exact sum and sum-of-squares, so mean/variance
+    are order-independent), which broadcasts back onto the scan — the
+    big side is never shuffled. Both engines compute the identical
+    (value - mean)/sqrt(var) double expression, so the filter boundary
+    and the rounded z agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    var = F.col("msq") - F.col("mean") * F.col("mean")
+    z = (F.col("value") - F.col("mean")) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((var > 0) & (F.abs(z) > 3))
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )
+
+
+# ===========================================================================
+# SCD2 history construction
+# ===========================================================================
+
+@register(
+    "scd2-history",
+    sql="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM ch
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build from an event log: for
+    each user, collapse consecutive runs of the same event_type into
+    [valid_from, valid_to) intervals with an is_current flag — the
+    history table a reverse-ETL warehouse maintains next to the idmap
+    (reference keeps only latest-state, main.py:539-560; SCD2 is its
+    auditable generalization). One shuffle on user_id; both window
+    passes reuse that partitioning, and the (ts, event_id) tie-break
+    makes LAG/LEAD deterministic under duplicate timestamps."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        .drop("prev")
+    )
+    lead_ts = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        lead_ts.alias("valid_to"),
+        lead_ts.isNull().alias("is_current"),
+    )
+
+
+# ===========================================================================
+# Warehouse layout: bucketed co-located join
+# ===========================================================================
+
+def _bucket_tag(sf_dir: str) -> str:
+    return re.sub(r"\W", "_", os.path.basename(sf_dir.rstrip("/")))
+
+
+def _ensure_bucketed(spark, sf_dir):
+    """Write lineitem/orders projections bucketed+sorted by the join
+    key into a scratch warehouse (8 buckets — matched on both sides so
+    the join is bucket-co-located). Idempotent per sf_dir: the write is
+    skipped when the tables already exist, mirroring a warehouse whose
+    layout is maintained by ingest, not per-query."""
+    tag = _bucket_tag(sf_dir)
+    db = "graft_buckets"
+    lt, ot = f"{db}.lineitem_b_{tag}", f"{db}.orders_b_{tag}"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} "
+        f"LOCATION '/tmp/graft_buckets_db'"
+    )
+    if not (spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot)):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .option("path", f"/tmp/graft_buckets/{tag}/lineitem")
+            .saveAsTable(lt)
+        )
+        od = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        (
+            od.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .option("path", f"/tmp/graft_buckets/{tag}/orders")
+            .saveAsTable(ot)
+        )
+    return lt, ot
+
+
+@register(
+    "bucketed-join",
+    sql="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Fact-to-fact join over tables pre-bucketed on the join key —
+    the layout that makes the 100 TB lineitem⋈orders join shuffle-free
+    (both sides land in matching buckets at write time, so the
+    SortMergeJoin reads co-located buckets with NO Exchange on either
+    input; tests/test_corpus_ops.py asserts the plan). This is the
+    Spark-native answer to the reference re-downloading and re-joining
+    everything per run (main.py:539-560): pay the layout once at
+    ingest, every subsequent join is local. Results are identical to
+    the plain join — the oracle runs the un-bucketed SQL."""
+    lt, ot = _ensure_bucketed(spark, sf_dir)
+    li, od = spark.table(lt), spark.table(ot)
+    j = li.join(od, li.l_orderkey == od.o_orderkey)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(revenue).cast("double"), 6).alias("revenue"),
+    )

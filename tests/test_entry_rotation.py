@@ -26,6 +26,8 @@ MUST_RUN_R7 = {
     "tfidf-topterms", "trigram-lm-score", "weighted-sample",
     "pii-scrub", "dedup-rate-report", "length-histogram",
     "image-resize", "audio-resample",
+    "ngram-topk", "vocab-stats", "domain-stats", "embedding-centroid",
+    "anomaly-zscore", "scd2-history", "bucketed-join",
     # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
     # perf-audited this round
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
