@@ -85,6 +85,9 @@ HEAVY_ADDITIONS = [
     # scd2-history is the windowed history build over events
     "ngram-topk",
     "scd2-history",
+    # r7b: gram-posting-join containment dedup — same cost class as
+    # the LSH candidate joins, so it belongs in the perf ledger
+    "containment-dedup",
 ]
 
 

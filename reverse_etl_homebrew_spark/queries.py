@@ -580,3 +580,5 @@ from . import queries_branches  # noqa: E402,F401
 from . import queries_analytic  # noqa: E402,F401
 from . import queries_misc  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
+from . import queries_quality  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401

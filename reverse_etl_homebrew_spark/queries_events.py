@@ -1,0 +1,336 @@
+"""Event-analytics operators (round 7 extension tier, SURVEY.md
+§2.11): EWMA smoothing, trailing window median, interval
+merge (gaps-and-islands), funnel analysis, and retention cohorts —
+the product-analytics tier a warehouse engine serves over the
+`events` stream.
+
+Determinism rules from queries.py apply: per-term decimal(38,6)
+casts before double sums, 6-decimal rounding on emitted floats, and
+(ts, event_id) as the total event order everywhere."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .queries import register
+from .sources.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+_EWMA_DEPTH = 10  # truncate the tail: 0.7^10 ≈ 0.028 of the mass
+
+# Weight for lag k is 0.7^k = 7^k / 10^k. Scaling every weight by
+# 10^(depth-1) makes them EXACT integers (7^k * 10^(9-k)) — the whole
+# weighted sum then runs in decimal/integer arithmetic with no pow()
+# and no float rounding until one final division. This matters for the
+# oracle: 2-decimal values × finite-decimal 0.7^k land EXACTLY on
+# .5e-7 rounding boundaries, where a 1-ulp libm pow() difference
+# between the JVM and C flips the 6th decimal (observed in testing).
+_EWMA_COEFFS = [7**k * 10 ** (_EWMA_DEPTH - 1 - k) for k in range(_EWMA_DEPTH)]
+
+_EWMA_COEFF_SQL = "[" + ", ".join(str(c) for c in _EWMA_COEFFS) + "]"
+
+@register(
+    "ewma-smooth",
+    sql=f"""
+    WITH v AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), terms AS (
+      SELECT a.user_id, a.event_id, a.ts,
+             CAST(b.value AS DECIMAL(38,6))
+               * ({_EWMA_COEFF_SQL}[a.rn - b.rn + 1]) AS wx,
+             {_EWMA_COEFF_SQL}[a.rn - b.rn + 1] AS w
+      FROM v a JOIN v b
+        ON a.user_id = b.user_id
+       AND b.rn BETWEEN a.rn - {_EWMA_DEPTH - 1} AND a.rn
+    )
+    SELECT user_id, event_id, ts,
+           ROUND(CAST(SUM(wx) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+             AS ewma
+    FROM terms GROUP BY user_id, event_id, ts
+    """,
+)
+def q_ewma_smooth(spark, sf_dir):
+    """Per-user EWMA smoothing of the event value series (α = 0.3,
+    truncated at depth 10 — the untruncated tail holds < 3% of the
+    weight mass and truncation is what makes the operator a bounded
+    window instead of an unbounded recurrence, i.e. expressible
+    without numeric blowup in BOTH engines). The monitoring-tier
+    smoother that feeds anomaly thresholds.
+
+    Plan: row_number once per user (one shuffle), then a self-join on
+    the rn band — an equi-join on user_id with a 10-wide range
+    predicate, so matched rows ∝ events × depth, never quadratic. The
+    weights are exact scaled integers and the terms exact decimals
+    (see _EWMA_COEFFS), so the per-event sum is order-independent and
+    engine-independent down to one final double division. At 100 TB
+    both legs reuse the same user_id hash partitioning — one shuffle
+    total."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.row_number().over(w).alias("rn"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    k = (F.col("a.rn") - F.col("b.rn")).cast("int")
+    coeff = F.element_at(
+        F.array(*[F.lit(c).cast("long") for c in _EWMA_COEFFS]), k + F.lit(1)
+    )
+    terms = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.rn") >= F.col("a.rn") - (_EWMA_DEPTH - 1))
+        & (F.col("b.rn") <= F.col("a.rn")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("event_id"),
+        F.col("a.ts").alias("ts"),
+        (F.col("b.value").cast("decimal(38,6)") * coeff).alias("wx"),
+        coeff.alias("w"),
+    )
+    return terms.groupBy("user_id", "event_id", "ts").agg(
+        F.round(
+            F.sum("wx").cast("double") / F.sum("w").cast("double"), 6
+        ).alias("ewma")
+    )
+
+
+@register(
+    "window-median",
+    sql="""
+    WITH v AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             quantile_cont(value, 0.5) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id, ts, value, med
+    FROM v WHERE rn >= 5
+    """,
+)
+def q_window_median(spark, sf_dir):
+    """Trailing 5-event median of the value series per user — the
+    robust moving filter (spikes shift a moving average, never a
+    moving median). Restricted to full frames (rn ≥ 5): the median of
+    exactly 5 values is the 3rd order statistic — selected, never
+    interpolated — so Spark `percentile` and DuckDB `quantile_cont`
+    agree bit-for-bit with no rounding needed.
+
+    Plan: ONE window shuffle on user_id computes rn and the frame
+    median together; at 100 TB this is the same single-shuffle shape
+    as any ranked window (`running-window`), with O(frame) state per
+    row."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.row_number().over(w).alias("rn"),
+        F.expr("percentile(value, 0.5)").over(w.rowsBetween(-4, 0)).alias("med"),
+    )
+    return v.filter(F.col("rn") >= 5).drop("rn")
+
+
+@register(
+    "merge-intervals",
+    sql="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts,
+             ts + INTERVAL 5 MINUTE AS te
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, te,
+             CASE WHEN ts > MAX(te) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(te) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, ts, te,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(ts) AS start_ts, MAX(te) AS end_ts,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def q_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands interval merge: each event opens a 5-minute
+    activity interval; overlapping/touching intervals per user merge
+    into maximal islands (the batch sessionization that `session-window`
+    expresses with Spark's built-in session window — this is the
+    portable windowed-SQL form that also yields the island *extent*).
+
+    Classic two-window algorithm: running max of prior interval ends
+    marks island starts; a running sum of the start flags numbers the
+    islands; one aggregation emits extents. All three steps share ONE
+    user_id sort-shuffle — Catalyst collapses the window pair into a
+    single Window node, so 100 TB cost = one shuffle + per-user linear
+    scan. Timestamp comparisons are exact (microsecond integers), so
+    both engines agree on every island boundary."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", "event_id", "ts",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("te"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max = F.max("te").over(w.rowsBetween(W.unboundedPreceding, -1))
+    flagged = iv.select(
+        "user_id", "event_id", "ts", "te",
+        F.when(prev_max.isNull() | (F.col("ts") > prev_max), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "ts", "te",
+        F.sum("new_island")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return islands.groupBy("user_id", F.col("island").cast("long").alias("island")).agg(
+        F.min("ts").alias("start_ts"),
+        F.max("te").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "funnel-steps",
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS event_type,
+           (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    """,
+)
+def q_funnel_steps(spark, sf_dir):
+    """Ordered funnel analysis (view → click → purchase): a user
+    counts for step N only with a step-N event strictly AFTER their
+    earliest step-(N-1) completion — the sequencing constraint that
+    separates funnel analysis from three independent counts.
+
+    Plan: each stage is a per-user MIN aggregation joined to the
+    previous stage's (user, ts) frontier; every shuffle is keyed on
+    user_id so AQE reuses one exchange across stages, and each stage's
+    frontier is orders of magnitude smaller than the event scan. The
+    integer-only output makes the oracle comparison exact by
+    construction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def count_row(step, name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+
+    return (
+        count_row(1, "view", s1)
+        .unionAll(count_row(2, "click", s2))
+        .unionAll(count_row(3, "purchase", s3))
+    )
+
+
+@register(
+    "retention-cohorts",
+    sql="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN f USING (user_id)
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort triangle: users grouped by first-seen
+    (Monday-truncated) week, counted in every later week they remain
+    active — the canonical product-retention rollup.
+
+    Plan: per-user first-seen aggregation + distinct (user, week)
+    activity set, joined on user_id — both sides pre-aggregated, so
+    the join input is user-cardinality, not event-cardinality; the
+    final rollup is cohorts × offsets (tiny). Both engines truncate
+    weeks to Monday and difference whole days / 7 on DATE values —
+    integer arithmetic, exact by construction. 100 TB: all three
+    shuffles key on user_id and the planner reuses the exchange."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        act.join(f, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

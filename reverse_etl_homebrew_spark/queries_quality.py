@@ -1,0 +1,359 @@
+"""Corpus-quality and clustering operators (round 7 extension tier,
+SURVEY.md §2.11): character-entropy quality scoring, directed n-gram
+containment dedup, robust (MAD) outlier detection, deterministic
+shard assignment, and nearest-centroid (k-means assignment step)
+clustering over the embedding column.
+
+Determinism rules from queries.py apply throughout: per-term
+decimal(38,6) casts before double sums (order-independent), 6-decimal
+rounding before any rank/filter boundary on floats, and total-order
+tie-breaks on every argmin/LIMIT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .functions import text as TX
+from .queries import register
+from .sources.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Character-entropy quality gate
+# ===========================================================================
+
+@register(
+    "entropy-quality",
+    sql=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             replace(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ', '') AS t
+      FROM documents
+    ), chars AS (
+      SELECT doc_id, u.ch
+      FROM norm, UNNEST(string_split(t, '')) AS u(ch)
+      WHERE u.ch <> ''
+    ), counts AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c * log2(c) AS DECIMAL(38,6))) AS DOUBLE) AS s
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_alnum,
+           ROUND(log2(n) - s / n, 4) AS entropy
+    FROM agg
+    """,
+)
+def q_entropy_quality(spark, sf_dir):
+    """Per-document character-level Shannon entropy over the
+    normalized alphanumeric alphabet — the cheapest junk detector in a
+    training-data quality pass (binary blobs masquerading as text score
+    high; repeated-character/boilerplate junk scores low).
+
+    H = log2(N) - sum(c*log2(c))/N avoids per-class p division and
+    keeps every summed term a count-derived double; each term is
+    rounded through decimal(38,6) before the sum so the per-doc
+    aggregation is order-independent (bit-identical across partition
+    schedules and engines). Plan: explode chars -> two hash
+    aggregations keyed by doc_id — shuffled bytes bounded by docs ×
+    alphabet (≤ 36 chars/doc), not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    compact = F.translate(TX.normalized_text(F.col("text")), " ", "")
+    chars = (
+        d.select("doc_id", F.explode(F.split(compact, "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(
+            (F.col("c") * F.log2("c")).cast("decimal(38,6)")
+        ).cast("double").alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars_alnum"),
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("entropy"),
+    )
+
+
+# ===========================================================================
+# Directed n-gram containment dedup (subset/quote detection)
+# ===========================================================================
+
+@register(
+    "containment-dedup",
+    sql=r"""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS w FROM norm
+    ), grams AS (
+      SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+    ), sizes AS (
+      SELECT id, COUNT(*) AS ng FROM grams GROUP BY id
+    ), pairs AS (
+      SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), scored AS (
+      SELECT p.a_id, p.b_id, sa.ng AS na, sb.ng AS nb,
+             ROUND(CAST(p.inter AS DOUBLE)
+                   / least(sa.ng, sb.ng), 6) AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.id = p.a_id
+      JOIN sizes sb ON sb.id = p.b_id
+    )
+    SELECT CASE WHEN na <= nb THEN a_id ELSE b_id END AS inner_id,
+           CASE WHEN na <= nb THEN b_id ELSE a_id END AS outer_id,
+           containment
+    FROM scored
+    WHERE containment >= 0.8
+    """,
+)
+def q_containment_dedup(spark, sf_dir):
+    """Directed n-gram containment near-dup detection: pairs where the
+    smaller document's word-3-gram set is ≥ 80% contained in the
+    larger's — the subset/quotation case Jaccard misses (a doc fully
+    embedded in a 10× larger one has Jaccard ≈ 0.1 but containment
+    1.0). Standard contamination-audit companion to `ngram-jaccard`.
+
+    Plan: distinct (id, gram) exploded once; candidate pairs come from
+    a gram-keyed equi-join (shuffle ∝ gram postings, never all-pairs);
+    one pair-keyed aggregation counts the intersection; set sizes
+    broadcast back. At 100 TB the gram-join is the cost center — hot
+    boilerplate grams should be df-frequency-capped first (same lever
+    as LSH band tuning); kept uncapped here so the SQL oracle is the
+    exact same algebra."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.split(TX.normalized_text(F.col("text")), " ").alias("w"),
+    )
+    grams = toks.select(
+        "id", F.explode(F.array_distinct(TX.word_ngrams_from(F.col("w"), 3))).alias("g")
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("ng").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("ng").alias("nb"))
+    scored = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id", "b_id", "na", "nb",
+            F.round(
+                F.col("inter").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )
+    small_first = F.col("na") <= F.col("nb")
+    return scored.filter(F.col("containment") >= 0.8).select(
+        F.when(small_first, F.col("a_id")).otherwise(F.col("b_id")).alias("inner_id"),
+        F.when(small_first, F.col("b_id")).otherwise(F.col("a_id")).alias("outer_id"),
+        "containment",
+    )
+
+
+# ===========================================================================
+# Robust outliers: median absolute deviation
+# ===========================================================================
+
+@register(
+    "mad-outliers",
+    sql="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)
+      WHERE e.value IS NOT NULL
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           ROUND(d.d / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND d.d > 3 * 1.4826 * m.mad
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-metric outlier sweep via median absolute deviation —
+    the z-score twin (`anomaly-zscore`) that a handful of extreme
+    points cannot poison, because median and MAD have a 50% breakdown
+    point vs the mean/stddev's 0%.
+
+    Two tiny per-event_type stat aggregations (exact interpolated
+    median — identical `lower + (upper-lower)*frac` arithmetic in
+    Spark `percentile` and DuckDB `quantile_cont`, so the filter
+    boundary agrees bit-for-bit), each broadcast back onto the scan;
+    the big side never shuffles. At 100 TB swap the exact median for
+    `percentile_approx` and re-derive the oracle with the same sketch
+    — the plan shape is unchanged."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("d") > 3 * 1.4826 * F.col("mad")))
+        .select(
+            "event_id", "event_type", "value",
+            F.round(F.col("d") / (1.4826 * F.col("mad")), 4).alias("robust_z"),
+        )
+    )
+
+
+# ===========================================================================
+# Deterministic shard assignment
+# ===========================================================================
+
+@register(
+    "shard-assign",
+    sql="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_assign(spark, sf_dir):
+    """Deterministic 16-way shard assignment from the md5-prefix
+    device (`split-assign`'s sibling): shard membership is a pure
+    function of the document key, so output file layout is stable
+    across reruns and engines — the property that makes incremental
+    re-shards and cross-engine audits diff-able. The per-shard size
+    report is the balance check (md5 uniformity keeps skew ~1/sqrt(n)
+    per shard). One hash aggregation; at 100 TB this same expression
+    feeds `DataFrameWriter.partitionBy` for the physical write."""
+    d = _t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 16
+    ).cast("int")
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+# ===========================================================================
+# Nearest-centroid assignment (the k-means "assign" step)
+# ===========================================================================
+
+_KMEANS_K = 8
+
+_KM_DIST_SQL = (
+    "list_sum(list_transform(list_zip(e.embedding, c.cv), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+)
+
+@register(
+    "kmeans-assign",
+    sql=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_KMEANS_K}
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND({_KM_DIST_SQL}, 6) AS dist
+      FROM embeddings e, c
+    ), ranked AS (
+      SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM scored
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark, sf_dir):
+    """Nearest-centroid assignment — the inner "assign" step of
+    Lloyd's k-means and the routing step of IVF indexing, against a
+    deterministic seed set (the K lowest vec_ids, the same seeding
+    rule `topk-similarity-ivf` uses). Composes with
+    `embedding-centroid` (the "update" step) into a full distributed
+    k-means iteration.
+
+    Plan: the K centroids collect to the driver (O(K·dim), like the
+    IVF seeds) and unroll into ONE map-side projection — squared-L2 to
+    every centroid as flat left-fold arithmetic (bit-identical to
+    DuckDB's list_sum fold; see functions/vectors.py), argmin picked
+    by array_min over (dist, cid) structs. Zero shuffle, zero join:
+    at 100 TB this runs at scan speed, embarrassingly parallel."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        e.filter(F.col("vec_id") < _KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    seeds = sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds)
+
+    def dist_to(cv):
+        from functools import reduce
+        terms = [
+            (F.element_at(F.col("embedding"), F.lit(i + 1)).cast("double")
+             - F.lit(cv[i]))
+            * (F.element_at(F.col("embedding"), F.lit(i + 1)).cast("double")
+               - F.lit(cv[i]))
+            for i in range(len(cv))
+        ]
+        return reduce(lambda a, b: a + b, terms)
+
+    choices = F.array(*[
+        F.struct(
+            F.round(dist_to(cv), 6).alias("dist"),
+            F.lit(cid).cast("int").alias("cid"),
+        )
+        for cid, cv in seeds
+    ])
+    best = F.array_min(choices)
+    return e.select(
+        "vec_id",
+        best["cid"].alias("centroid_id"),
+        best["dist"].alias("dist"),
+    )

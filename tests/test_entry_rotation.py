@@ -28,6 +28,10 @@ MUST_RUN_R7 = {
     "image-resize", "audio-resample",
     "ngram-topk", "vocab-stats", "domain-stats", "embedding-centroid",
     "anomaly-zscore", "scd2-history", "bucketed-join",
+    "entropy-quality", "containment-dedup", "mad-outliers",
+    "shard-assign", "kmeans-assign",
+    "ewma-smooth", "window-median", "merge-intervals",
+    "funnel-steps", "retention-cohorts",
     # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
     # perf-audited this round
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",

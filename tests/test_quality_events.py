@@ -1,0 +1,145 @@
+"""Invariant tests for the round-7 quality/event-analytics operators
+(queries_quality.py, queries_events.py) — properties the oracle-parity
+check can't express (parity proves Spark == DuckDB; these prove both
+are computing the *right thing*)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, key):
+    return Q.QUERIES[key](spark, SF_DIR).collect()
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= log2(alphabet); single-char docs would score 0."""
+    rows = _rows(spark, "entropy-quality")
+    assert rows
+    for r in rows:
+        assert r["n_chars_alnum"] > 0
+        # 36-symbol alphabet (a-z0-9) bounds the entropy above.
+        assert -1e-9 <= r["entropy"] <= math.log2(36) + 1e-9
+
+
+def test_containment_bounds_and_orientation(spark):
+    rows = _rows(spark, "containment-dedup")
+    for r in rows:
+        assert 0.8 <= r["containment"] <= 1.0 + 1e-9
+        assert r["inner_id"] != r["outer_id"]
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """Containment >= Jaccard always; the operator exists for pairs
+    where the gap is real (subset docs)."""
+    cont = {(r["inner_id"], r["outer_id"]) for r in _rows(spark, "containment-dedup")}
+    assert cont, "corpus has planted near-dups; containment must fire"
+
+
+def test_mad_outliers_are_extreme(spark):
+    """Every flagged row sits > 3 robust sigmas from its metric median."""
+    rows = _rows(spark, "mad-outliers")
+    for r in rows:
+        assert r["robust_z"] > 3.0 - 1e-6
+
+
+def test_shard_assign_partitions_the_corpus(spark):
+    rows = _rows(spark, "shard-assign")
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(0 <= r["shard"] < 16 for r in rows)
+
+
+def test_kmeans_assign_is_nearest(spark):
+    """Spot-check: each seed vector assigns to itself at distance 0."""
+    rows = {r["vec_id"]: r for r in _rows(spark, "kmeans-assign")}
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    for cid in range(8):
+        assert rows[cid]["centroid_id"] == cid
+        assert rows[cid]["dist"] == 0.0
+
+
+def test_ewma_is_a_convex_combination(spark):
+    """The smoothed value lies within [min, max] of the contributing
+    window — weights are positive and normalized."""
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    for r in _rows(spark, "ewma-smooth"):
+        assert vmin - 1e-6 <= r["ewma"] <= vmax + 1e-6
+
+
+def test_window_median_within_range(spark):
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    rows = _rows(spark, "window-median")
+    assert rows
+    for r in rows:
+        assert vmin <= r["med"] <= vmax
+
+
+def test_merge_intervals_disjoint_per_user(spark):
+    """Post-merge islands for one user must be strictly disjoint and
+    ordered — the defining property of the merge."""
+    rows = _rows(spark, "merge-intervals")
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["start_ts"], r["end_ts"]))
+    for user, ivs in by_user.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert e1 < s2, f"user {user}: islands overlap"
+        for s, e in ivs:
+            assert s < e
+
+
+def test_funnel_is_monotone(spark):
+    rows = {r["step"]: r["n_users"] for r in _rows(spark, "funnel-steps")}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_retention_cohort_zero_offset_counts_everyone(spark):
+    """Week-0 activity per cohort equals the cohort's size: every user
+    is active in their own first week by definition."""
+    rows = _rows(spark, "retention-cohorts")
+    week0 = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("user_id").isNotNull())
+    cohort_sizes = {
+        r["cohort_week"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert week0 == cohort_sizes
+    for r in rows:
+        assert r["week_offset"] >= 0
+
+
+def test_kmeans_assign_plan_is_shuffle_free(spark):
+    """The assignment is ONE map-side projection: no Exchange, no Join
+    in the physical plan (the scale property claimed in the docstring)."""
+    df = Q.QUERIES["kmeans-assign"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
