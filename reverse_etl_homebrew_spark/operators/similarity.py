@@ -58,7 +58,18 @@ def topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: prune to LSH-bucket candidates, then exact
     cosine on the survivors. Candidate buckets = query bucket plus all
-    1-bit-flip probes."""
+    1-bit-flip probes.
+
+    The data-side bucket is computed by the Arrow matmul bucketer
+    (operators/vectorized.table_buckets_pandas), not the flat codegen
+    sign fold: Catalyst pushes the probe filter through the bucket
+    projection, and an IN-filter carrying two inlined copies of a
+    planes×dim fold (the In check + the pushed isnotnull) overflows
+    janino's 64 KB method limit — the whole stage then silently runs
+    INTERPRETED (observed: ERROR CodeGenerator + fallback). Same
+    lesson, same fix as the multi-table knn path. Bucket values are
+    identical (same planes, same MSB bit order), so the SQL oracle is
+    unchanged."""
     dim = len(query)
     hp = _deterministic_planes(planes, dim)
 
@@ -77,8 +88,11 @@ def topk_lsh(
         + [qb ^ (1 << i) for i in range(planes)]
         + [qb ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i)]
     )
+    from .vectorized import table_buckets_pandas
+
+    bucketer = table_buckets_pandas(hp, planes, tables=1)
     cand = df.withColumn(
-        "__bucket", VEC.random_hyperplane_signs(F.col(vec_col), hp)
+        "__bucket", F.element_at(bucketer(F.col(vec_col)), 1)
     ).filter(F.col("__bucket").isin(probe_buckets))
     return topk_brute(cand, query, k, id_col, vec_col)
 
