@@ -143,3 +143,41 @@ def test_kmeans_assign_plan_is_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def _plan(spark, key):
+    return Q.QUERIES[key](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_anywhere_in_new_tier(spark):
+    """None of the pair-producing operators may degenerate to an
+    all-pairs join — the 100 TB death sentence."""
+    for key in [
+        "containment-dedup", "ewma-smooth", "mad-outliers",
+        "funnel-steps", "retention-cohorts",
+    ]:
+        plan = _plan(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoop" not in plan, key
+
+
+def test_merge_intervals_single_shuffle(spark):
+    """Both windows and the final aggregation share ONE user_id
+    exchange: the running-max/running-sum pair needs the same sort,
+    and hash(user_id) already clusters the (user_id, island) grouping
+    keys."""
+    plan = _plan(spark, "merge-intervals")
+    assert plan.count("Exchange") == 1
+
+
+def test_entropy_quality_two_aggregations_only(spark):
+    plan = _plan(spark, "entropy-quality")
+    assert plan.count("Exchange") <= 2
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    """The per-metric stats must come BACK to the scan as broadcasts —
+    a sort-merge join here would shuffle the full event scan twice."""
+    plan = _plan(spark, "mad-outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
