@@ -379,3 +379,38 @@ def q_dq_audit(spark, sf_dir):
         ),
     ).select(F.lit("customer").alias("tbl"), "n_rows", "blank_names",
              "acctbal_out_of_range", "duplicate_keys", "null_nations")
+
+
+@register(
+    "rank-funcs",
+    sql="""
+    SELECT event_id, event_type,
+           DENSE_RANK() OVER w AS drank,
+           NTILE(10) OVER w AS decile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_rank_funcs(spark, sf_dir):
+    """The ranked-window function family in one pass: dense_rank,
+    decile bucketing (ntile), percent_rank, cume_dist — the quantile-
+    bucketing primitives behind score normalization and percentile
+    features. One window shuffle on event_type; (value, event_id) is a
+    total order, so every rank is deterministic, and percent_rank/
+    cume_dist are exact rationals of row counts — identical doubles in
+    both engines before the 6-decimal round."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
