@@ -707,7 +707,16 @@ def embedding_near_dup_pairs(
     value is bit-identical) instead of once per candidate. No
     candidate dedup pass is needed: a vector's probe values are
     pairwise-distinct, so an ordered pair can match on exactly one
-    bucket value — the join already emits each pair at most once."""
+    bucket value — the join already emits each pair at most once.
+
+    The base bucket comes from the Arrow matmul bucketer, not the
+    flat codegen sign fold: CollapseProject inlines a projected
+    expression PER REFERENCE, so the planes×dim fold was duplicated
+    into all (1+planes) probe expressions — ~5k expression nodes whose
+    janino compile dominated wall time (measured 3.2 s to produce 87k
+    candidate rows from a 2.1k-row corpus at sf0.1; the same disease
+    as SCALE.md's CreateArray finding). The Python eval node is an
+    attribute boundary, so probes XOR a plain long column."""
     dim = VEC.infer_dim(df, vec_col)
     if planes is None:
         import math
@@ -715,11 +724,14 @@ def embedding_near_dup_pairs(
         n = df.count()
         planes = max(4, min(16, math.ceil(math.log2(max(n, 2) / 64))))
     hyperplanes = _deterministic_planes(planes, dim)
+    from .vectorized import table_buckets_pandas
+
+    bucketer = table_buckets_pandas(hyperplanes, planes, tables=1)
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("nrm"),
-        VEC.random_hyperplane_signs(F.col(vec_col), hyperplanes).alias("b0"),
+        F.element_at(bucketer(F.col(vec_col)), 1).alias("b0"),
     )
     probes = [F.col("b0")] + [
         F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
@@ -739,12 +751,19 @@ def embedding_near_dup_pairs(
         F.col("nrm").alias("b_nrm"),
         F.col("b0").alias("bucket"),
     )
-    den = F.col("nrm") * F.col("b_nrm")
+    # Pair scoring runs in the Arrow kernel (explicit left-fold — same
+    # doubles as VEC.dot and the SQL oracle): the threshold filter over
+    # a projected dim-unrolled dot would re-evaluate the fold per
+    # reference and blow the JIT method budget (see pair_cosine_pandas).
+    from .vectorized import pair_cosine_pandas
+
+    cos_udf = pair_cosine_pandas()
     pairs = (
         probed.join(anchors, ["bucket"])
         .filter(F.col("id") < F.col("b_id"))
         .withColumn(
-            "cos", F.when(den > 0, VEC.dot(F.col("v"), F.col("b_v"), dim) / den)
+            "cos",
+            cos_udf(F.col("v"), F.col("b_v"), F.col("nrm"), F.col("b_nrm")),
         )
         .filter(F.col("cos") >= threshold)
         .select(F.col("id").alias("a_id"), "b_id", F.round("cos", 6).alias("cos"))

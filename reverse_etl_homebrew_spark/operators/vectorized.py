@@ -114,6 +114,41 @@ def topk_ivf(
     return topk_pandas(cand, query, k, id_col, vec_col)
 
 
+def pair_cosine_pandas():
+    """Scalar Pandas UDF scoring CANDIDATE PAIRS: cosine of two vector
+    columns given their precomputed norms.
+
+    Accumulation is an explicit per-dimension left fold (vectorized
+    ACROSS pairs, sequential across dims), so every result is
+    bit-identical to the codegen flat fold in functions/vectors.dot
+    and to DuckDB's list_sum — the Arrow speed path keeps the oracle
+    exact. Exists because a filter over a projected dim-unrolled dot
+    re-evaluates the fold per reference (predicate + output) and blows
+    the JIT method budget — the candidate-scoring stage of the
+    LSH pair joins ran un-JIT'd (measured ~2 s per run on an 87k-pair
+    stage that numpy does in milliseconds). Zero/invalid norms yield
+    NULL, matching ``F.when(den > 0, ...)``."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(v: pd.Series, bv: pd.Series, n: pd.Series, bn: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.asarray(v.tolist(), dtype=np.float64)
+        B = np.asarray(bv.tolist(), dtype=np.float64)
+        acc = A[:, 0] * B[:, 0]
+        for i in range(1, A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        den = n.to_numpy(dtype=np.float64) * bn.to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = acc / den
+        res = pd.Series(out)
+        res[den <= 0] = None
+        return res
+
+    return cos
+
+
 def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     """Pandas UDF computing all L hash-table bucket ids of a vector in
     ONE Arrow-batched matmul — returns array<long> of length
