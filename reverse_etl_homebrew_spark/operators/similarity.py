@@ -166,22 +166,35 @@ def knn_join(
         F.col(vec_col).alias("r_v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
     )
+    # Pair scoring in the Arrow kernel (explicit left fold — the same
+    # doubles as VEC.cosine_with_norms and the SQL oracles): candidate
+    # volume is pairs-per-bucket × probes, and the dim-unrolled codegen
+    # fold on that stage ran un-JIT'd (same finding as
+    # embedding_near_dup_pairs; see pair_cosine_pandas).
+    from .vectorized import pair_cosine_pandas
+
+    _cos = pair_cosine_pandas()
     score_expr = F.round(
-        VEC.cosine_with_norms(
-            F.col("l_v"), F.col("r_v"), F.col("l_nrm"), F.col("r_nrm"), dim
-        ),
-        6,
+        _cos(F.col("l_v"), F.col("r_v"), F.col("l_nrm"), F.col("r_nrm")), 6
     )
     if exact:
         scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
             "score", score_expr
         )
     elif tables == 1:
-        # single-table: pure-codegen sign fold (bit-identical to the
-        # SQL oracle) + multi-probe XOR flips on the materialized base
-        # bucket column
+        # single-table: Arrow matmul bucket (same bit order and — in
+        # practice — same signs as the SQL oracle's fold; see
+        # table_buckets_pandas) + multi-probe XOR flips on the
+        # materialized base bucket column. NOT the codegen sign fold:
+        # CollapseProject inlines a projected fold into every probe
+        # expression — planes×dim×(1+p+p(p-1)/2) expression nodes ran
+        # un-JIT'd (measured 13.7 s steady-state at sf0.1 for a
+        # 2 000-row corpus; Arrow bucket path: see bench)
+        from .vectorized import table_buckets_pandas
+
         hp = _deterministic_planes(planes, dim)
-        r = r.withColumn("__bucket", VEC.random_hyperplane_signs(F.col("r_v"), hp))
+        bucketer = table_buckets_pandas(hp, planes, tables=1)
+        r = r.withColumn("__bucket", F.element_at(bucketer(F.col("r_v")), 1))
         probes = [F.col("__b0")]
         if probe_radius >= 1:
             probes += [
@@ -194,7 +207,7 @@ def knn_join(
                 for j in range(i)
             ]
         l = (
-            l.withColumn("__b0", VEC.random_hyperplane_signs(F.col("l_v"), hp))
+            l.withColumn("__b0", F.element_at(bucketer(F.col("l_v")), 1))
             .withColumn("__bucket", F.explode(F.array_distinct(F.array(*probes))))
             .drop("__b0")
         )
@@ -232,7 +245,13 @@ def knn_join(
         scored = cand.withColumn("score", score_expr)
     w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
+        # Explicit projection before the ranking window: the window
+        # shuffles its input, and scored still carries both dim-length
+        # vector columns. ColumnPruning drops them today; stating the
+        # projection makes the pairs × 2 × dim × 8 B shuffle saving a
+        # guarantee rather than an optimizer courtesy.
+        scored.select("l_id", "r_id", "score")
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("l_id", "r_id", "score")
     )

@@ -195,3 +195,37 @@ def test_streaming_sessionize_closes_sessions(spark, tmp_path):
     assert stream_keys <= batch_keys, stream_keys - batch_keys
     n_users = batch.select("user_id").distinct().count()
     assert out.count() >= batch.count() - n_users
+
+
+def test_arrow_bucketer_matches_codegen_sign_fold(spark):
+    """The LSH operators compute buckets in the Arrow matmul kernel
+    while their SQL oracles re-derive them as a left-fold sign
+    expression. A matmul does NOT guarantee the fold's summation
+    order, so the equivalence is empirical — a dot product within
+    summation-error of zero could flip a sign. Pin it on the real
+    embeddings for every plane count the operators use."""
+    from pyspark.sql import functions as F
+
+    from reverse_etl_homebrew_spark.functions.vectors import (
+        random_hyperplane_signs,
+    )
+    from reverse_etl_homebrew_spark.operators.dedup import _deterministic_planes
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        table_buckets_pandas,
+    )
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    for planes in (6, 8):
+        hp = _deterministic_planes(planes, dim)
+        bucketer = table_buckets_pandas(hp, planes, tables=1)
+        diff = (
+            emb.select(
+                F.element_at(bucketer(F.col("embedding")), 1).alias("arrow"),
+                random_hyperplane_signs(F.col("embedding"), hp).alias("fold"),
+            )
+            .filter(F.col("arrow") != F.col("fold"))
+            .count()
+        )
+        assert diff == 0, f"planes={planes}: {diff} bucket disagreements"
