@@ -77,6 +77,9 @@ HEAVY_ADDITIONS = [
     # per-round wall-time ledger (previously correctness rows only)
     "knn-join",
     "knn-join-tables",
+    # r7b: the single-table multi-probe configuration — its bucket and
+    # scoring stages are the ones the Arrow-kernel rewrite targets
+    "knn-join-lsh",
     "decontaminate",
     "incremental-dedup",
     "similarity-join",
