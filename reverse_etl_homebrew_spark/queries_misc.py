@@ -414,3 +414,67 @@ def q_rank_funcs(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "stats-agg",
+    sql="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+               AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+               AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+               AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS qty_stddev,
+           ROUND((sxy - sx * sy / n) / (n - 1), 4) AS qty_price_covar,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS qty_price_corr
+    FROM m
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    """Second-moment statistics (sample stddev / covariance / Pearson
+    correlation) computed from DECIMAL-EXACT raw moments rather than
+    Spark's built-in co-moment aggregates: the built-ins merge partial
+    co-moments in partition order, so their last ulps are
+    partition-schedule-dependent — unusable under a bit-exact oracle.
+    Exact integer/decimal sums of x, y, x², y², xy are
+    order-independent; both engines then evaluate the identical
+    closed-form double expression. One map-side partial + final hash
+    aggregation — the same single-shuffle profile as any groupBy, and
+    the moment algebra is how a 1000-executor job computes correlation
+    anyway (Welford-style streaming merges trade determinism for one
+    fewer pass; with exact sums the pass count is identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(q).alias("sx"),
+        dec(p).alias("sy"),
+        dec(q * q).alias("sxx"),
+        dec(p * p).alias("syy"),
+        dec(q * p).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("qty_stddev"),
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("qty_price_covar"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("qty_price_corr"),
+    )

@@ -31,7 +31,7 @@ MUST_RUN_R7 = {
     "entropy-quality", "containment-dedup", "mad-outliers",
     "shard-assign", "kmeans-assign",
     "ewma-smooth", "window-median", "merge-intervals",
-    "funnel-steps", "retention-cohorts", "rank-funcs",
+    "funnel-steps", "retention-cohorts", "rank-funcs", "stats-agg",
     # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
     # perf-audited this round
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
