@@ -36,11 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys lead. Round 7: the cap is COUNTED (asserted by
 # tests/test_entry_rotation.py). Order: (a) the 13 keys whose latest
 # driver evidence is round 4 — the planned round-6 overflow, now the
-# stalest cohort; (b) the 27 keys ADDED this round (never had a driver
+# stalest cohort; (b) the 28 keys ADDED this round (never had a driver
 # row) and the keys whose code changed (multimodal-decode: numpy
 # MJPEG DC; similarity-join/embedding-near-dup/knn family: pair-
-# scoring rewrite) plus the two perf-audited heavy operators; (c) 1
-# of the 49 round-5-evidenced keys. The remaining 48 r5 keys (simple
+# scoring rewrite) plus the two perf-audited heavy operators; (c) 0
+# of the 49 round-5-evidenced keys. All 49 r5 keys (simple
 # scalar projections and small variants) roll to round 8 still
 # satisfying "no evidence older than r5". Keys not listed keep
 # registry order after these.
@@ -50,7 +50,7 @@ _PRIORITY = [
     "gap-fill", "quantiles", "string-funcs", "null-safe-join",
     "distinct-agg", "array-ops", "struct-json-ops",
     "explode-posexplode", "conditional-agg",
-    # -- (b) new this round (no driver row yet, 27 keys) --
+    # -- (b) new this round (no driver row yet, 28 keys) --
     "tfidf-topterms", "trigram-lm-score", "weighted-sample",
     "pii-scrub", "dedup-rate-report", "length-histogram",
     "image-resize", "audio-resample",
@@ -60,14 +60,13 @@ _PRIORITY = [
     "shard-assign", "kmeans-assign",
     "ewma-smooth", "window-median", "merge-intervals",
     "funnel-steps", "retention-cohorts", "rank-funcs", "stats-agg",
+    "dedup-survivorship",
     # -- (b) code changed / perf-audited this round --
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
     "similarity-join", "embedding-near-dup", "knn-join",
     "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
-    # -- (c) round-5 cohort, 1 of 49 --
-    "full-scan",
     # ---- 50-cap boundary: everything below rolls to round 8 ----
-    "delta-scan", "point-lookup", "topk-sort",
+    "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
     "ambiguity-count", "approx-distinct", "equi-inner-join",
     "idmap-join", "email-match-join",

@@ -1191,3 +1191,106 @@ def q_length_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# Survivorship-policy oracle: same recursive-CTE component labeling as
+# _CLUSTER_SURVIVORS_SQL, but the kept doc per cluster is chosen by the
+# quality-score policy (max quality, min-id tie-break) instead of min
+# id — the quality SQL is byte-for-byte the `quality-score` oracle's.
+_SURVIVORSHIP_SQL = f"""WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT a_id AS u, b_id AS v FROM jpairs
+  UNION
+  SELECT b_id, a_id FROM jpairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+), qm AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_extract_all(trim(text), '\\S+')) AS DOUBLE) AS n_tok,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
+                        AS DOUBLE) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         0.4::DOUBLE * (CASE WHEN n_chars >= 50 AND n_chars <= 20000
+                             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+       + 0.3::DOUBLE * (CASE WHEN n_tok > 0 AND n_chars / n_tok >= 3.0
+                                  AND n_chars / n_tok <= 12.0
+                             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+       + 0.3::DOUBLE * (CASE WHEN punct_ratio <= 0.2
+                             THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+  FROM qm
+), lab AS (
+  SELECT q.doc_id, q.quality,
+         COALESCE(c.component, q.doc_id) AS cluster
+  FROM q LEFT JOIN comp c ON c.id = q.doc_id
+), ranked AS (
+  SELECT doc_id, quality, cluster,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY quality DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY cluster) AS cs
+  FROM lab
+)
+SELECT doc_id AS survivor_id,
+       CAST(cluster AS BIGINT) AS cluster_id,
+       CAST(cs AS BIGINT) AS cluster_size,
+       quality
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup-survivorship", sql=_SURVIVORSHIP_SQL)
+def q_dedup_survivorship(spark, sf_dir):
+    """Survivorship-POLICY dedup: per duplicate cluster keep the
+    highest-quality document (min doc_id tie-break), not the min-id
+    one — the production rule when near-dups differ in cleanliness
+    (boilerplate-stripped mirror vs raw scrape). Singleton docs are
+    their own cluster of size 1.
+
+    Same machinery as `fuzzy-dedup-clusters` (MinHash candidates →
+    exact-Jaccard verify → min-label components) plus one broadcast-
+    size policy stage: a per-cluster ranking window over (quality,
+    id). The components frame is node-cardinality (docs touched by a
+    pair), so the left join back to the corpus adds one id-keyed
+    shuffle; the window partitions by cluster label — skew bounded by
+    the largest duplicate cluster. The oracle re-derives the whole
+    thing: pair graph, recursive-CTE closure, the same fixed-weight
+    quality score, and the same ranking policy."""
+    from .operators.components import connected_components
+
+    d = _corpus(spark, sf_dir).select("doc_id", "text")
+    pairs = DD.minhash_verified_pairs(d, num_hashes=32, bands=4)
+    comps = connected_components(pairs)
+    scored = d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    lab = (
+        scored.join(comps, scored["doc_id"] == comps["id"], "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    wq = W.partitionBy("cluster")
+    ranked = lab.select(
+        "doc_id",
+        "quality",
+        "cluster",
+        F.row_number()
+        .over(wq.orderBy(F.desc("quality"), F.col("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wq).alias("cs"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("survivor_id"),
+        F.col("cluster").cast("long").alias("cluster_id"),
+        F.col("cs").cast("long").alias("cluster_size"),
+        "quality",
+    )

@@ -32,6 +32,7 @@ MUST_RUN_R7 = {
     "shard-assign", "kmeans-assign",
     "ewma-smooth", "window-median", "merge-intervals",
     "funnel-steps", "retention-cohorts", "rank-funcs", "stats-agg",
+    "dedup-survivorship",
     # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
     # perf-audited this round
     "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
