@@ -34,11 +34,17 @@ LANG_MARKERS = {
 
 
 def tokens(col: ColumnOrName) -> Column:
-    """Whitespace tokenization → array<string>; empty text → empty array."""
-    c = F.trim(_c(col))
-    return F.when(c == "", F.array().cast("array<string>")).otherwise(
-        F.split(c, r"\s+")
-    )
+    """Whitespace tokenization → array<string>; empty or whitespace-only
+    text → empty array.
+
+    Split-then-drop-empties, NOT trim-then-split: Spark's ``trim``
+    strips only SPACES, so a leading/trailing tab or newline leaves a
+    separator at the string edge and ``split`` emits phantom empty
+    tokens there ("\\n" tokenized as two empty strings — found by
+    test_property_text). Dropping empties matches the oracles'
+    ``regexp_extract_all(text, '\\S+')`` on every input."""
+    arr = F.split(_c(col), r"\s+")
+    return F.filter(arr, lambda t: t != "")
 
 
 def token_count(col: ColumnOrName) -> Column:
