@@ -426,3 +426,65 @@ def q_bucketed_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(revenue).cast("double"), 6).alias("revenue"),
     )
+
+
+# ===========================================================================
+# Training-mix rebalancing weights
+# ===========================================================================
+
+@register(
+    "mix-weights",
+    sql="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c
+    )
+    SELECT c.lang, c.n_docs, c.n_chars,
+           ROUND(CAST(c.n_docs AS DOUBLE) / tot.total, 6) AS actual_share,
+           ROUND(1.0 / tot.n_langs, 6) AS target_share,
+           ROUND(CAST(tot.total AS DOUBLE)
+                 / (tot.n_langs * c.n_docs), 6) AS sample_weight
+    FROM c, tot
+    """,
+)
+def q_mix_weights(spark, sf_dir):
+    """Training-mix rebalancing: per-language sampling weights that
+    move the corpus to a uniform language share (weight =
+    target_share / actual_share) — the "data mixing" step between
+    dedup/quality filtering and sequence packing. Weights > 1 mean
+    upsample (repeat epochs), < 1 mean downsample; they compose
+    directly with `weighted-sample`'s acceptance device.
+
+    Plan: one tiny per-lang aggregation, then a single-row totals
+    frame joined back by broadcast — the same reduce-then-broadcast
+    shape as `anomaly-zscore`; the corpus scan itself is the only
+    data-proportional cost. All ratios are doubles of exact integer
+    counts, so both engines agree bit-for-bit before the round."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = c.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return c.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
+            "actual_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_langs"), 6).alias("target_share"),
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("n_langs") * F.col("n_docs")),
+            6,
+        ).alias("sample_weight"),
+    )
