@@ -334,3 +334,53 @@ def q_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "markov-transitions",
+    sql="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id IS NOT NULL
+    ), t AS (
+      SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+      FROM o WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ), tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t
+      GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / tot.n_from, 6) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order event-transition matrix: per-user consecutive
+    event-type pairs, counted and normalized into transition
+    probabilities — the path-analysis primitive behind next-action
+    prediction and funnel discovery (funnels test a HYPOTHESIZED
+    path; this surfaces the empirical ones).
+
+    One user_id window (LAG) shares its shuffle with the pair count's
+    map-side partial; the transition matrix is |event types|² rows —
+    tiny — so the normalizing totals broadcast back. Probabilities
+    are ratios of exact integer counts: bit-identical in both
+    engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = o.groupBy(
+        F.col("prev").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+    )
