@@ -181,3 +181,45 @@ def test_mad_outliers_broadcasts_stats(spark):
     plan = _plan(spark, "mad-outliers")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_survivorship_partitions_the_corpus(spark):
+    """Every doc belongs to exactly one cluster; exactly one survivor
+    per cluster; cluster sizes sum to the corpus size."""
+    rows = _rows(spark, "dedup-survivorship")
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    clusters = [r["cluster_id"] for r in rows]
+    assert len(clusters) == len(set(clusters)), "two survivors in one cluster"
+    assert sum(r["cluster_size"] for r in rows) == n_docs
+
+
+def test_survivorship_picks_at_least_min_id_quality(spark):
+    """The chosen survivor's quality must be >= the min-id policy's
+    pick (it is the argmax) — and cluster ids are always the min id."""
+    rows = _rows(spark, "dedup-survivorship")
+    for r in rows:
+        assert r["survivor_id"] >= r["cluster_id"]
+        assert 0.0 <= r["quality"] <= 1.0 + 1e-9
+
+
+def test_markov_rows_are_probabilities(spark):
+    rows = _rows(spark, "markov-transitions")
+    assert rows
+    by_from: dict = {}
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0 + 1e-9
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["p"]
+    for f, total in by_from.items():
+        # rows are rounded to 6 decimals; the sum can drift by the
+        # rounding of at most |to_types| terms
+        assert abs(total - 1.0) < 1e-4, (f, total)
+
+
+def test_stats_agg_correlation_bounds(spark):
+    for r in _rows(spark, "stats-agg"):
+        assert -1.0 - 1e-9 <= r["qty_price_corr"] <= 1.0 + 1e-9
+        assert r["qty_stddev"] >= 0.0
+        assert r["n"] > 1
