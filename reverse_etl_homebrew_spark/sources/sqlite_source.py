@@ -1,0 +1,205 @@
+"""Second external connector: SQLite over the same Python DataSource
+contract as the DuckDB source — proof the pushdown/partitioning
+pattern generalizes across remote engines, using only the stdlib
+``sqlite3`` driver.
+
+What it adds beyond ``duckdb_source``: the DuckDB connector
+parallelizes per FILE; SQLite exposes one table in one file, so this
+reader implements the classic JDBC-style RANGE partitioning instead —
+``numPartitions`` rowid ranges computed from the remote min/max at
+plan time, each partition reading ``WHERE <pushed> AND rowid BETWEEN
+lo AND hi`` on its own connection. That is exactly how a 1000-executor
+job reads any single large warehouse table (partitionColumn /
+lowerBound / upperBound), expressed through the same DataSource API.
+
+Filter pushdown reuses ``duckdb_source.filter_to_sql`` with one
+SQLite-specific narrowing: date/timestamp literals are refused
+(SQLite has no temporal literal syntax — ``TIMESTAMP '...'`` is a
+syntax error there), so temporal predicates stay Spark-side rather
+than failing remotely. Pushdown remains best-effort-correct by
+construction: anything not compiled is still evaluated by Spark.
+
+Read-only by design: SQLite is a single-writer engine, so N parallel
+Spark write tasks would serialize on the database lock (or corrupt a
+WAL-less file on NFS). Writes belong on the lakehouse side
+(``DuckDBParquetWriter``); this source models the reference's
+warehouse-READ contract (main.py:534-549).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator, List, Optional, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    Filter,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .duckdb_source import _parse_columns_option, _quote_ident, filter_to_sql
+
+
+def _sqlite_filter_to_sql(f: Filter) -> Optional[str]:
+    """filter_to_sql minus temporal literals (no such syntax in
+    SQLite)."""
+    values = []
+    if isinstance(f, In):
+        values = list(f.value)
+    elif hasattr(f, "value"):
+        values = [f.value]
+    if any(isinstance(v, (dt.datetime, dt.date)) for v in values):
+        return None
+    return filter_to_sql(f)
+
+
+def _affinity_to_spark(decl: str):
+    """SQLite declared-type affinity → Spark type (the declared
+    affinity is the schema contract; SQLite's per-cell dynamic typing
+    is out of scope, as it is for every SQL reader)."""
+    d = (decl or "").upper()
+    if "INT" in d:
+        return LongType()
+    if any(k in d for k in ("REAL", "FLOA", "DOUB", "NUMERIC", "DEC")):
+        return DoubleType()
+    if "BLOB" in d or d == "":
+        return BinaryType()
+    return StringType()  # TEXT / CHAR / CLOB / VARCHAR
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, lo: Optional[int], hi: Optional[int]):
+        self.lo = lo
+        self.hi = hi
+
+
+class SQLiteTableReader(DataSourceReader):
+    """Range-partitioned reader: one rowid slice per partition, pushed
+    predicates compiled into every slice's WHERE."""
+
+    _BATCH = 10_000
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.db = options.get("path")
+        self.table = options.get("table")
+        if not self.db or not self.table:
+            raise ValueError("sqlite_table: 'path' and 'table' options are required")
+        self.part_col = options.get("partitioncolumn", "rowid")
+        self.num_parts = int(options.get("numpartitions", "4"))
+        self.pushed_sql: List[str] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            sql = _sqlite_filter_to_sql(f)
+            if sql is None:
+                yield f
+            else:
+                self.pushed_sql.append(sql)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        import sqlite3
+
+        con = sqlite3.connect(self.db)
+        try:
+            lo, hi = con.execute(
+                f"SELECT MIN({_quote_ident(self.part_col)}),"
+                f" MAX({_quote_ident(self.part_col)})"
+                f" FROM {_quote_ident(self.table)}"
+            ).fetchone()
+        finally:
+            con.close()
+        if lo is None or hi is None:
+            return [_RangePartition(None, None)]  # empty table
+        n = max(1, min(self.num_parts, hi - lo + 1))
+        step = (hi - lo + 1 + n - 1) // n
+        return [
+            _RangePartition(lo + i * step, min(hi, lo + (i + 1) * step - 1))
+            for i in range(n)
+            if lo + i * step <= hi
+        ]
+
+    def _remote_sql(self, p: _RangePartition) -> str:
+        cols = ", ".join(_quote_ident(f.name) for f in self.schema.fields)
+        sql = f"SELECT {cols} FROM {_quote_ident(self.table)}"
+        where = list(self.pushed_sql)
+        if p.lo is not None:
+            where.append(
+                f"{_quote_ident(self.part_col)} BETWEEN {p.lo} AND {p.hi}"
+            )
+        else:
+            where.append("1 = 0")  # empty table: no rows by construction
+        if where:
+            sql += " WHERE " + " AND ".join(where)
+        return sql
+
+    def read(self, partition: _RangePartition):
+        import sqlite3
+
+        con = sqlite3.connect(self.db)
+        try:
+            cur = con.execute(self._remote_sql(partition))
+            while True:
+                rows = cur.fetchmany(self._BATCH)
+                if not rows:
+                    break
+                for row in rows:
+                    yield row
+        finally:
+            con.close()
+
+
+class SQLiteTableDataSource(DataSource):
+    """``spark.read.format("sqlite_table").option("path", db)
+    .option("table", t)`` with JDBC-style range partitioning and
+    best-effort pushdown."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sqlite_table"
+
+    def schema(self) -> StructType:
+        import sqlite3
+
+        db = self.options.get("path")
+        table = self.options.get("table")
+        if not db or not table:
+            raise ValueError("sqlite_table: 'path' and 'table' options are required")
+        con = sqlite3.connect(db)
+        try:
+            info = con.execute(
+                f"PRAGMA table_info({_quote_ident(table)})"
+            ).fetchall()
+        finally:
+            con.close()
+        if not info:
+            raise ValueError(f"sqlite_table: no such table {table!r} in {db}")
+        by_name = {row[1]: _affinity_to_spark(row[2]) for row in info}
+        want = _parse_columns_option(self.options) or [row[1] for row in info]
+        missing = [c for c in want if c not in by_name]
+        if missing:
+            raise ValueError(f"sqlite_table: unknown columns {missing}")
+        return StructType(
+            [StructField(c, by_name[c], True) for c in want]
+        )
+
+    def reader(self, schema: StructType) -> SQLiteTableReader:
+        return SQLiteTableReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    try:
+        spark.dataSource.register(SQLiteTableDataSource)
+    except Exception:
+        pass
