@@ -326,15 +326,27 @@ def q_kmeans_assign(spark, sf_dir):
     by array_min over (dist, cid) structs. Zero shuffle, zero join:
     at 100 TB this runs at scan speed, embarrassingly parallel."""
     e = _t(spark, sf_dir, "embeddings")
+    return _assign_embeddings(e, _seed_centroids(e))
+
+
+def _seed_centroids(e):
     seeds = (
         e.filter(F.col("vec_id") < _KMEANS_K)
         .select("vec_id", "embedding")
         .collect()
     )
-    seeds = sorted((int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds)
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in seeds
+    )
+
+
+def _assign_embeddings(e, centroids):
+    """Nearest-centroid projection for a (cid, vector) list: squared-L2
+    to every centroid as flat left-fold literal arithmetic, argmin via
+    array_min over (dist, cid) structs. Zero shuffle, zero join."""
+    from functools import reduce
 
     def dist_to(cv):
-        from functools import reduce
         terms = [
             (F.element_at(F.col("embedding"), F.lit(i + 1)).cast("double")
              - F.lit(cv[i]))
@@ -349,7 +361,7 @@ def q_kmeans_assign(spark, sf_dir):
             F.round(dist_to(cv), 6).alias("dist"),
             F.lit(cid).cast("int").alias("cid"),
         )
-        for cid, cv in seeds
+        for cid, cv in centroids
     ])
     best = F.array_min(choices)
     return e.select(
@@ -357,3 +369,95 @@ def q_kmeans_assign(spark, sf_dir):
         best["cid"].alias("centroid_id"),
         best["dist"].alias("dist"),
     )
+
+
+_KM_DIST2_SQL = _KM_DIST_SQL.replace("c.cv", "c1.cv")
+
+@register(
+    "kmeans-iterate",
+    sql=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_KMEANS_K}
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             ROUND({_KM_DIST_SQL}, 6) AS dist
+      FROM embeddings e, c
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), ex AS (
+      SELECT a1.cid, r.i, CAST(e.embedding[r.i + 1] AS DOUBLE) AS v
+      FROM embeddings e
+      JOIN a1 USING (vec_id),
+      UNNEST(range(len(e.embedding))) AS r(i)
+    ), m AS (
+      SELECT cid, i,
+             ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS comp
+      FROM ex GROUP BY cid, i
+    ), c1 AS (
+      SELECT cid, list(comp ORDER BY i) AS cv FROM m GROUP BY cid
+    ), scored2 AS (
+      SELECT e.vec_id, c1.cid,
+             ROUND({_KM_DIST2_SQL}, 6) AS dist
+      FROM embeddings e, c1
+    ), ranked2 AS (
+      SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM scored2
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS centroid_id, dist
+    FROM ranked2 WHERE rn = 1
+    """,
+)
+def q_kmeans_iterate(spark, sf_dir):
+    """One full Lloyd's k-means ITERATION beyond seeding: assign to
+    the K seed vectors, recompute per-cluster mean centroids
+    (decimal-exact per-dimension sums, 6-decimal rounded — the
+    `embedding-centroid` update step keyed by cluster instead of
+    label), then re-assign against the updated centroids. Extending to
+    N iterations is this loop run N times; the plan per iteration is
+    flat (centroids live driver-side as K·dim literals, so lineage
+    never grows — unlike `connected_components`, no checkpoint is
+    needed).
+
+    Oracle-backed though iterative: the SQL unrolls the SAME two
+    rounds — seed assignment, per-(cluster, dim) decimal mean,
+    re-assignment — so the argmin geometry, the update arithmetic, and
+    every tie-break are all checked row-for-row. Scale: two scans +
+    one (cluster, dim)-keyed aggregation per iteration; the K·dim
+    collect between rounds is the IVF-seed pattern (bytes, not
+    data)."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = _seed_centroids(e)
+    dim = len(seeds[0][1])
+    a1 = _assign_embeddings(e, seeds).select("vec_id", "centroid_id")
+    ex = (
+        e.join(a1, "vec_id")
+        .select("centroid_id", F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "centroid_id", "pos", F.col("v").cast("double").alias("v")
+        )
+    )
+    m = ex.groupBy("centroid_id", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("comp")
+    )
+    comps: dict = {}
+    for r in m.collect():
+        comps.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(
+            r["comp"]
+        )
+    updated = sorted(
+        (cid, [by_pos[p] for p in range(dim)]) for cid, by_pos in comps.items()
+    )
+    return _assign_embeddings(e, updated)

@@ -223,3 +223,20 @@ def test_stats_agg_correlation_bounds(spark):
         assert -1.0 - 1e-9 <= r["qty_price_corr"] <= 1.0 + 1e-9
         assert r["qty_stddev"] >= 0.0
         assert r["n"] > 1
+
+
+def test_kmeans_iterate_descends(spark):
+    """Lloyd's guarantee: total inertia after (update, re-assign) is
+    no higher than after the seed assignment."""
+    from reverse_etl_homebrew_spark import queries_quality as QQ
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    seeds = QQ._seed_centroids(e)
+    before = sum(
+        r["dist"] for r in QQ._assign_embeddings(e, seeds).collect()
+    )
+    after = sum(r["dist"] for r in _rows(spark, "kmeans-iterate"))
+    # 6-decimal per-row rounding can drift the totals a hair
+    assert after <= before + 1e-3, (after, before)
+    assert after < before, "update step did nothing — suspicious seeds"
