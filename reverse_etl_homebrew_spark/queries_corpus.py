@@ -488,3 +488,83 @@ def q_mix_weights(spark, sf_dir):
             6,
         ).alias("sample_weight"),
     )
+
+
+@register(
+    "scd2-lookup",
+    sql="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    ch AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM ch
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           h.event_type AS state_type,
+           h.valid_from AS state_since
+    FROM events p
+    JOIN hist h
+      ON p.user_id = h.user_id
+     AND p.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
+    """,
+)
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time (as-of-state) lookup against the SCD2 history:
+    each purchase event joined to the regime interval that was active
+    at its timestamp — the query pattern every SCD2 table exists to
+    serve ("what state was this user in when X happened"). Completes
+    the pair with `scd2-history` (the build).
+
+    Plan: equi-join on user_id with the [valid_from, valid_to) range
+    as a residual predicate (the `range-join` pattern); both sides
+    derive from the same user_id-partitioned scan, so the planner
+    reuses one exchange. Every probe matches exactly ONE interval —
+    the intervals partition the user's timeline from their first
+    event — so output cardinality equals probe cardinality (asserted
+    in tests). Timestamp-and-integer output: exact by construction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hist = (
+        ev.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id", "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    h = hist.alias("h")
+    p = probe.alias("p")
+    return p.join(
+        h,
+        (F.col("p.user_id") == F.col("h.user_id"))
+        & (F.col("p.ts") >= F.col("h.valid_from"))
+        & (F.col("h.valid_to").isNull() | (F.col("p.ts") < F.col("h.valid_to"))),
+    ).select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("ts"),
+        F.col("h.event_type").alias("state_type"),
+        F.col("h.valid_from").alias("state_since"),
+    )

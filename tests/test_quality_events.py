@@ -240,3 +240,19 @@ def test_kmeans_iterate_descends(spark):
     # 6-decimal per-row rounding can drift the totals a hair
     assert after <= before + 1e-3, (after, before)
     assert after < before, "update step did nothing — suspicious seeds"
+
+
+def test_scd2_lookup_covers_every_probe_exactly_once(spark):
+    """The SCD2 intervals partition each user's timeline from their
+    first event, so every purchase probe matches exactly one state."""
+    rows = _rows(spark, "scd2-lookup")
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_probes = ev.filter(
+        F.col("user_id").isNotNull() & (F.col("event_type") == "purchase")
+    ).count()
+    assert len(rows) == n_probes
+    assert len({r["event_id"] for r in rows}) == n_probes
+    for r in rows:
+        assert r["state_since"] <= r["ts"]
