@@ -149,6 +149,42 @@ def pair_cosine_pandas():
     return cos
 
 
+def centroid_dists_pandas(centroid_vectors):
+    """Scalar Pandas UDF returning the RAW squared-L2 distance of a
+    vector to each of K centroids as ``array<double>`` (centroid
+    order = input order).
+
+    Accumulation is an explicit per-dimension left fold (vectorized
+    across rows), so each distance is bit-identical to the flat
+    codegen ``(a_i - c_i)²`` fold and to DuckDB's list_sum — rounding
+    and argmin stay JVM-side on the tiny output array, keeping the
+    oracle arithmetic entirely out of numpy's rounding semantics.
+    Exists because K unrolled distance expressions in one projection
+    (K·dim·2 terms) cost tens of seconds of janino compile per query
+    (measured 28 s for K=8, dim=64 — plan-size disease, not data
+    cost)."""
+    import numpy as np
+
+    C = np.asarray([list(v) for v in centroid_vectors], dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def dists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        A = np.asarray(vecs.tolist(), dtype=np.float64)
+        cols = []
+        for j in range(C.shape[0]):
+            d0 = A[:, 0] - C[j, 0]
+            acc = d0 * d0
+            for i in range(1, A.shape[1]):
+                di = A[:, i] - C[j, i]
+                acc = acc + di * di
+            cols.append(acc)
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return dists
+
+
 def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     """Pandas UDF computing all L hash-table bucket ids of a vector in
     ONE Arrow-batched matmul — returns array<long> of length

@@ -341,30 +341,26 @@ def _seed_centroids(e):
 
 
 def _assign_embeddings(e, centroids):
-    """Nearest-centroid projection for a (cid, vector) list: squared-L2
-    to every centroid as flat left-fold literal arithmetic, argmin via
-    array_min over (dist, cid) structs. Zero shuffle, zero join."""
-    from functools import reduce
+    """Nearest-centroid assignment for a (cid, vector) list: raw
+    squared-L2 distances from the Arrow left-fold kernel (bit-identical
+    to the codegen fold and the SQL oracle — see
+    vectorized.centroid_dists_pandas, which exists because K unrolled
+    distance expressions cost tens of seconds of janino compile),
+    then JVM-side 6-decimal rounding and argmin via array_min over
+    (dist, cid) structs. Zero shuffle, zero join."""
+    from .operators.vectorized import centroid_dists_pandas
 
-    def dist_to(cv):
-        terms = [
-            (F.element_at(F.col("embedding"), F.lit(i + 1)).cast("double")
-             - F.lit(cv[i]))
-            * (F.element_at(F.col("embedding"), F.lit(i + 1)).cast("double")
-               - F.lit(cv[i]))
-            for i in range(len(cv))
-        ]
-        return reduce(lambda a, b: a + b, terms)
-
+    dists = centroid_dists_pandas([cv for _, cv in centroids])
+    d = e.select("vec_id", dists(F.col("embedding")).alias("__d"))
     choices = F.array(*[
         F.struct(
-            F.round(dist_to(cv), 6).alias("dist"),
+            F.round(F.element_at(F.col("__d"), j + 1), 6).alias("dist"),
             F.lit(cid).cast("int").alias("cid"),
         )
-        for cid, cv in centroids
+        for j, (cid, _) in enumerate(centroids)
     ])
     best = F.array_min(choices)
-    return e.select(
+    return d.select(
         "vec_id",
         best["cid"].alias("centroid_id"),
         best["dist"].alias("dist"),
