@@ -91,6 +91,11 @@ HEAVY_ADDITIONS = [
     # r7b: gram-posting-join containment dedup — same cost class as
     # the LSH candidate joins, so it belongs in the perf ledger
     "containment-dedup",
+    # r7c: the two end-to-end composites added late in round 7 — the
+    # full Lloyd iteration (Arrow distance kernel) and the
+    # quality-policy survivorship dedup (clusters + ranking window)
+    "kmeans-iterate",
+    "dedup-survivorship",
 ]
 
 
