@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # keys lead. Round 7: the cap is COUNTED (asserted by
 # tests/test_entry_rotation.py). Order: (a) the 13 keys whose latest
 # driver evidence is round 4 — the planned round-6 overflow, now the
-# stalest cohort; (b) the 28 keys ADDED this round (mix-weights, markov-transitions, kmeans-iterate, scd2-lookup — added after the cap filled — lead the r8 rotation) (never had a driver
+# stalest cohort; (b) the 28 keys ADDED this round (mix-weights, markov-transitions, kmeans-iterate, scd2-lookup, attribution-last-touch — added after the cap filled — lead the r8 rotation) (never had a driver
 # row) and the keys whose code changed (multimodal-decode: numpy
 # MJPEG DC; similarity-join/embedding-near-dup/knn family: pair-
 # scoring rewrite) plus the two perf-audited heavy operators; (c) 0
@@ -69,6 +69,7 @@ _PRIORITY = [
     # mix-weights (added last, after the cap filled) leads the r8
     # new-key cohort ----
     "mix-weights", "markov-transitions", "kmeans-iterate", "scd2-lookup",
+    "attribution-last-touch",
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
     "ambiguity-count", "approx-distinct", "equi-inner-join",

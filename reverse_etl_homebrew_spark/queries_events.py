@@ -384,3 +384,63 @@ def q_markov_transitions(spark, sf_dir):
         "n",
         F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
     )
+
+
+@register(
+    "attribution-last-touch",
+    sql="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS) OVER w AS touch_ts,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_id END IGNORE NULLS) OVER w
+               AS touch_event_id,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS touch_type
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           touch_event_id, touch_type, touch_ts
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the user's
+    most recent preceding marketing touch (view/click) — the
+    conversion-attribution primitive. A purchase with no prior touch
+    keeps NULL attribution (organic).
+
+    One user_id window with an IGNORE NULLS last-value carry over the
+    preceding frame — the running "most recent qualifying row" device
+    (no self-join, no as-of merge). The three carried columns are
+    null on exactly the same rows, so one total (ts, event_id) order
+    makes them provably consistent. Single shuffle; timestamps and
+    integers only — exact by construction."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+
+    def carry(col):
+        return F.last(F.when(is_touch, F.col(col)), ignorenulls=True).over(w)
+
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", "event_type",
+            carry("ts").alias("touch_ts"),
+            carry("event_id").alias("touch_event_id"),
+            carry("event_type").alias("touch_type"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id", "ts",
+            "touch_event_id", "touch_type", "touch_ts",
+        )
+    )
