@@ -575,7 +575,14 @@ def ngram_jaccard_pairs(
     pairs sharing only hot grams are not candidates). Per-doc sizes
     join back via plain shuffle joins: one row per document is
     fact-sized, never broadcast."""
-    pruned = _pruned_grams(df, id_col, text_col, n, df_cap)
+    # Pin the pruned gram set: it feeds THREE plan legs (sizes + both
+    # join sides), and without the lineage cut each leg re-runs the
+    # full shingle/normalize/df-cap pipeline — measured 2× the query's
+    # real work at sf0.1. Same device as minhash signature pinning;
+    # cluster substitution is persist(StorageLevel) per SCALE.md.
+    pruned = _pruned_grams(df, id_col, text_col, n, df_cap).localCheckpoint(
+        eager=False
+    )
     # sizes from the SAME pruned set the intersections are counted on,
     # so numerator and denominator are consistent
     sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
@@ -652,6 +659,16 @@ def minhash_verified_pairs(
         .groupBy("id")
         .agg(F.collect_set("g").alias("gset"))
     )
+    # Pin the per-doc gram sets: both verify-join legs reference this
+    # pipeline (shingle → df-cap → semi → collect_set) and exchange
+    # reuse cannot deduplicate the differently-projected legs — same
+    # device and storage contract as the signature pin above.
+    if storage is None:
+        gs = gs.localCheckpoint(eager=False)
+    else:
+        from pyspark import StorageLevel
+
+        gs = gs.persist(getattr(StorageLevel, storage))
     return (
         cand.join(
             gs.select(F.col("id").alias("a_id"), F.col("gset").alias("a_set")),
