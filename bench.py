@@ -93,9 +93,12 @@ HEAVY_ADDITIONS = [
     "containment-dedup",
     # r7c: the two end-to-end composites added late in round 7 — the
     # full Lloyd iteration (Arrow distance kernel) and the
-    # quality-policy survivorship dedup (clusters + ranking window)
+    # quality-policy survivorship dedup (clusters + ranking window) —
+    # plus the exact-Jaccard pair operator after its lineage-cut fix
+    # (13.4 s -> 2.4 s warm; the ledger keeps it honest)
     "kmeans-iterate",
     "dedup-survivorship",
+    "ngram-jaccard",
 ]
 
 
