@@ -186,47 +186,42 @@ def q_domain_stats(spark, sf_dir):
     WITH ex AS (
       SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
       FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
-    ),
-    m AS (
-      SELECT label, i,
-             ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
-               AS c,
-             COUNT(*) AS n
-      FROM ex
-      GROUP BY label, i
     )
     SELECT label,
-           CAST(MAX(n) AS BIGINT) AS n_vecs,
-           list(c ORDER BY i) AS centroid
-    FROM m
-    GROUP BY label
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(i AS BIGINT) AS dim,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS component
+    FROM ex
+    GROUP BY label, i
     """,
 )
 def q_embedding_centroid(spark, sf_dir):
     """Per-label mean embedding (class centroids) — the seed step of
     IVF indexing, cluster-balanced sampling, and embedding-drift
     monitoring. posexplode → one (label, dim) hash aggregation with
-    decimal(38,6) order-independent sums → re-assemble the vector
-    sorted by dimension. Shuffled bytes ∝ labels × dims, not rows;
-    no driver-side collection anywhere."""
+    decimal(38,6) order-independent sums. Output is dim-exploded
+    (label, n_vecs, dim, component) rather than array<double>: every
+    consumer (IVF seeding, drift dashboards) re-keys by dimension
+    anyway, and flat doubles hash/compare exactly across engines.
+    Shuffled bytes ∝ labels × dims, not rows; no driver-side
+    collection anywhere."""
     e = _t(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select("label", "pos", F.col("v").cast("double").alias("v"))
-    m = ex.groupBy("label", "pos").agg(
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.round(
             F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
             / F.count(F.lit(1)),
             6,
-        ).alias("c"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return m.groupBy("label").agg(
-        F.max("n").cast("long").alias("n_vecs"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s["c"],
-        ).alias("centroid"),
+        ).alias("component"),
+    ).select(
+        "label",
+        "n_vecs",
+        F.col("pos").cast("long").alias("dim"),
+        "component",
     )
 
 

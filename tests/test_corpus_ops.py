@@ -55,9 +55,14 @@ def test_embedding_centroid_dims(spark, sf_dir):
     )
     rows = _run(spark, sf_dir, "embedding-centroid").collect()
     assert rows
+    # dim-exploded shape: every label carries exactly `dim` rows,
+    # one per dimension 0..dim-1, all with the same positive n_vecs
+    by_label: dict = {}
     for r in rows:
-        assert len(r["centroid"]) == dim
         assert r["n_vecs"] > 0
+        by_label.setdefault(r["label"], []).append(r["dim"])
+    for dims in by_label.values():
+        assert sorted(dims) == list(range(dim))
 
 
 def test_anomaly_zscore_all_outliers(spark, sf_dir):
