@@ -33,60 +33,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry emission order. The driver evaluates queries in dict order
 # and caps CORRECTNESS at ~50 entries per round, so rounds rotate which
-# keys lead. Round 7: the cap is COUNTED (asserted by
-# tests/test_entry_rotation.py). Order: (a) the 13 keys whose latest
-# driver evidence is round 4 — the planned round-6 overflow, now the
-# stalest cohort; (b) the 28 keys ADDED this round (mix-weights, markov-transitions, kmeans-iterate, scd2-lookup, attribution-last-touch — added after the cap filled — lead the r8 rotation) (never had a driver
-# row) and the keys whose code changed (multimodal-decode: numpy
-# MJPEG DC; similarity-join/embedding-near-dup/knn family: pair-
-# scoring rewrite) plus the two perf-audited heavy operators; (c) 0
-# of the 49 round-5-evidenced keys. All 49 r5 keys (simple
-# scalar projections and small variants) roll to round 8 still
-# satisfying "no evidence older than r5". Keys not listed keep
-# registry order after these.
+# keys lead. Round 8 (cap counted, asserted by
+# tests/test_entry_rotation.py): (a) the 6 evidence-gapped keys — the
+# 5 never-driver-checked r7 additions plus embedding-centroid (r7 row
+# errored on its array column; output reshaped this round); (b) the 2
+# keys ADDED this round (containment-dedup-capped,
+# sqlite-scan-pushdown); (c) the 6 ANN keys whose bucketer kernel
+# changed this round (matmul → bit-exact per-dimension left fold, per
+# ADVICE); (d) 36 of the 49 round-5-evidenced keys — all but the 13
+# scalar-projection / snapshot-join keys named below the boundary
+# (bool-normalize, identifier-canon, email-normalize, phi-redact,
+# epoch-millis, eastern-date, json-payload, natural-key,
+# next-birthday, patient-projection, roi-projection, remote-search,
+# remote-get), which roll to round 9 and must LEAD its rotation.
+# Keys not listed keep registry order after these.
 _PRIORITY = [
-    # -- (a) round-4 cohort: stalest driver evidence --
-    "pivot-agg", "running-window", "lag-lead", "unpivot-melt",
-    "gap-fill", "quantiles", "string-funcs", "null-safe-join",
-    "distinct-agg", "array-ops", "struct-json-ops",
-    "explode-posexplode", "conditional-agg",
-    # -- (b) new this round (no driver row yet, 28 keys) --
-    "tfidf-topterms", "trigram-lm-score", "weighted-sample",
-    "pii-scrub", "dedup-rate-report", "length-histogram",
-    "image-resize", "audio-resample",
-    "ngram-topk", "vocab-stats", "domain-stats", "embedding-centroid",
-    "anomaly-zscore", "scd2-history", "bucketed-join",
-    "entropy-quality", "containment-dedup", "mad-outliers",
-    "shard-assign", "kmeans-assign",
-    "ewma-smooth", "window-median", "merge-intervals",
-    "funnel-steps", "retention-cohorts", "rank-funcs", "stats-agg",
-    "dedup-survivorship",
-    # -- (b) code changed / perf-audited this round --
-    "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
-    "similarity-join", "embedding-near-dup", "knn-join",
-    "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
-    # ---- 50-cap boundary: everything below rolls to round 8.
-    # mix-weights (added last, after the cap filled) leads the r8
-    # new-key cohort ----
-    "mix-weights", "markov-transitions", "kmeans-iterate", "scd2-lookup",
-    "attribution-last-touch",
+    # -- (a) evidence-gapped: never driver-checked / errored r7 --
+    "mix-weights", "markov-transitions", "kmeans-iterate",
+    "scd2-lookup", "attribution-last-touch", "embedding-centroid",
+    # -- (b) added this round --
+    "containment-dedup-capped", "sqlite-scan-pushdown",
+    # -- (c) bucketer kernel changed this round --
+    "topk-similarity-lsh", "knn-join", "knn-join-lsh",
+    "knn-join-tables", "similarity-join", "embedding-near-dup",
+    # -- (d) round-5 cohort: stalest driver evidence (36 of 49) --
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
-    "latest-per-group", "groupby-agg", "max-ifnull-agg", "run-counters",
-    "ambiguity-count", "approx-distinct", "equi-inner-join",
-    "idmap-join", "email-match-join",
-    "tiered-match-join", "anti-join",
-    "semi-join", "dlq-attempt-join", "window-rank", "dedup-lastwin",
-    "union-all",
-    "tumbling-window",
+    "latest-per-group", "groupby-agg", "max-ifnull-agg",
+    "run-counters", "ambiguity-count", "approx-distinct",
+    "equi-inner-join", "idmap-join", "email-match-join",
+    "tiered-match-join", "anti-join", "semi-join", "dlq-attempt-join",
+    "window-rank", "dedup-lastwin", "union-all", "tumbling-window",
     "sliding-window", "session-window", "text-analysis",
     "set-intersect", "set-except", "token-count", "quality-score",
     "doc-fingerprint", "lang-id", "simhash-dedup", "ngram-jaccard",
-    "ledger-watermark-read", "dlq-attempt-read",
+    "ledger-watermark-read", "dlq-attempt-read", "processed-skip",
+    "retry-threshold",
+    # ---- 50-cap boundary: the 13 r5-evidenced keys below roll to
+    # round 9 and lead its rotation ----
     "bool-normalize", "identifier-canon", "email-normalize",
     "phi-redact", "epoch-millis", "eastern-date", "json-payload",
     "natural-key", "next-birthday", "patient-projection",
-    "roi-projection", "processed-skip", "retry-threshold",
-    "remote-search", "remote-get",
+    "roi-projection", "remote-search", "remote-get",
 ]
 
 

@@ -99,6 +99,12 @@ HEAVY_ADDITIONS = [
     "kmeans-iterate",
     "dedup-survivorship",
     "ngram-jaccard",
+    # r8: the df-capped containment variant (the uncapped key's named
+    # 100 TB lever, now an operator) and the two event-tier keys that
+    # had correctness rows but no wall-time history
+    "containment-dedup-capped",
+    "scd2-lookup",
+    "attribution-last-touch",
 ]
 
 

@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Isolated A/B for cube-agg (VERDICT r7 #4): it drifted 1.15 -> 1.39
+-> 1.80 s across r1/r6/r7 bench rows with ZERO code change; every
+drift round also recorded climbing host load. Method = the clusters
+A/B from r7: run ALONE on an idle host, discard the first 4
+executions (JIT tiering + page cache on this VM class), report the
+median of the next 5, record loadavg before/after.
+
+Usage: python fixtures/ab_cube_agg.py [sf_dir]
+"""
+from __future__ import annotations
+
+import gc
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from reverse_etl_homebrew_spark import queries as Q
+    from reverse_etl_homebrew_spark.session import get_spark
+
+    load0 = [round(x, 2) for x in os.getloadavg()]
+    spark = get_spark("ab-cube-agg")
+
+    def run_once() -> float:
+        t0 = time.perf_counter()
+        Q.QUERIES["cube-agg"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    warm = [run_once() for _ in range(4)]
+    samples = []
+    for _ in range(5):
+        gc.collect()
+        spark.catalog.clearCache()
+        samples.append(run_once())
+    print(
+        {
+            "query": "cube-agg",
+            "sf_dir": sf_dir,
+            "warmup_discarded": [round(x, 3) for x in warm],
+            "samples": [round(x, 3) for x in samples],
+            "median": round(statistics.median(samples), 3),
+            "loadavg_start": load0,
+            "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        }
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

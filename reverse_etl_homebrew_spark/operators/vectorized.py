@@ -194,8 +194,17 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     plane = MSB). This is the multi-table scale path: L×p flat
     sign-fold expressions in one projection blow past the JVM's
     generated-method JIT budget and run interpreted (measured 6×
-    slower than a numpy matmul over the same planes), while (n,d) @
-    (d, L·p) is one BLAS call with plan size independent of L and p."""
+    slower than the numpy kernel over the same planes), while the
+    Arrow batch keeps plan size independent of L and p.
+
+    The projection is an explicit per-dimension left fold (vectorized
+    ACROSS rows, sequential across dims) — the same accumulation
+    sequence as the codegen sign fold and DuckDB's left-to-right sum —
+    NOT a BLAS matmul: BLAS reassociates the summation, and a
+    projection within accumulation error of zero could flip a sign,
+    silently changing candidate sets versus the oracle. The fold makes
+    bucket ids bit-identical by construction (same device as
+    pair_cosine_pandas)."""
     import numpy as np
 
     P = np.asarray([list(p) for p in planes_flat], dtype=np.float64)  # (L*p, d)
@@ -211,7 +220,13 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
         import numpy as np
 
         m = np.asarray(vecs.tolist(), dtype=np.float64)
-        signs = (m @ P.T) >= 0  # (n, L*p)
+        # per-dimension left fold: acc_i = acc_{i-1} + v[i] * p[i],
+        # elementwise over the (n, L*p) grid — IEEE-identical to the
+        # flat codegen fold for every (row, plane) pair
+        acc = m[:, 0:1] * P[None, :, 0].reshape(1, -1)
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i : i + 1] * P[None, :, i].reshape(1, -1)
+        signs = acc >= 0  # (n, L*p)
         bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
         bs = bs + tags  # (n, L)
         return pd.Series(list(bs))

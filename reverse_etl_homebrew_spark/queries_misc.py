@@ -278,6 +278,37 @@ def q_external_scan_pushdown(spark, sf_dir):
 
 
 @register(
+    "sqlite-scan-pushdown",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    """,
+)
+def q_sqlite_scan_pushdown(spark, sf_dir):
+    """The SQLite connector's driver-facing twin of
+    `external-scan-pushdown`: the customer table is staged into a
+    SQLite database file at query time (cached, atomic), then read
+    back through the JDBC-style rowid-range-partitioned reader with
+    both predicates compiled into the remote WHERE (equality + double
+    threshold are accepted by pushFilters; the Spark plan keeps no
+    post-scan Filter, asserted in tests/test_sqlite_source.py) and the
+    SELECT list pruned to the four consumed columns. Models the
+    reference's single-warehouse-table read (main.py:534-549) the way
+    a 1000-executor job would run it: N independent range slices, each
+    on its own connection."""
+    from .sources.sqlite_source import sqlite_table_from_parquet
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    df = sqlite_table_from_parquet(spark, sf_dir, "customer", cols, numpartitions=4)
+    return (
+        df.filter(F.col("c_mktsegment") == "BUILDING")
+        .filter(F.col("c_acctbal") > 1000.0)
+        .select(*cols)
+    )
+
+
+@register(
     "hll-sketch-merge",
     sql="""
     SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,

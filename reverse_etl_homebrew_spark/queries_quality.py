@@ -145,6 +145,17 @@ def q_containment_dedup(spark, sf_dir):
     grams = toks.select(
         "id", F.explode(F.array_distinct(TX.word_ngrams_from(F.col("w"), 3))).alias("g")
     )
+    return _directed_containment(grams, threshold=0.8)
+
+
+def _directed_containment(grams, threshold: float):
+    """Directed containment over a (id, g) distinct-gram relation:
+    gram-keyed equi-join → per-pair intersection count → divide by the
+    smaller set size → orient (inner = smaller doc). Shared by the
+    uncapped and df-capped containment keys; the caller decides what
+    the gram universe is (full vocabulary vs df-capped), and both
+    numerator and denominator are computed over that SAME universe so
+    the score stays a true containment of well-defined sets."""
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("ng"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -166,11 +177,85 @@ def q_containment_dedup(spark, sf_dir):
         )
     )
     small_first = F.col("na") <= F.col("nb")
-    return scored.filter(F.col("containment") >= 0.8).select(
+    return scored.filter(F.col("containment") >= threshold).select(
         F.when(small_first, F.col("a_id")).otherwise(F.col("b_id")).alias("inner_id"),
         F.when(small_first, F.col("b_id")).otherwise(F.col("a_id")).alias("outer_id"),
         "containment",
     )
+
+
+@register(
+    "containment-dedup-capped",
+    sql=r"""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS w FROM norm
+    ), grams0 AS (
+      SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+    ), dfs AS (
+      SELECT g, COUNT(*) AS df FROM grams0 GROUP BY g
+    ), grams AS (
+      SELECT g0.id, g0.g
+      FROM grams0 g0 JOIN dfs USING (g)
+      WHERE dfs.df <= GREATEST(5, CAST(FLOOR(
+              0.002 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+    ), sizes AS (
+      SELECT id, COUNT(*) AS ng FROM grams GROUP BY id
+    ), pairs AS (
+      SELECT a.id AS a_id, b.id AS b_id, COUNT(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), scored AS (
+      SELECT p.a_id, p.b_id, sa.ng AS na, sb.ng AS nb,
+             ROUND(CAST(p.inter AS DOUBLE)
+                   / least(sa.ng, sb.ng), 6) AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.id = p.a_id
+      JOIN sizes sb ON sb.id = p.b_id
+    )
+    SELECT CASE WHEN na <= nb THEN a_id ELSE b_id END AS inner_id,
+           CASE WHEN na <= nb THEN b_id ELSE a_id END AS outer_id,
+           containment
+    FROM scored
+    WHERE containment >= 0.8
+    """,
+)
+def q_containment_dedup_capped(spark, sf_dir, df_cap: "int | None" = None):
+    """`containment-dedup` with the document-frequency cap the uncapped
+    key's docstring names as its 100 TB cost center actually applied:
+    grams whose corpus document frequency exceeds ``df_cap`` are
+    dropped BEFORE the postings join, bounding every posting list (and
+    thus pairs-per-gram, the quadratic term) at ``df_cap``. Both the
+    intersection and the set sizes are computed over the SAME capped
+    vocabulary, so the score is exact containment of boilerplate-free
+    gram sets — the identical algebra runs in the SQL oracle. The
+    lower-bound alternative (cap postings only, keep full-set sizes)
+    was measured to lose ALL recall here: clone-cluster grams have
+    df ≈ cluster size, so they are exactly the grams a cap drops.
+
+    Default cap = max(5, floor(0.2% of corpus docs)) — scales with the
+    corpus so clone clusters below the cap stay detectable while the
+    Zipf head (boilerplate) is bounded; pass ``df_cap`` to override
+    with an absolute bound (what a real 100 TB run would pin).
+
+    Plan: the pruned gram set is lineage-cut (localCheckpoint) because
+    it feeds three legs (sizes + both join sides) — same device as
+    `ngram-jaccard` (operators/dedup.py); without it each leg re-runs
+    normalize/shingle/df-cap."""
+    from .operators.dedup import _pruned_grams
+
+    d = _t(spark, sf_dir, "documents")
+    if df_cap is None:
+        df_cap = max(5, int(0.002 * d.count()))
+    pruned = _pruned_grams(d, "doc_id", "text", 3, df_cap).localCheckpoint(
+        eager=False
+    )
+    return _directed_containment(pruned, threshold=0.8)
 
 
 # ===========================================================================

@@ -137,10 +137,17 @@ def write_partitioned(
         reparted = df.repartition(*partition_cols)
     else:
         # Row-varying salt (file placement only — never a data column).
+        # It must be a pure function of ROW CONTENT, not of row order:
+        # an order-dependent salt (monotonically_increasing_id) changes
+        # value when a fetch failure recomputes an upstream shuffle
+        # partition, so retried map tasks would route rows to different
+        # reducers — the SPARK-23207 silent loss/duplication class that
+        # made Spark sort before round-robin repartition. xxhash64 over
+        # every column reproduces identical shuffle keys on any retry.
         # The partition count must be EXPLICIT: AQE otherwise coalesces
         # the salted shuffle's small outputs back into one task,
         # silently undoing the spread.
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(files_per_partition))
         n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
         reparted = df.repartition(n, *[F.col(c) for c in partition_cols] + [salt])
     reparted.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
@@ -160,17 +167,42 @@ def compact_small_files(
     ceil(bytes/target), rewrite. ``coalesce`` (not ``repartition``)
     avoids a shuffle — it only merges read splits. The rewrite stages
     through a temp dir because Spark cannot overwrite a path it is
-    reading."""
+    reading.
+
+    Hive-partitioned inputs (the layout ``write_partitioned`` in this
+    module produces) are detected from the ``key=value`` directory
+    chain and re-written with the SAME ``partitionBy``, so compaction
+    never flattens a partitioned table; the returned file count is
+    recursive either way."""
     import glob
     import os
     import shutil
+
+    # Detect hive partition columns from one key=value directory chain.
+    part_cols: list[str] = []
+    level = path
+    while True:
+        subs = [
+            d for d in os.listdir(level)
+            if "=" in d and os.path.isdir(os.path.join(level, d))
+        ]
+        if not subs:
+            break
+        part_cols.append(subs[0].split("=", 1)[0])
+        level = os.path.join(level, subs[0])
 
     in_bytes = sum(
         os.path.getsize(p) for p in glob.glob(os.path.join(path, "**/*.parquet"), recursive=True)
     )
     n_out = max(1, math.ceil(in_bytes / target_file_bytes))
     tmp = path.rstrip("/") + "._compact_tmp"
-    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    # For a partitioned table the coalesce target applies per write
+    # task, and partitionBy re-splits by value — each partition
+    # directory ends up with at most n_out files, usually 1.
+    writer = spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(tmp)
     shutil.rmtree(path)
     os.rename(tmp, path)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    return len(glob.glob(os.path.join(path, "**/*.parquet"), recursive=True))

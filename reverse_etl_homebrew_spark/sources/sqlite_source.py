@@ -47,12 +47,26 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .duckdb_source import _parse_columns_option, _quote_ident, filter_to_sql
+from pyspark.sql.datasource import StringStartsWith
+
+from .duckdb_source import (
+    _parse_columns_option,
+    _quote_ident,
+    _sql_literal,
+    filter_to_sql,
+)
 
 
 def _sqlite_filter_to_sql(f: Filter) -> Optional[str]:
-    """filter_to_sql minus temporal literals (no such syntax in
-    SQLite)."""
+    """filter_to_sql with two SQLite-specific narrowings: temporal
+    literals are refused (no such syntax in SQLite), and
+    StringStartsWith compiles to ``substr(col, 1, N) = 'prefix'``
+    instead of ``LIKE 'prefix%'`` — SQLite's LIKE is
+    case-INSENSITIVE for ASCII by default, so the LIKE form would
+    silently return extra rows ('Name%' also matching 'name-…') that
+    Spark never re-checks once the filter is pushed. substr comparison
+    is case-sensitive (BINARY collation), matching Spark's
+    ``startswith`` exactly."""
     values = []
     if isinstance(f, In):
         values = list(f.value)
@@ -60,6 +74,16 @@ def _sqlite_filter_to_sql(f: Filter) -> Optional[str]:
         values = [f.value]
     if any(isinstance(v, (dt.datetime, dt.date)) for v in values):
         return None
+    if isinstance(f, StringStartsWith):
+        attr = f.attribute
+        if len(attr) != 1:
+            return None
+        lit = _sql_literal(f.value)
+        if lit is None:
+            return None
+        # len() counts characters; SQLite substr on TEXT is also
+        # character-based, matching Spark startswith semantics
+        return f"substr({_quote_ident(attr[0])}, 1, {len(f.value)}) = {lit}"
     return filter_to_sql(f)
 
 
@@ -120,25 +144,40 @@ class SQLiteTableReader(DataSourceReader):
         finally:
             con.close()
         if lo is None or hi is None:
-            return [_RangePartition(None, None)]  # empty table
+            # MIN/MAX unknown (empty table, or every value NULL): one
+            # whole-table slice with no range predicate — reads
+            # whatever exists at read time, NULLs included
+            return [_RangePartition(None, None)]
         n = max(1, min(self.num_parts, hi - lo + 1))
         step = (hi - lo + 1 + n - 1) // n
-        return [
+        parts = [
             _RangePartition(lo + i * step, min(hi, lo + (i + 1) * step - 1))
             for i in range(n)
             if lo + i * step <= hi
         ]
+        # JDBC partitionColumn semantics: the first and last slices are
+        # UNBOUNDED (and the first NULL-inclusive), so rows whose
+        # partition-column value is NULL, or that land outside the
+        # [min, max] observed at plan time (inserted between planning
+        # and read), are never silently dropped.
+        parts[0].lo = None
+        parts[-1].hi = None
+        return parts
 
     def _remote_sql(self, p: _RangePartition) -> str:
         cols = ", ".join(_quote_ident(f.name) for f in self.schema.fields)
         sql = f"SELECT {cols} FROM {_quote_ident(self.table)}"
         where = list(self.pushed_sql)
-        if p.lo is not None:
-            where.append(
-                f"{_quote_ident(self.part_col)} BETWEEN {p.lo} AND {p.hi}"
-            )
-        else:
-            where.append("1 = 0")  # empty table: no rows by construction
+        pc = _quote_ident(self.part_col)
+        if p.lo is not None and p.hi is not None:
+            where.append(f"{pc} BETWEEN {p.lo} AND {p.hi}")
+        elif p.lo is None and p.hi is not None:
+            # first slice: unbounded below AND NULL-inclusive
+            where.append(f"({pc} <= {p.hi} OR {pc} IS NULL)")
+        elif p.lo is not None and p.hi is None:
+            # last slice: unbounded above
+            where.append(f"{pc} >= {p.lo}")
+        # lo and hi both None: whole-table slice, no range predicate
         if where:
             sql += " WHERE " + " AND ".join(where)
         return sql
@@ -203,3 +242,89 @@ def register(spark) -> None:
         spark.dataSource.register(SQLiteTableDataSource)
     except Exception:
         pass
+
+
+def _arrow_to_decl(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "INTEGER"
+    if pa.types.is_floating(t):
+        return "REAL"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "TEXT"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "BLOB"
+    raise ValueError(f"sqlite staging: unsupported arrow type {t}")
+
+
+def stage_parquet_as_sqlite(sf_dir: str, table: str, columns: Sequence[str]) -> str:
+    """Materialize one parquet table as a SQLite database file and
+    return its path — the fixture step that lets the driver-facing
+    `sqlite-scan-pushdown` key exercise the range-partitioned reader
+    against data whose ground truth the DuckDB oracle can see (both
+    engines read the exact same rows; floats round-trip bit-exactly
+    through SQLite REAL = IEEE double).
+
+    Cached under the system temp dir keyed by (path, mtime, size), so
+    repeated bench/driver invocations reuse the staged file; the build
+    is atomic (write to .tmp, rename) so concurrent stagings can't
+    expose a half-built database."""
+    import hashlib
+    import os
+    import sqlite3
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    key = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{','.join(columns)}".encode()
+    ).hexdigest()[:16]
+    cache_dir = os.path.join(tempfile.gettempdir(), "reverse_etl_sqlite_stage")
+    os.makedirs(cache_dir, exist_ok=True)
+    db_path = os.path.join(cache_dir, f"{table}-{key}.db")
+    if os.path.exists(db_path):
+        return db_path
+    tbl = pq.read_table(src, columns=list(columns))
+    decls = ", ".join(
+        f"{_quote_ident(name)} {_arrow_to_decl(tbl.schema.field(name).type)}"
+        for name in columns
+    )
+    tmp = db_path + f".tmp.{os.getpid()}"
+    con = sqlite3.connect(tmp)
+    try:
+        con.execute(f"CREATE TABLE {_quote_ident(table)} ({decls})")
+        placeholders = ", ".join("?" for _ in columns)
+        rows = zip(*(tbl.column(c).to_pylist() for c in columns))
+        con.executemany(
+            f"INSERT INTO {_quote_ident(table)} VALUES ({placeholders})", rows
+        )
+        con.commit()
+    finally:
+        con.close()
+    os.replace(tmp, db_path)
+    return db_path
+
+
+def sqlite_table_from_parquet(
+    spark,
+    sf_dir: str,
+    table: str,
+    columns: Sequence[str],
+    numpartitions: int = 4,
+):
+    """Stage a testdata parquet table into SQLite, then read it back
+    through the range-partitioned pushdown reader — the end-to-end
+    path the external driver checks."""
+    db = stage_parquet_as_sqlite(sf_dir, table, columns)
+    register(spark)
+    return (
+        spark.read.format("sqlite_table")
+        .option("path", db)
+        .option("table", table)
+        .option("columns", ",".join(columns))
+        .option("numpartitions", str(numpartitions))
+        .load()
+    )

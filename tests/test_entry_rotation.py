@@ -13,31 +13,30 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round: added or code changed
-# this round, or driver evidence is stale (round 4 — the planned
-# round-6 overflow).
-MUST_RUN_R7 = {
-    # r4-stale cohort (round-6 overflow, now the stalest evidence)
-    "pivot-agg", "running-window", "lag-lead", "unpivot-melt",
-    "gap-fill", "quantiles", "string-funcs", "null-safe-join",
-    "distinct-agg", "array-ops", "struct-json-ops",
-    "explode-posexplode", "conditional-agg",
+# Keys that MUST be inside the cap this round: evidence-gapped (never
+# driver-checked, or the r7 row errored), added this round, or code
+# changed this round.
+MUST_RUN_R8 = {
+    # evidence-gapped: the 5 post-cap r7 additions never had a driver
+    # row; embedding-centroid's r7 row errored (array column) and its
+    # output was reshaped this round
+    "mix-weights", "markov-transitions", "kmeans-iterate",
+    "scd2-lookup", "attribution-last-touch", "embedding-centroid",
     # added this round — never had a driver row
-    "tfidf-topterms", "trigram-lm-score", "weighted-sample",
-    "pii-scrub", "dedup-rate-report", "length-histogram",
-    "image-resize", "audio-resample",
-    "ngram-topk", "vocab-stats", "domain-stats", "embedding-centroid",
-    "anomaly-zscore", "scd2-history", "bucketed-join",
-    "entropy-quality", "containment-dedup", "mad-outliers",
-    "shard-assign", "kmeans-assign",
-    "ewma-smooth", "window-median", "merge-intervals",
-    "funnel-steps", "retention-cohorts", "rank-funcs", "stats-agg",
-    "dedup-survivorship",
-    # code changed (numpy MJPEG decode; LSH pair-scoring rewrite) /
-    # perf-audited this round
-    "multimodal-decode", "fuzzy-dedup", "fuzzy-dedup-clusters",
-    "similarity-join", "embedding-near-dup", "knn-join",
-    "knn-join-tables", "knn-join-lsh", "topk-similarity-lsh",
+    "containment-dedup-capped", "sqlite-scan-pushdown",
+    # code changed this round: bucketer matmul → bit-exact left fold
+    "topk-similarity-lsh", "knn-join", "knn-join-lsh",
+    "knn-join-tables", "similarity-join", "embedding-near-dup",
+}
+
+# The r5-evidenced keys deliberately rolled past the cap to round 9 —
+# pinned so the roll stays the EXPLICIT 13, not an accident of
+# ordering. These must lead the round-9 rotation.
+ROLLED_TO_R9 = {
+    "bool-normalize", "identifier-canon", "email-normalize",
+    "phi-redact", "epoch-millis", "eastern-date", "json-payload",
+    "natural-key", "next-birthday", "patient-projection",
+    "roi-projection", "remote-search", "remote-get",
 }
 
 
@@ -51,8 +50,18 @@ def test_priority_has_no_duplicates_and_resolves():
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R7 - set(head)
+    outside = MUST_RUN_R8 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
+
+
+def test_rolled_keys_are_exactly_the_named_thirteen():
+    order = list(entry.queries().keys())
+    head, tail = set(order[:CAP]), order[CAP:]
+    assert ROLLED_TO_R9 & head == set(), "a rolled key leaked into the cap"
+    assert ROLLED_TO_R9 <= set(tail)
+    # and they sit immediately after the boundary, so the r9 rotation
+    # inherits them first
+    assert set(tail[: len(ROLLED_TO_R9)]) == ROLLED_TO_R9
 
 
 def test_queries_and_oracle_emit_same_order():

@@ -104,3 +104,46 @@ def test_compact_small_files(spark, tmp_path):
     assert n == 1
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 1
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compact_preserves_hive_partitioning(spark, tmp_path):
+    # Compacting the layout write_partitioned produces must keep the
+    # key=value directory structure (and report files recursively),
+    # not silently flatten the table.
+    out = str(tmp_path / "ptable")
+    df = spark.range(2000).select(
+        F.col("id"), F.concat(F.lit("p"), F.col("id") % 3).alias("part")
+    )
+    df.repartition(16).write.partitionBy("part").parquet(out)
+    assert len(glob.glob(os.path.join(out, "part=*/*.parquet"))) > 3
+    n = FS.compact_small_files(spark, out, target_file_bytes=10**9)
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "part=*"))
+    )
+    assert dirs == ["part=p0", "part=p1", "part=p2"]
+    files = glob.glob(os.path.join(out, "part=*/*.parquet"))
+    assert n == len(files) == 3
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert set(r["part"] for r in back.select("part").distinct().collect()) == {
+        "p0", "p1", "p2",
+    }
+
+
+def test_salted_write_deterministic_under_reshuffle(spark, tmp_path):
+    # The salt must be a pure function of row content (xxhash64), so
+    # writing the same rows arriving through different upstream
+    # partitionings produces identical row→file-count routing and no
+    # loss/duplication — the retry-safety property behind SPARK-23207.
+    base = spark.range(1000).select(
+        F.col("id"), F.lit("hot").alias("part")
+    )
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    FS.write_partitioned(base.repartition(3), out_a, ["part"], files_per_partition=4)
+    FS.write_partitioned(base.repartition(17), out_b, ["part"], files_per_partition=4)
+    a = spark.read.parquet(out_a)
+    b = spark.read.parquet(out_b)
+    assert a.count() == b.count() == 1000
+    assert a.select("id").distinct().count() == 1000
+    assert b.select("id").distinct().count() == 1000

@@ -85,6 +85,56 @@ def test_column_pruning_option(spark, db):
     assert df.count() == 1000
 
 
+def test_startswith_pushdown_is_case_sensitive(spark, db):
+    # SQLite LIKE is case-insensitive for ASCII, so startswith must
+    # NOT compile to LIKE: with mixed-case rows present, a pushed
+    # 'Name-' prefix filter has to return zero rows, exactly like
+    # Spark's case-sensitive startswith would.
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO patients VALUES (2001, 'Name-2001', 1.0, x'00')")
+    con.commit()
+    con.close()
+    upper = _read(spark, db).filter(F.col("name").startswith("Name-"))
+    plan = upper._jdf.queryExecution().executedPlan().toString()
+    assert " Filter " not in plan, plan  # pushed, not re-checked by Spark
+    assert {r["pid"] for r in upper.collect()} == {2001}
+    lower = _read(spark, db).filter(F.col("name").startswith("name-1"))
+    got = {r["pid"] for r in lower.collect()}
+    assert 2001 not in got
+    assert 1 in got and 1000 in got
+
+
+def test_user_partition_column_keeps_nulls_and_unbounded_ends(spark, db):
+    # JDBC partitionColumn semantics: NULL partition-column rows land
+    # in the (NULL-inclusive) first slice, and values outside the
+    # planning-time [min, max] are still read via the unbounded ends.
+    con = sqlite3.connect(db)
+    con.execute("INSERT INTO patients VALUES (NULL, 'null-pid', 9.9, x'00')")
+    con.commit()
+    con.close()
+    df = _read(spark, db, partitioncolumn="pid", numpartitions="4")
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1001
+    assert df.filter(F.col("pid").isNull()).count() == 1
+    assert df.select("name").filter(F.col("name") == "null-pid").count() == 1
+
+
+def test_staged_parquet_scan_pushes_filters(spark):
+    # The driver-facing sqlite-scan-pushdown key: stage a testdata
+    # parquet table into SQLite, read through the range reader, and
+    # verify both predicates ran remotely (no Spark-side Filter node).
+    from reverse_etl_homebrew_spark.queries import QUERIES
+
+    df = QUERIES["sqlite-scan-pushdown"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert " Filter " not in plan, plan
+    rows = df.collect()
+    assert rows
+    assert all(
+        r["c_mktsegment"] == "BUILDING" and r["c_acctbal"] > 1000.0 for r in rows
+    )
+
+
 def test_empty_table(spark, tmp_path):
     path = str(tmp_path / "empty.db")
     con = sqlite3.connect(path)
