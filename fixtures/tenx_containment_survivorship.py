@@ -40,10 +40,18 @@ from pyspark.sql import functions as F
 def replicate(d, copies: int, disjoint_vocab: bool):
     parts = []
     for c in range(copies):
+        # the prefix must survive normalized_text (lowercase alnum
+        # only) as part of the SAME token — 'c3the c3quick' — so gram
+        # structure and df distribution are isomorphic to 1x while
+        # vocabularies stay disjoint across copies. (An underscore
+        # separator gets normalized to a space and injects a shared
+        # per-copy token into every gram window — measured: it turns
+        # trigrams into hot unigram-equivalents and the "disjoint"
+        # corpus into a postings flood.)
         part = d.select(
             (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
             (
-                F.regexp_replace("text", r"(\S+)", f"c{c}_$1")
+                F.regexp_replace("text", r"(\S+)", f"c{c}$1")
                 if disjoint_vocab
                 else F.col("text")
             ).alias("text"),
@@ -100,14 +108,17 @@ def survivorship(spark, d):
     ).select("doc_id", "cluster", "quality")
 
 
-def timed(df, reps=3, warm=2):
+def timed(build, reps=3, warm=2):
+    # rebuild the DataFrame per rep: several operators localCheckpoint
+    # internally, and re-writing ONE df object would reuse its
+    # materialized checkpoint — timing only the post-checkpoint tail
     for _ in range(warm):
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         gc.collect()
     samples = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         samples.append(time.perf_counter() - t0)
         gc.collect()
     return round(statistics.median(samples), 3)
@@ -115,6 +126,7 @@ def timed(df, reps=3, warm=2):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import reverse_etl_homebrew_spark.queries  # noqa: F401 (registry init first)
     from reverse_etl_homebrew_spark.queries_text import _corpus
     from reverse_etl_homebrew_spark.session import get_spark
 
@@ -155,7 +167,7 @@ def main() -> None:
     ]
     for label, build in cells:
         rows = build().count()
-        wall = timed(build())
+        wall = timed(build)
         out[label] = {"rows": rows, "wall_s": wall}
         print(f"{label}: rows={rows} wall={wall}s", flush=True)
 

@@ -35,6 +35,7 @@ KEYS = [
     "trigram-lm-score",
     "fuzzy-dedup",
     "mix-weights",
+    "containment-dedup-capped",
 ]
 
 
