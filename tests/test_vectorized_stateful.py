@@ -198,12 +198,12 @@ def test_streaming_sessionize_closes_sessions(spark, tmp_path):
 
 
 def test_arrow_bucketer_matches_codegen_sign_fold(spark):
-    """The LSH operators compute buckets in the Arrow matmul kernel
-    while their SQL oracles re-derive them as a left-fold sign
-    expression. A matmul does NOT guarantee the fold's summation
-    order, so the equivalence is empirical — a dot product within
-    summation-error of zero could flip a sign. Pin it on the real
-    embeddings for every plane count the operators use."""
+    """The LSH operators compute buckets in the Arrow hybrid kernel
+    (BLAS projection + rigorous error bound + exact-fold fallback for
+    in-bound entries) while their SQL oracles re-derive them as a
+    left-fold sign expression. The hybrid guarantees sign equality by
+    construction; this pins it empirically on the real embeddings for
+    every plane count the operators use."""
     from pyspark.sql import functions as F
 
     from reverse_etl_homebrew_spark.functions.vectors import (
@@ -229,3 +229,61 @@ def test_arrow_bucketer_matches_codegen_sign_fold(spark):
             .count()
         )
         assert diff == 0, f"planes={planes}: {diff} bucket disagreements"
+
+
+def test_bucketer_exact_fold_on_forced_cancellation(spark):
+    """Adversarial input for the hybrid bucketer: vectors built so the
+    plane projection catastrophically cancels to within float
+    rounding of zero, where a BLAS matmul and the left fold can
+    legitimately disagree in sign. The kernel must detect these via
+    its error bound and return the EXACT fold's sign."""
+    import numpy as np
+    from pyspark.sql import functions as F, types as T
+
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        table_buckets_pandas,
+    )
+
+    rng = np.random.RandomState(42)
+    dim, planes, n = 16, 4, 200
+    hp = [[float(x) for x in rng.randn(dim)] for _ in range(planes)]
+    rows = []
+    for r in range(n):
+        # start from a random vector, then zero its projection onto
+        # plane 0 analytically — float arithmetic leaves a residual
+        # of O(u · Σ|terms|), exactly the risky regime
+        v = rng.randn(dim)
+        p0 = np.asarray(hp[0])
+        v = v - p0 * (float(v @ p0) / float(p0 @ p0))
+        rows.append((r, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("rid", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    bucketer = table_buckets_pandas(hp, planes, tables=1)
+    got = [
+        r["b"]
+        for r in df.select(
+            "rid", F.element_at(bucketer(F.col("embedding")), 1).alias("b")
+        )
+        .orderBy("rid")
+        .collect()
+    ]
+
+    # scalar reference: the exact left fold, plane 0 = MSB
+    def fold_bucket(v):
+        b = 0
+        for i, p in enumerate(hp):
+            acc = v[0] * p[0]
+            for j in range(1, dim):
+                acc = acc + v[j] * p[j]
+            b |= (1 if acc >= 0 else 0) << (planes - 1 - i)
+        return b
+
+    want = [fold_bucket(v) for _, v in rows]
+    assert got == want
