@@ -39,23 +39,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # errored on its array column; output reshaped this round); (b) the 2
 # keys ADDED this round (containment-dedup-capped,
 # sqlite-scan-pushdown); (c) the 6 ANN keys whose bucketer kernel
-# changed this round (matmul → bit-exact per-dimension left fold, per
-# ADVICE); (d) 36 of the 49 round-5-evidenced keys — all but the 13
-# scalar-projection / snapshot-join keys named below the boundary
-# (bool-normalize, identifier-canon, email-normalize, phi-redact,
-# epoch-millis, eastern-date, json-payload, natural-key,
+# changed this round (matmul → guaranteed-fold-equal hybrid, per
+# ADVICE) plus containment-dedup (gained the lineage cut); (d) 35 of
+# the 49 round-5-evidenced keys — all but the 14 keys named below the
+# boundary (bool-normalize, identifier-canon, email-normalize,
+# phi-redact, epoch-millis, eastern-date, json-payload, natural-key,
 # next-birthday, patient-projection, roi-projection, remote-search,
-# remote-get), which roll to round 9 and must LEAD its rotation.
-# Keys not listed keep registry order after these.
+# remote-get, retry-threshold), which roll to round 9 and must LEAD
+# its rotation TOGETHER WITH heavy-hitters (added after the r8 cap
+# filled — never driver-checked). Keys not listed keep registry order
+# after these.
 _PRIORITY = [
     # -- (a) evidence-gapped: never driver-checked / errored r7 --
     "mix-weights", "markov-transitions", "kmeans-iterate",
     "scd2-lookup", "attribution-last-touch", "embedding-centroid",
     # -- (b) added this round --
     "containment-dedup-capped", "sqlite-scan-pushdown",
-    # -- (c) bucketer kernel changed this round --
+    # -- (c) code changed this round --
     "topk-similarity-lsh", "knn-join", "knn-join-lsh",
     "knn-join-tables", "similarity-join", "embedding-near-dup",
+    "containment-dedup",
     # -- (d) round-5 cohort: stalest driver evidence (36 of 49) --
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg",
@@ -67,13 +70,13 @@ _PRIORITY = [
     "set-intersect", "set-except", "token-count", "quality-score",
     "doc-fingerprint", "lang-id", "simhash-dedup", "ngram-jaccard",
     "ledger-watermark-read", "dlq-attempt-read", "processed-skip",
-    "retry-threshold",
-    # ---- 50-cap boundary: the 13 r5-evidenced keys below roll to
+    # ---- 50-cap boundary: the 14 r5-evidenced keys below roll to
     # round 9 and lead its rotation ----
     "bool-normalize", "identifier-canon", "email-normalize",
     "phi-redact", "epoch-millis", "eastern-date", "json-payload",
     "natural-key", "next-birthday", "patient-projection",
     "roi-projection", "remote-search", "remote-get",
+    "retry-threshold",
 ]
 
 

@@ -288,3 +288,62 @@ def train_centroids(
     )
     model = KMeans(k=n, maxIter=max_iter, seed=seed).fit(feat)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Phase 1 of distributed heavy-hitters: a mergeable Misra-Gries
+    summary per input partition (mapInPandas), emitting at most ``k``
+    candidate items per partition.
+
+    The summary is maintained batch-at-a-time with pandas
+    ``value_counts`` (C-speed per batch; the Python loop touches only
+    DISTINCT items per batch, never rows) and compressed by the
+    mergeable-summaries rule: when more than ``k`` items are held,
+    subtract the (k+1)-th largest count from every item and drop the
+    non-positive ones. Standard guarantee (Misra-Gries / PODS'12
+    mergeable summaries): an item whose true count in the partition
+    exceeds (partition rows)/(k+1) always survives, so the union of
+    per-partition candidates is a SUPERSET of every item with global
+    count > n/k — pigeonhole: such an item must beat the threshold in
+    at least one partition. Phase 2 (exact recount of candidates)
+    then makes the final answer exact and deterministic regardless of
+    which extra candidates each partitioning produces.
+
+    Scale shape: the shuffle after this operator carries at most
+    (partitions x k) candidate rows, NOT the item vocabulary — the
+    point of the sketch when the vocabulary itself is too large to
+    hash-aggregate cheaply."""
+    import heapq
+
+    def summarize(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                thr = heapq.nlargest(k + 1, counts.values())[-1]
+                counts = {i: c - thr for i, c in counts.items() if c > thr}
+        yield pd.DataFrame({col: list(counts.keys())})
+
+    return df.select(col).mapInPandas(summarize, schema=f"{col} string")
+
+
+def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact heavy hitters (items with count > n/k) in two passes:
+    Misra-Gries candidate sketch per partition, then an exact recount
+    of candidates only (semi-join + hash agg whose key space is at
+    most partitions x k) against the total row count carried as a
+    1-row broadcast. Output (item, cnt) is exact and
+    partition-invariant by construction."""
+    cands = misra_gries_candidates(df, col, k).distinct()
+    counts = (
+        df.join(F.broadcast(cands), [col], "semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > F.col("__n") / float(k))
+        .select(col, "cnt")
+    )

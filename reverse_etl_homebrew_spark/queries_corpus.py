@@ -563,3 +563,59 @@ def q_scd2_lookup(spark, sf_dir):
         F.col("h.event_type").alias("state_type"),
         F.col("h.valid_from").alias("state_since"),
     )
+
+
+# ===========================================================================
+# Distributed exact heavy hitters (Misra-Gries sketch + exact recount)
+# ===========================================================================
+
+@register(
+    "heavy-hitters",
+    sql="""
+    WITH items AS (
+      SELECT CASE WHEN event_id % 3 <> 0
+                  THEN 'item_' || CAST(event_id % 7 AS VARCHAR)
+                  ELSE 'item_' || CAST(event_id % 9973 AS VARCHAR)
+             END AS item
+      FROM events
+    ), tot AS (SELECT COUNT(*) AS n FROM items)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM items
+    GROUP BY item
+    HAVING COUNT(*) > (SELECT n FROM tot) / 100.0
+    """,
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Exact frequent-items over a skewed item stream — the Zipf-head
+    audit every training-data pipeline runs before sampling (which
+    sources/templates dominate the mix). The synthetic events are
+    uniform, so a deterministic planted skew derives the item stream
+    (the pii-scrub/domain-stats device): 2/3 of events concentrate on
+    7 hot items, the rest spread across ~10k cold ones; expected
+    output is known by construction and identical in both engines.
+
+    Plan (operators/vectorized.heavy_hitters_exact): per-partition
+    mergeable Misra-Gries summaries via mapInPandas (candidates only
+    — at most partitions x k rows ever shuffle, NOT the vocabulary),
+    then an exact recount of candidates (broadcast semi-join + hash
+    agg) filtered against the 1-row total. The sketch bounds the
+    shuffle when the vocabulary is too large to hash-aggregate
+    (contrast `ngram-topk`, which shuffles the whole gram
+    vocabulary); the recount makes the answer exact and
+    partition-invariant no matter which extra candidates each
+    partitioning's summaries retain. Integer-only counts, so the
+    oracle comparison is exact."""
+    from .operators.vectorized import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events")
+    items = ev.select(
+        F.when(
+            F.col("event_id") % 3 != 0,
+            F.concat(F.lit("item_"), (F.col("event_id") % 7).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("item_"), (F.col("event_id") % 9973).cast("string"))
+        )
+        .alias("item")
+    )
+    return heavy_hitters_exact(items, "item", 100)

@@ -130,13 +130,17 @@ def q_containment_dedup(spark, sf_dir):
     embedded in a 10× larger one has Jaccard ≈ 0.1 but containment
     1.0). Standard contamination-audit companion to `ngram-jaccard`.
 
-    Plan: distinct (id, gram) exploded once; candidate pairs come from
+    Plan: distinct (id, gram) exploded once and lineage-cut
+    (localCheckpoint — it feeds three legs: sizes + both join sides;
+    measured 3.78 → 2.80 s at sf0.1; cluster substitution is
+    persist(StorageLevel) per SCALE.md); candidate pairs come from
     a gram-keyed equi-join (shuffle ∝ gram postings, never all-pairs);
     one pair-keyed aggregation counts the intersection; set sizes
     broadcast back. At 100 TB the gram-join is the cost center — hot
-    boilerplate grams should be df-frequency-capped first (same lever
-    as LSH band tuning); kept uncapped here so the SQL oracle is the
-    exact same algebra."""
+    boilerplate grams flood it (measured 13.5× superlinear under
+    df-inflating 10× growth, SCALE.md); `containment-dedup-capped`
+    below APPLIES that df-frequency lever; this key stays uncapped as
+    the exact-algebra form."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.col("doc_id").alias("id"),
@@ -144,7 +148,7 @@ def q_containment_dedup(spark, sf_dir):
     )
     grams = toks.select(
         "id", F.explode(F.array_distinct(TX.word_ngrams_from(F.col("w"), 3))).alias("g")
-    )
+    ).localCheckpoint(eager=False)
     return _directed_containment(grams, threshold=0.8)
 
 

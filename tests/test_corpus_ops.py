@@ -144,3 +144,42 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """The Misra-Gries candidate sketch is partition-dependent (each
+    partitioning's summaries may retain different extras), but the
+    exact-recount phase must make the final answer identical under any
+    partitioning — and equal to the brute-force groupBy."""
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    # planted skew: ids 0..6 hot (1000 each), 7000 cold singletons
+    rows = [(f"hot_{i % 7}",) for i in range(7000)] + [
+        (f"cold_{i}",) for i in range(7000)
+    ]
+    df = spark.createDataFrame(rows, "item string")
+    k = 100
+
+    brute = {
+        (r["item"], r["cnt"])
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") > len(rows) / k)
+        .collect()
+    }
+    assert len(brute) == 7  # the 7 hot items, 1000 > 14000/100
+
+    for parts in (3, 32):
+        got = {
+            (r["item"], r["cnt"])
+            for r in heavy_hitters_exact(df.repartition(parts), "item", k).collect()
+        }
+        assert got == brute, f"parts={parts}"
+        # sketch bound: each partition emits at most k candidates
+        n_cands = misra_gries_candidates(
+            df.repartition(parts), "item", k
+        ).count()
+        assert n_cands <= parts * k

@@ -24,19 +24,22 @@ MUST_RUN_R8 = {
     "scd2-lookup", "attribution-last-touch", "embedding-centroid",
     # added this round — never had a driver row
     "containment-dedup-capped", "sqlite-scan-pushdown",
-    # code changed this round: bucketer matmul → bit-exact left fold
+    # code changed this round: bucketer matmul → guaranteed-fold-equal
+    # hybrid; containment-dedup gained the lineage cut
     "topk-similarity-lsh", "knn-join", "knn-join-lsh",
     "knn-join-tables", "similarity-join", "embedding-near-dup",
+    "containment-dedup",
 }
 
 # The r5-evidenced keys deliberately rolled past the cap to round 9 —
-# pinned so the roll stays the EXPLICIT 13, not an accident of
+# pinned so the roll stays the EXPLICIT 14, not an accident of
 # ordering. These must lead the round-9 rotation.
 ROLLED_TO_R9 = {
     "bool-normalize", "identifier-canon", "email-normalize",
     "phi-redact", "epoch-millis", "eastern-date", "json-payload",
     "natural-key", "next-birthday", "patient-projection",
     "roi-projection", "remote-search", "remote-get",
+    "retry-threshold",
 }
 
 
