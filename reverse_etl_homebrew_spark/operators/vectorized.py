@@ -313,19 +313,33 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     (partitions x k) candidate rows, NOT the item vocabulary — the
     point of the sketch when the vocabulary itself is too large to
     hash-aggregate cheaply."""
-    import heapq
-
     def summarize(batches):
         counts: dict = {}
         for pdf in batches:
-            for item, c in pdf[col].value_counts().items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > k:
-                thr = heapq.nlargest(k + 1, counts.values())[-1]
-                counts = {i: c - thr for i, c in counts.items() if c > thr}
+            _mg_merge_batch(counts, pdf[col], k)
         yield pd.DataFrame({col: list(counts.keys())})
 
     return df.select(col).mapInPandas(summarize, schema=f"{col} string")
+
+
+def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
+    """Merge one batch of items into a Misra-Gries summary in place
+    (mergeable-summaries compression: add the batch's value_counts,
+    then if more than ``k`` items are held, subtract the (k+1)-th
+    largest count and drop non-positive items). Factored out so the
+    retention guarantee is property-testable without a SparkSession
+    (tests/test_property_scalars.py)."""
+    import heapq
+
+    for item, c in items.value_counts().items():
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) > k:
+        thr = heapq.nlargest(k + 1, counts.values())[-1]
+        for i, c in list(counts.items()):
+            if c - thr > 0:
+                counts[i] = c - thr
+            else:
+                del counts[i]
 
 
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:

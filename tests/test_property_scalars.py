@@ -343,3 +343,40 @@ def test_email_normalize_property(spark, values):
             assert got is None
         else:
             assert got == v.strip().lower()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries summary retention guarantee (Spark-free: the batch-merge
+# core used by operators/vectorized.misra_gries_candidates)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=2000),
+    k=st.integers(min_value=2, max_value=20),
+    batch=st.integers(min_value=1, max_value=97),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_summary_retains_every_heavy_item(stream, k, batch):
+    """Mergeable-summaries guarantee: after merging a stream in
+    arbitrary batch sizes, every item whose true count exceeds
+    len(stream)/(k+1) must survive in the summary, and the summary
+    never holds more than k items. (The heavy_hitters_exact operator
+    relies on exactly this superset property; the exact recount does
+    the rest.)"""
+    import pandas as pd
+
+    from reverse_etl_homebrew_spark.operators.vectorized import _mg_merge_batch
+
+    items = pd.Series([f"i{x}" for x in stream])
+    counts: dict = {}
+    for lo in range(0, len(items), batch):
+        _mg_merge_batch(counts, items.iloc[lo : lo + batch], k)
+    assert len(counts) <= k
+    true = items.value_counts()
+    thr = len(items) / (k + 1)
+    for item, c in true.items():
+        if c > thr:
+            assert item in counts, (
+                f"heavy item {item} (count {c} > {thr:.2f}) evicted"
+            )
