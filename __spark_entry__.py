@@ -59,7 +59,7 @@ _PRIORITY = [
     "topk-similarity-lsh", "knn-join", "knn-join-lsh",
     "knn-join-tables", "similarity-join", "embedding-near-dup",
     "containment-dedup",
-    # -- (d) round-5 cohort: stalest driver evidence (36 of 49) --
+    # -- (d) round-5 cohort: stalest driver evidence (35 of 49) --
     "full-scan", "delta-scan", "point-lookup", "topk-sort",
     "latest-per-group", "groupby-agg", "max-ifnull-agg",
     "run-counters", "ambiguity-count", "approx-distinct",

@@ -43,15 +43,24 @@ def replicate(d, copies: int, disjoint_vocab: bool):
         # the prefix must survive normalized_text (lowercase alnum
         # only) as part of the SAME token — 'c3the c3quick' — so gram
         # structure and df distribution are isomorphic to 1x while
-        # vocabularies stay disjoint across copies. (An underscore
-        # separator gets normalized to a space and injects a shared
-        # per-copy token into every gram window — measured: it turns
-        # trigrams into hot unigram-equivalents and the "disjoint"
-        # corpus into a postings flood.)
+        # vocabularies stay disjoint across copies. Two traps, both
+        # hit and fixed: (1) an underscore separator gets normalized
+        # to a space and injects a shared per-copy token into every
+        # gram window — measured: it turns trigrams into hot
+        # unigram-equivalents and the "disjoint" corpus into a
+        # postings flood; (2) prefixing RAW text would leave
+        # post-punctuation fragments ("c3don't" -> tokens c3don + t)
+        # unprefixed and shared across copies — so the copy transform
+        # prefixes tokens of the ALREADY-NORMALIZED text, where every
+        # \\S+ run is exactly one final token.
+        from reverse_etl_homebrew_spark.functions import text as TX
+
         part = d.select(
             (F.col("doc_id") + c * 10_000_000).alias("doc_id"),
             (
-                F.regexp_replace("text", r"(\S+)", f"c{c}$1")
+                F.regexp_replace(
+                    TX.normalized_text(F.col("text")), r"(\S+)", f"c{c}$1"
+                )
                 if disjoint_vocab
                 else F.col("text")
             ).alias("text"),

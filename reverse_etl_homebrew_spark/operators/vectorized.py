@@ -229,15 +229,17 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
         proj = m @ P.T  # (n, L*p)
         # summation-order error bound: |any-order - fold| ≤ 8·d·u·Σ|terms|
         bound = (np.abs(m) @ np.abs(P.T)) * (8.0 * m.shape[1] * 2.0**-53)
-        risky = np.abs(proj) <= bound
-        if risky.any():
-            # exact per-dimension left fold for the (rare) entries
-            # where reassociation could change the sign
-            for r, c in np.argwhere(risky):
-                acc = m[r, 0] * P[c, 0]
-                for i in range(1, m.shape[1]):
-                    acc = acc + m[r, i] * P[c, i]
-                proj[r, c] = acc
+        risky_rows = (np.abs(proj) <= bound).any(axis=1)
+        if risky_rows.any():
+            # exact per-dimension left fold for the rows holding risky
+            # entries, VECTORIZED across those rows and all planes —
+            # degenerate inputs (all-zero/padding embeddings make every
+            # entry risky) must not fall onto a per-entry Python loop
+            mr = m[risky_rows]
+            acc = mr[:, 0:1] * P[None, :, 0].reshape(1, -1)
+            for i in range(1, mr.shape[1]):
+                acc = acc + mr[:, i : i + 1] * P[None, :, i].reshape(1, -1)
+            proj[risky_rows] = acc
         signs = proj >= 0  # (n, L*p)
         bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
         bs = bs + tags  # (n, L)
@@ -312,14 +314,25 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     Scale shape: the shuffle after this operator carries at most
     (partitions x k) candidate rows, NOT the item vocabulary — the
     point of the sketch when the vocabulary itself is too large to
-    hash-aggregate cheaply."""
+    hash-aggregate cheaply.
+
+    NULL items are excluded (filtered before the sketch, matching
+    ``heavy_hitters_exact``'s declared semantics); the output schema
+    is derived from the input column's type, so non-string item ids
+    (the common bigint case) work without a cast."""
+    item_type = df.schema[col].dataType
+
     def summarize(batches):
         counts: dict = {}
         for pdf in batches:
             _mg_merge_batch(counts, pdf[col], k)
         yield pd.DataFrame({col: list(counts.keys())})
 
-    return df.select(col).mapInPandas(summarize, schema=f"{col} string")
+    return (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(summarize, schema=T.StructType([T.StructField(col, item_type)]))
+    )
 
 
 def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
@@ -343,21 +356,35 @@ def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
 
 
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:
-    """Exact heavy hitters (items with count > n/k) in two passes:
-    Misra-Gries candidate sketch per partition, then an exact recount
-    of candidates only (semi-join + hash agg whose key space is at
-    most partitions x k) against the total row count carried as a
-    1-row broadcast. Output (item, cnt) is exact and
-    partition-invariant by construction."""
+    """Exact heavy hitters (non-null items with count > n/k, n = the
+    non-null row count) in exactly TWO scans of the input: the
+    Misra-Gries candidate sketch per partition, then one masked
+    recount — every row's item is mapped to itself if it is a
+    candidate and to NULL otherwise (left join against the broadcast
+    candidate set), so a single hash aggregation yields both the
+    candidates' exact counts AND, as the sum over its at most
+    (partitions x k + 1) rows, the exact total n. No third scan for
+    the total, and the final threshold filter runs on the tiny
+    aggregated frame. Output (item, cnt) is exact and
+    partition-invariant by construction. NULL input items are
+    excluded by declared semantics (filter first to include-as-a-key
+    behavior if needed)."""
     cands = misra_gries_candidates(df, col, k).distinct()
-    counts = (
-        df.join(F.broadcast(cands), [col], "semi")
-        .groupBy(col)
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    masked = (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .join(
+            F.broadcast(cands.withColumn("__cand", F.lit(True))), [col], "left"
+        )
+        .select(F.when(F.col("__cand"), F.col(col)).alias("__k"))
     )
-    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    grouped = masked.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = grouped.agg(F.sum("cnt").alias("__n"))
     return (
-        counts.crossJoin(F.broadcast(tot))
+        grouped.filter(F.col("__k").isNotNull())
+        .crossJoin(F.broadcast(tot))
         .filter(F.col("cnt") > F.col("__n") / float(k))
-        .select(col, "cnt")
+        .select(F.col("__k").alias(col), "cnt")
     )

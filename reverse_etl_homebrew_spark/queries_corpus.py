@@ -186,14 +186,20 @@ def q_domain_stats(spark, sf_dir):
     WITH ex AS (
       SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
       FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+    ), m AS (
+      SELECT label, i,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS s6
+      FROM ex
+      GROUP BY label, i
     )
     SELECT label,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           n AS n_vecs,
            CAST(i AS BIGINT) AS dim,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+           CAST(CASE WHEN s6 < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(s6) + n) // (2 * n)) AS DOUBLE) / 1000000.0
              AS component
-    FROM ex
-    GROUP BY label, i
+    FROM m
     """,
 )
 def q_embedding_centroid(spark, sf_dir):
@@ -204,25 +210,37 @@ def q_embedding_centroid(spark, sf_dir):
     (label, n_vecs, dim, component) rather than array<double>: every
     consumer (IVF seeding, drift dashboards) re-keys by dimension
     anyway, and flat doubles hash/compare exactly across engines.
-    Shuffled bytes ∝ labels × dims, not rows; no driver-side
-    collection anywhere."""
+
+    The 6-decimal mean is computed ENTIRELY in integers (the EWMA
+    exact-integer device): s6 = scaled decimal sum, then half-away-
+    from-zero division sign(s6) * ((2|s6| + n) // (2n)) before one
+    final exact /1e6. A double-ROUND(sum/n, 6) is NOT cross-engine
+    stable here: at sf0.1 one (label, dim) mean lands exactly on a
+    .5e-6 boundary where Spark's round (BigDecimal.valueOf of the
+    shortest decimal repr, HALF_UP) and DuckDB's round (libm on the
+    raw binary) disagree by 1e-6 — found by the full-registry sf0.1
+    parity sweep. Nonnegative operands make `div`/`//` agree
+    (truncation == floor). Shuffled bytes ∝ labels × dims, not rows;
+    no driver-side collection anywhere."""
     e = _t(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select("label", "pos", F.col("v").cast("double").alias("v"))
-    return ex.groupBy("label", "pos").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.round(
-            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("component"),
-    ).select(
-        "label",
-        "n_vecs",
-        F.col("pos").cast("long").alias("dim"),
-        "component",
+    m = ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.col("v").cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("s6"),
     )
+    return m.select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        F.col("pos").cast("long").alias("dim"),
+        (
+            F.when(F.col("s6") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("(2 * abs(s6) + n) div (2 * n)")
+        ).cast("double").alias("component"),
+    ).withColumn("component", F.col("component") / 1000000.0)
 
 
 # ===========================================================================

@@ -137,6 +137,12 @@ def write_partitioned(
         reparted = df.repartition(*partition_cols)
     else:
         # Row-varying salt (file placement only — never a data column).
+        # Trade-off, documented: byte-identical duplicate rows hash to
+        # the SAME salt, so a hot partition value dominated by exact
+        # duplicates spreads by distinct-row count, not row count —
+        # acceptable for file placement (dedup upstream is this repo's
+        # whole business), and the price of retry safety below. Also
+        # requires xxhash64-hashable column types (no maps).
         # It must be a pure function of ROW CONTENT, not of row order:
         # an order-dependent salt (monotonically_increasing_id) changes
         # value when a fetch failure recomputes an upstream shuffle

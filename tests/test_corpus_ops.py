@@ -183,3 +183,23 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
             df.repartition(parts), "item", k
         ).count()
         assert n_cands <= parts * k
+
+
+def test_heavy_hitters_null_policy_and_item_types(spark):
+    """NULL items are excluded by declared semantics (they neither
+    appear as a hitter nor inflate n), and non-string item columns
+    work — the output schema is derived from the input column."""
+    from reverse_etl_homebrew_spark.operators.vectorized import heavy_hitters_exact
+
+    # 400 NULLs + 60 of item 7 + 40 singletons: with NULLs excluded,
+    # n = 100 and only item 7 (60 > 100/10) is heavy. If NULLs leaked
+    # into n (n=500), item 7 would STILL pass 500/10 — so also check
+    # the exact count and that no NULL row is emitted.
+    rows = (
+        [(None,)] * 400
+        + [(7,)] * 60
+        + [(1000 + i,) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "item long").repartition(5)
+    got = [(r["item"], r["cnt"]) for r in heavy_hitters_exact(df, "item", 10).collect()]
+    assert got == [(7, 60)]

@@ -57,7 +57,7 @@ def test_must_run_keys_inside_cap():
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_thirteen():
+def test_rolled_keys_are_exactly_the_named_fourteen():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
     assert ROLLED_TO_R9 & head == set(), "a rolled key leaked into the cap"

@@ -256,6 +256,11 @@ def test_bucketer_exact_fold_on_forced_cancellation(spark):
         p0 = np.asarray(hp[0])
         v = v - p0 * (float(v @ p0) / float(p0 @ p0))
         rows.append((r, [float(x) for x in v]))
+    # degenerate rows: all-zero embeddings (padding / failed-encode
+    # placeholders) make EVERY entry risky — must hit the vectorized
+    # fallback, not a per-entry loop, and still match the fold
+    for r in range(n, n + 20):
+        rows.append((r, [0.0] * dim))
     df = spark.createDataFrame(
         rows,
         T.StructType(
