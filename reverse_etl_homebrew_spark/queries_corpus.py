@@ -458,10 +458,13 @@ def q_bucketed_join(spark, sf_dir):
       FROM c
     )
     SELECT c.lang, c.n_docs, c.n_chars,
-           ROUND(CAST(c.n_docs AS DOUBLE) / tot.total, 6) AS actual_share,
-           ROUND(1.0 / tot.n_langs, 6) AS target_share,
-           ROUND(CAST(tot.total AS DOUBLE)
-                 / (tot.n_langs * c.n_docs), 6) AS sample_weight
+           CAST((2 * c.n_docs * 1000000 + tot.total)
+                // (2 * tot.total) AS DOUBLE) / 1000000.0 AS actual_share,
+           CAST((2 * 1000000 + tot.n_langs)
+                // (2 * tot.n_langs) AS DOUBLE) / 1000000.0 AS target_share,
+           CAST((2 * tot.total * 1000000 + tot.n_langs * c.n_docs)
+                // (2 * tot.n_langs * c.n_docs) AS DOUBLE) / 1000000.0
+             AS sample_weight
     FROM c, tot
     """,
 )
@@ -476,8 +479,12 @@ def q_mix_weights(spark, sf_dir):
     Plan: one tiny per-lang aggregation, then a single-row totals
     frame joined back by broadcast — the same reduce-then-broadcast
     shape as `anomaly-zscore`; the corpus scan itself is the only
-    data-proportional cost. All ratios are doubles of exact integer
-    counts, so both engines agree bit-for-bit before the round."""
+    data-proportional cost. The 6-decimal shares/weights are computed
+    by exact integer half-away division ((2a·1e6 + b) // (2b), then
+    one exact /1e6) rather than ROUND(double) — integer/integer
+    ratios land on .5e-7 boundaries where Spark's and DuckDB's double
+    rounding can disagree by 1 ulp (the embedding-centroid sf0.1
+    lesson applied to its ratio-shaped siblings)."""
     d = _t(spark, sf_dir, "documents")
     c = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -487,19 +494,21 @@ def q_mix_weights(spark, sf_dir):
         F.sum("n_docs").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_langs"),
     )
+
+    def ratio6(num: str, den: str):
+        return (
+            F.expr(f"(2 * ({num}) * 1000000 + ({den})) div (2 * ({den}))")
+            .cast("double")
+            / 1000000.0
+        )
+
     return c.join(F.broadcast(tot)).select(
         "lang",
         "n_docs",
         "n_chars",
-        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias(
-            "actual_share"
-        ),
-        F.round(F.lit(1.0) / F.col("n_langs"), 6).alias("target_share"),
-        F.round(
-            F.col("total").cast("double")
-            / (F.col("n_langs") * F.col("n_docs")),
-            6,
-        ).alias("sample_weight"),
+        ratio6("n_docs", "total").alias("actual_share"),
+        ratio6("1", "n_langs").alias("target_share"),
+        ratio6("total", "n_langs * n_docs").alias("sample_weight"),
     )
 
 

@@ -353,7 +353,8 @@ def q_retention_cohorts(spark, sf_dir):
       GROUP BY from_type
     )
     SELECT t.from_type, t.to_type, t.n,
-           ROUND(CAST(t.n AS DOUBLE) / tot.n_from, 6) AS p
+           CAST((2 * t.n * 1000000 + tot.n_from)
+                // (2 * tot.n_from) AS DOUBLE) / 1000000.0 AS p
     FROM t JOIN tot USING (from_type)
     """,
 )
@@ -366,9 +367,11 @@ def q_markov_transitions(spark, sf_dir):
 
     One user_id window (LAG) shares its shuffle with the pair count's
     map-side partial; the transition matrix is |event types|² rows —
-    tiny — so the normalizing totals broadcast back. Probabilities
-    are ratios of exact integer counts: bit-identical in both
-    engines."""
+    tiny — so the normalizing totals broadcast back. The 6-decimal
+    probability uses exact integer half-away division ((2n·1e6 +
+    n_from) // (2·n_from), then one exact /1e6): integer/integer
+    ratios can land on .5e-7 boundaries where the two engines' double
+    ROUND disagree by 1 ulp (the embedding-centroid sf0.1 lesson)."""
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     o = ev.select(
@@ -382,7 +385,10 @@ def q_markov_transitions(spark, sf_dir):
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("p"),
+        (
+            F.expr("(2 * n * 1000000 + n_from) div (2 * n_from)").cast("double")
+            / 1000000.0
+        ).alias("p"),
     )
 
 
