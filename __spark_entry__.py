@@ -47,8 +47,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # next-birthday, patient-projection, roi-projection, remote-search,
 # remote-get, retry-threshold), which roll to round 9 and must LEAD
 # its rotation TOGETHER WITH heavy-hitters (added after the r8 cap
-# filled — never driver-checked). Keys not listed keep registry order
-# after these.
+# filled — never driver-checked) and vocab-stats + dedup-rate-report
+# (code changed late in r8 — exact-integer ratio rounding — after the
+# cap was already full; both 3-SF parity-green locally). Keys not
+# listed keep registry order after these.
 _PRIORITY = [
     # -- (a) evidence-gapped: never driver-checked / errored r7 --
     "mix-weights", "markov-transitions", "kmeans-iterate",

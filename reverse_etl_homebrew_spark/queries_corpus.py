@@ -21,6 +21,12 @@ import re
 from pyspark.sql import Window as W, functions as F
 
 from .functions import text as TX
+from .functions.exactmath import (
+    round6_dec6_over_int,
+    round6_int_ratio,
+    sql_round6_dec6_over_int,
+    sql_round6_int_ratio,
+)
 from .queries import register
 from .sources.catalog import load_table
 
@@ -81,9 +87,12 @@ def q_ngram_topk(spark, sf_dir):
     )
 
 
+_TTR_SQL = sql_round6_int_ratio("COUNT(DISTINCT tok)", "COUNT(*)")
+
+
 @register(
     "vocab-stats",
-    sql=r"""
+    sql=rf"""
     WITH ex AS (
       SELECT source, u.tok
       FROM documents,
@@ -92,8 +101,7 @@ def q_ngram_topk(spark, sf_dir):
     SELECT source,
            COUNT(*) AS n_tokens,
            COUNT(DISTINCT tok) AS vocab_size,
-           ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6)
-             AS type_token_ratio
+           {_TTR_SQL} AS type_token_ratio
     FROM ex
     GROUP BY source
     """,
@@ -111,9 +119,11 @@ def q_vocab_stats(spark, sf_dir):
     return ex.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("vocab_size"),
-        F.round(
-            F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6
-        ).alias("type_token_ratio"),
+    ).select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        round6_int_ratio("vocab_size", "n_tokens").alias("type_token_ratio"),
     )
 
 
@@ -180,9 +190,12 @@ def q_domain_stats(spark, sf_dir):
 # Embedding-class centroids
 # ===========================================================================
 
+_MEAN6_SQL = sql_round6_dec6_over_int("s6", "n")
+
+
 @register(
     "embedding-centroid",
-    sql="""
+    sql=f"""
     WITH ex AS (
       SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
       FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
@@ -196,9 +209,7 @@ def q_domain_stats(spark, sf_dir):
     SELECT label,
            n AS n_vecs,
            CAST(i AS BIGINT) AS dim,
-           CAST(CASE WHEN s6 < 0 THEN -1 ELSE 1 END
-                * ((2 * abs(s6) + n) // (2 * n)) AS DOUBLE) / 1000000.0
-             AS component
+           {_MEAN6_SQL} AS component
     FROM m
     """,
 )
@@ -236,11 +247,8 @@ def q_embedding_centroid(spark, sf_dir):
         "label",
         F.col("n").alias("n_vecs"),
         F.col("pos").cast("long").alias("dim"),
-        (
-            F.when(F.col("s6") < 0, F.lit(-1)).otherwise(F.lit(1))
-            * F.expr("(2 * abs(s6) + n) div (2 * n)")
-        ).cast("double").alias("component"),
-    ).withColumn("component", F.col("component") / 1000000.0)
+        round6_dec6_over_int("s6", "n").alias("component"),
+    )
 
 
 # ===========================================================================
@@ -447,7 +455,7 @@ def q_bucketed_join(spark, sf_dir):
 
 @register(
     "mix-weights",
-    sql="""
+    sql=f"""
     WITH c AS (
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -458,12 +466,9 @@ def q_bucketed_join(spark, sf_dir):
       FROM c
     )
     SELECT c.lang, c.n_docs, c.n_chars,
-           CAST((2 * c.n_docs * 1000000 + tot.total)
-                // (2 * tot.total) AS DOUBLE) / 1000000.0 AS actual_share,
-           CAST((2 * 1000000 + tot.n_langs)
-                // (2 * tot.n_langs) AS DOUBLE) / 1000000.0 AS target_share,
-           CAST((2 * tot.total * 1000000 + tot.n_langs * c.n_docs)
-                // (2 * tot.n_langs * c.n_docs) AS DOUBLE) / 1000000.0
+           {sql_round6_int_ratio('c.n_docs', 'tot.total')} AS actual_share,
+           {sql_round6_int_ratio('1', 'tot.n_langs')} AS target_share,
+           {sql_round6_int_ratio('tot.total', 'tot.n_langs * c.n_docs')}
              AS sample_weight
     FROM c, tot
     """,
@@ -495,20 +500,13 @@ def q_mix_weights(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_langs"),
     )
 
-    def ratio6(num: str, den: str):
-        return (
-            F.expr(f"(2 * ({num}) * 1000000 + ({den})) div (2 * ({den}))")
-            .cast("double")
-            / 1000000.0
-        )
-
     return c.join(F.broadcast(tot)).select(
         "lang",
         "n_docs",
         "n_chars",
-        ratio6("n_docs", "total").alias("actual_share"),
-        ratio6("1", "n_langs").alias("target_share"),
-        ratio6("total", "n_langs * n_docs").alias("sample_weight"),
+        round6_int_ratio("n_docs", "total").alias("actual_share"),
+        round6_int_ratio("1", "n_langs").alias("target_share"),
+        round6_int_ratio("total", "n_langs * n_docs").alias("sample_weight"),
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
+from .functions.exactmath import round6_int_ratio, sql_round6_int_ratio
 from .queries import register
 from .sources.catalog import load_table
 
@@ -338,7 +339,7 @@ def q_retention_cohorts(spark, sf_dir):
 
 @register(
     "markov-transitions",
-    sql="""
+    sql=f"""
     WITH o AS (
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
@@ -353,8 +354,7 @@ def q_retention_cohorts(spark, sf_dir):
       GROUP BY from_type
     )
     SELECT t.from_type, t.to_type, t.n,
-           CAST((2 * t.n * 1000000 + tot.n_from)
-                // (2 * tot.n_from) AS DOUBLE) / 1000000.0 AS p
+           {sql_round6_int_ratio('t.n', 'tot.n_from')} AS p
     FROM t JOIN tot USING (from_type)
     """,
 )
@@ -385,10 +385,7 @@ def q_markov_transitions(spark, sf_dir):
         "from_type",
         "to_type",
         "n",
-        (
-            F.expr("(2 * n * 1000000 + n_from) div (2 * n_from)").cast("double")
-            / 1000000.0
-        ).alias("p"),
+        round6_int_ratio("n", "n_from").alias("p"),
     )
 
 

@@ -15,8 +15,22 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from .functions import text as TX
+from .functions.exactmath import (
+    round6_dec6_over_int,
+    round6_int_ratio,
+    sql_round6_dec6_over_int,
+    sql_round6_int_ratio,
+)
 from .queries import register
 from .sources.catalog import load_table
+
+# per-(cluster, dim) decimal-exact mean, 6-decimal rounded by exact
+# integer half-away division — cross-engine stable at ROUND
+# boundaries (see functions/exactmath.py; the embedding-centroid
+# sf0.1 lesson, which here would cascade into round-2 assignments)
+_ROUND6_MEAN_SQL = sql_round6_dec6_over_int(
+    "CAST(SUM(CAST(v AS DECIMAL(38,6))) * 1000000 AS BIGINT)", "COUNT(*)"
+)
 
 
 def _t(spark, sf_dir, name):
@@ -110,8 +124,7 @@ def q_entropy_quality(spark, sf_dir):
       GROUP BY a.id, b.id
     ), scored AS (
       SELECT p.a_id, p.b_id, sa.ng AS na, sb.ng AS nb,
-             ROUND(CAST(p.inter AS DOUBLE)
-                   / least(sa.ng, sb.ng), 6) AS containment
+             CAST(CASE WHEN (p.inter) < 0 THEN -1 ELSE 1 END * ((2 * abs(p.inter) * 1000000 + (least(sa.ng, sb.ng))) // (2 * (least(sa.ng, sb.ng)))) AS DOUBLE) / 1000000.0 AS containment
       FROM pairs p
       JOIN sizes sa ON sa.id = p.a_id
       JOIN sizes sb ON sb.id = p.b_id
@@ -175,9 +188,10 @@ def _directed_containment(grams, threshold: float):
         .join(sb, "b_id")
         .select(
             "a_id", "b_id", "na", "nb",
-            F.round(
-                F.col("inter").cast("double") / F.least("na", "nb"), 6
-            ).alias("containment"),
+            # exact integer half-away rounding: inter/min-size ratios
+            # of counts can land on .5e-7 cuts where double ROUND
+            # diverges across engines (functions/exactmath.py)
+            round6_int_ratio("inter", "least(na, nb)").alias("containment"),
         )
     )
     small_first = F.col("na") <= F.col("nb")
@@ -216,8 +230,7 @@ def _directed_containment(grams, threshold: float):
       GROUP BY a.id, b.id
     ), scored AS (
       SELECT p.a_id, p.b_id, sa.ng AS na, sb.ng AS nb,
-             ROUND(CAST(p.inter AS DOUBLE)
-                   / least(sa.ng, sb.ng), 6) AS containment
+             CAST(CASE WHEN (p.inter) < 0 THEN -1 ELSE 1 END * ((2 * abs(p.inter) * 1000000 + (least(sa.ng, sb.ng))) // (2 * (least(sa.ng, sb.ng)))) AS DOUBLE) / 1000000.0 AS containment
       FROM pairs p
       JOIN sizes sa ON sa.id = p.a_id
       JOIN sizes sb ON sb.id = p.b_id
@@ -482,8 +495,7 @@ _KM_DIST2_SQL = _KM_DIST_SQL.replace("c.cv", "c1.cv")
       UNNEST(range(len(e.embedding))) AS r(i)
     ), m AS (
       SELECT cid, i,
-             ROUND(CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
-                   / COUNT(*), 6) AS comp
+             {_ROUND6_MEAN_SQL} AS comp
       FROM ex GROUP BY cid, i
     ), c1 AS (
       SELECT cid, list(comp ORDER BY i) AS cv FROM m GROUP BY cid
@@ -531,11 +543,14 @@ def q_kmeans_iterate(spark, sf_dir):
         )
     )
     m = ex.groupBy("centroid_id", "pos").agg(
-        F.round(
-            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("comp")
+        (F.sum(F.col("v").cast("decimal(38,6)")) * 1000000)
+        .cast("long")
+        .alias("s6"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        "centroid_id",
+        "pos",
+        round6_dec6_over_int("s6", "n").alias("comp"),
     )
     comps: dict = {}
     for r in m.collect():

@@ -16,6 +16,7 @@ from pyspark.sql import Window as W, functions as F
 from .functions import text as TX, vectors as VEC
 from .operators import dedup as DD, similarity as SIM
 from .sources.catalog import load_table
+from .functions.exactmath import round6_int_ratio, sql_round6_int_ratio
 from .queries import register
 
 _NORM_SQL = (
@@ -1138,14 +1139,19 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+_DUP_RATE_SQL = sql_round6_int_ratio(
+    f"COUNT(*) - COUNT(DISTINCT sha256({_NORM_SQL.format(c='text')}))",
+    "COUNT(*)",
+)
+
+
 @register(
     "dedup-rate-report",
     sql=f"""
     SELECT source,
            COUNT(*) AS n_docs,
            COUNT(DISTINCT sha256({_NORM_SQL.format(c='text')})) AS n_unique,
-           ROUND(1.0 - CAST(COUNT(DISTINCT sha256({_NORM_SQL.format(c='text')}))
-                            AS DOUBLE) / COUNT(*), 6) AS dup_rate
+           {_DUP_RATE_SQL} AS dup_rate
     FROM documents
     GROUP BY source
     """,
@@ -1162,9 +1168,14 @@ def q_dedup_rate_report(spark, sf_dir):
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(fp).alias("n_unique"),
-        F.round(
-            1.0 - F.countDistinct(fp).cast("double") / F.count(F.lit(1)), 6
-        ).alias("dup_rate"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_unique",
+        # exact integer rounding of (n_docs - n_unique)/n_docs —
+        # mathematically identical to 1 - unique-rate, and stable at
+        # .5e-7 ROUND cuts (functions/exactmath.py)
+        round6_int_ratio("n_docs - n_unique", "n_docs").alias("dup_rate"),
     )
 
 

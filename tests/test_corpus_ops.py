@@ -191,15 +191,19 @@ def test_heavy_hitters_null_policy_and_item_types(spark):
     work — the output schema is derived from the input column."""
     from reverse_etl_homebrew_spark.operators.vectorized import heavy_hitters_exact
 
-    # 400 NULLs + 60 of item 7 + 40 singletons: with NULLs excluded,
-    # n = 100 and only item 7 (60 > 100/10) is heavy. If NULLs leaked
-    # into n (n=500), item 7 would STILL pass 500/10 — so also check
-    # the exact count and that no NULL row is emitted.
+    # 400 NULLs + 60 of item 7 + 20 of item 8 + 20 singletons: with
+    # NULLs excluded n = 100 (threshold 10) and BOTH items are heavy;
+    # if NULLs leaked into n (n = 500, threshold 50), item 8 (20)
+    # would vanish — so the presence of item 8 pins the "NULLs don't
+    # inflate n" half of the declared semantics, not just the counts.
     rows = (
         [(None,)] * 400
         + [(7,)] * 60
-        + [(1000 + i,) for i in range(40)]
+        + [(8,)] * 20
+        + [(1000 + i,) for i in range(20)]
     )
     df = spark.createDataFrame(rows, "item long").repartition(5)
-    got = [(r["item"], r["cnt"]) for r in heavy_hitters_exact(df, "item", 10).collect()]
-    assert got == [(7, 60)]
+    got = sorted(
+        (r["item"], r["cnt"]) for r in heavy_hitters_exact(df, "item", 10).collect()
+    )
+    assert got == [(7, 60), (8, 20)]
