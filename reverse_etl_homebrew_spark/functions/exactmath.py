@@ -28,15 +28,17 @@ This is a leaf module (no package imports) so query modules and
 Hardened call sites (r8): embedding-centroid, kmeans-iterate means,
 mix-weights, markov-transitions, vocab-stats TTR, dedup-rate-report,
 both containment keys. KNOWN RESIDUAL sites kept on double ROUND with
-eyes open: `ewma-smooth` and `trigram-lm-score` have decimal-grid
-numerators whose 1e-6-scaled magnitude can overflow BIGINT (weights
-up to 1e9 × values), and DuckDB's ``//`` on DECIMAL performs TRUE
-division (measured: 10//4 = 2.5), so no overflow-safe shared integer
-algebra exists without INT128; their boundary-hit probability is far
-lower (irrational log terms / non-dyadic weight sums) and all three
-SF sweeps are green. percent_rank/cume_dist (`rank-funcs`) divide by
-n-1/n whose values at every test SF are coprime to the 2·10⁶ scale
-(exact cuts impossible there — parity-safe, left as builtins).
+eyes open: `ewma-smooth` and `trigram-lm-score` — the division
+algebra below is now full-range safe, but REPRESENTING their
+numerators in 1e-6/1e-12 units as BIGINT overflows at creation
+(weighted sums up to ~1e13 × the scale), and DuckDB's ``//`` on
+DECIMAL performs TRUE division (measured: 10//4 = 2.5), so the
+decimal-typed alternative has no shared floor semantics without
+INT128. Their boundary-hit probability is far lower (irrational log
+terms / non-dyadic weight sums) and all three SF sweeps are green.
+percent_rank/cume_dist (`rank-funcs`) divide by n-1/n whose values at
+every test SF are coprime to the 2·10⁶ scale (exact cuts impossible
+there — parity-safe, left as builtins).
 """
 
 from __future__ import annotations
@@ -45,25 +47,52 @@ from pyspark.sql import Column, functions as F
 
 SCALE = 1_000_000
 
+# Overflow discipline: the magnitude is computed via a divmod
+# decomposition — halfaway(|a|·1e6 / b) = (|a| div b)·1e6 +
+# halfaway((|a| mod b)·1e6 / b) — so the largest REMAINDER-side
+# intermediate is 2·(b-1)·1e6 + b (a naive 2·|a|·1e6 would wrap int64
+# past |a| ≈ 4.6e12 — inside the 100 TB count range — wrapping
+# silently in Spark while DuckDB raises: wrong-answer-vs-crash
+# divergence). The remaining envelope limits are inherent to 1e-6
+# fixed point in int64: the RESULT |a/b| must stay ≤ ~9.2e12 (its
+# units value must fit), and the int-ratio denominator ≤ ~4.6e12.
+# Ratios of counts/shares/probabilities sit far inside both. The dec6
+# variant's intermediates are bounded by |s6| + 3·b: full-range safe.
+
+
+def _int_ratio_units(num: str, den: str, div: str) -> str:
+    """Magnitude of halfaway(|num|/den) in 1e-6 units; ``div`` is the
+    engine's integral-division operator (Spark ``div``, DuckDB ``//``
+    — identical for the nonnegative operands used here)."""
+    a, b = f"abs({num})", f"({den})"
+    return (
+        f"(({a}) {div} {b}) * {SCALE}"
+        f" + (2 * (({a}) % {b}) * {SCALE} + {b}) {div} (2 * {b})"
+    )
+
+
+def _dec6_units(sum6: str, den: str, div: str) -> str:
+    a, b = f"abs({sum6})", f"({den})"
+    return (
+        f"(({a}) {div} {b})"
+        f" + (2 * (({a}) % {b}) + {b}) {div} (2 * {b})"
+    )
+
 
 def round6_int_ratio(num_sql: str, den_sql: str) -> Column:
     """Exact 6-decimal half-away rounding of ``num/den`` for INTEGER
     SQL expressions (``den > 0``), as a double Column. ``num`` may be
-    negative."""
-    return _units_to_double(
-        f"(2 * abs({num_sql}) * {SCALE} + ({den_sql})) div (2 * ({den_sql}))",
-        num_sql,
-    )
+    negative and arbitrarily large; ``den`` must stay below ~4.6e12
+    (see overflow discipline above)."""
+    return _units_to_double(_int_ratio_units(num_sql, den_sql, "div"), num_sql)
 
 
 def round6_dec6_over_int(sum6_sql: str, den_sql: str) -> Column:
     """Exact 6-decimal half-away rounding of ``s/den`` where ``s`` is
     ALREADY in 1e-6 units (a decimal(38,6) sum times 1e6, cast to
-    long) and ``den`` is a positive integer expression."""
-    return _units_to_double(
-        f"(2 * abs({sum6_sql}) + ({den_sql})) div (2 * ({den_sql}))",
-        sum6_sql,
-    )
+    long) and ``den`` is a positive integer expression. Safe for the
+    full int64 range of both operands."""
+    return _units_to_double(_dec6_units(sum6_sql, den_sql, "div"), sum6_sql)
 
 
 def _units_to_double(mag_units_sql: str, sign_of_sql: str) -> Column:
@@ -73,19 +102,18 @@ def _units_to_double(mag_units_sql: str, sign_of_sql: str) -> Column:
     return signed.cast("double") / float(SCALE)
 
 
+def _sql_units_to_double(mag_units_sql: str, sign_of_sql: str) -> str:
+    return (
+        f"CAST(CASE WHEN ({sign_of_sql}) < 0 THEN -1 ELSE 1 END"
+        f" * ({mag_units_sql}) AS DOUBLE) / {SCALE}.0"
+    )
+
+
 def sql_round6_int_ratio(num: str, den: str) -> str:
     """DuckDB twin of ``round6_int_ratio`` (identical algebra)."""
-    return (
-        f"CAST(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END"
-        f" * ((2 * abs({num}) * {SCALE} + ({den})) // (2 * ({den})))"
-        f" AS DOUBLE) / {SCALE}.0"
-    )
+    return _sql_units_to_double(_int_ratio_units(num, den, "//"), num)
 
 
 def sql_round6_dec6_over_int(sum6: str, den: str) -> str:
     """DuckDB twin of ``round6_dec6_over_int`` (identical algebra)."""
-    return (
-        f"CAST(CASE WHEN ({sum6}) < 0 THEN -1 ELSE 1 END"
-        f" * ((2 * abs({sum6}) + ({den})) // (2 * ({den})))"
-        f" AS DOUBLE) / {SCALE}.0"
-    )
+    return _sql_units_to_double(_dec6_units(sum6, den, "//"), sum6)

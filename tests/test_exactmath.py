@@ -1,0 +1,119 @@
+"""Cross-engine property test for functions/exactmath: the Spark
+Column form and the DuckDB SQL twin must both equal the mathematical
+half-away-from-zero 6-decimal rounding (computed with exact Fractions)
+for the same operands — including numerators far past the naive
+2·|a|·1e6 int64 overflow point, which the divmod decomposition must
+survive."""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark.functions.exactmath import (
+    SCALE,
+    round6_dec6_over_int,
+    round6_int_ratio,
+    sql_round6_dec6_over_int,
+    sql_round6_int_ratio,
+)
+
+
+def _ref_round6(num: int, den: int) -> float:
+    """Half-away-from-zero rounding of num/den to 6 decimals, exact."""
+    x = Fraction(num, den) * SCALE
+    q = abs(x)
+    units = q.numerator // q.denominator
+    rem = q - units
+    if rem * 2 >= 1:
+        units += 1
+    if x < 0:
+        units = -units
+    return float(units) / SCALE
+
+
+def _cases():
+    rng = random.Random(8)
+    cases = []
+    for _ in range(300):
+        b = rng.choice([1, 2, 3, 7, 192, 500, 9973, 10**6, 4 * 10**12])
+        # the representable envelope is |a/b| <= ~9.2e12 (the rounded
+        # value in 1e-6 units must itself fit int64)
+        hi = min(8 * 10**18, 4 * 10**12 * b)
+        a = rng.choice(
+            [
+                rng.randrange(0, 100),
+                rng.randrange(0, min(hi, 10**9) + 1),
+                rng.randrange(0, hi),  # huge, past the naive 2a·1e6 wrap
+                b * rng.randrange(0, 10**6) + b // 2,  # near .5 cuts
+            ]
+        )
+        sign = rng.choice([1, -1])
+        cases.append((sign * a, b))
+    # pinned boundary cases: exactly-on-the-cut rationals
+    cases += [(1, 2 * 10**6 // 2), (3, 2), (-3, 2), (32135, 10**7 // 1)]
+    # the naive-overflow regime: |a| > 4.6e12 (where 2·|a|·1e6 wraps
+    # int64) with modest denominators, ratio still in-envelope
+    cases += [(5 * 10**12, 3), (-7 * 10**15, 9973), (8 * 10**18, 4 * 10**12)]
+    return cases
+
+
+@pytest.fixture(scope="module")
+def evald(spark):
+    """Evaluate all cases through BOTH engines in one pass each."""
+    cases = _cases()
+    sdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], "i long, a long, b long"
+    )
+    spark_int = {
+        r["i"]: r["v"]
+        for r in sdf.select(
+            "i", round6_int_ratio("a", "b").alias("v")
+        ).collect()
+    }
+    spark_dec = {
+        r["i"]: r["v"]
+        for r in sdf.select(
+            "i", round6_dec6_over_int("a", "b").alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, a BIGINT, b BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(cases)],
+    )
+    duck_int = dict(
+        con.execute(
+            f"SELECT i, {sql_round6_int_ratio('a', 'b')} FROM t"
+        ).fetchall()
+    )
+    duck_dec = dict(
+        con.execute(
+            f"SELECT i, {sql_round6_dec6_over_int('a', 'b')} FROM t"
+        ).fetchall()
+    )
+    con.close()
+    return cases, spark_int, spark_dec, duck_int, duck_dec
+
+
+def test_int_ratio_matches_exact_reference_in_both_engines(evald):
+    cases, spark_int, _, duck_int, _ = evald
+    for i, (a, b) in enumerate(cases):
+        want = _ref_round6(a, b)  # round6(a/b)
+        assert spark_int[i] == want, (a, b, spark_int[i], want)
+        assert duck_int[i] == want, (a, b, duck_int[i], want)
+
+
+def test_dec6_over_int_matches_exact_reference_in_both_engines(evald):
+    cases, _, spark_dec, _, duck_dec = evald
+    for i, (s6, b) in enumerate(cases):
+        # s6 is already in 1e-6 units: result = halfaway(s6/b) / 1e6,
+        # which _ref_round6 yields for the pre-scaled denominator
+        want = _ref_round6(s6, b * SCALE)
+        assert spark_dec[i] == want, (s6, b, spark_dec[i], want)
+        assert duck_dec[i] == want, (s6, b, duck_dec[i], want)
