@@ -47,6 +47,40 @@ from pyspark.sql import Column, functions as F
 
 SCALE = 1_000_000
 
+# Largest denominator the int-ratio algebra tolerates: the remainder
+# side's intermediate 2·(b−1)·1e6 + b = b·(2e6+1) − 2e6 must fit
+# int64, so b ≤ (2^63−1+2e6) div (2e6+1). Above it Spark (non-ANSI)
+# WRAPS silently while DuckDB raises — wrong-answer-vs-crash
+# divergence. Call sites whose denominator is not structurally
+# bounded (e.g. a product of two data-derived counts) wrap it in
+# ``guard_den`` / ``sql_guard_den`` so BOTH engines raise at the
+# envelope instead of diverging.
+INT_RATIO_DEN_MAX = 4_611_683_712_586
+
+
+def guard_den(den_sql: str) -> str:
+    """Spark-side denominator guard: raises past INT_RATIO_DEN_MAX
+    (matching DuckDB's native overflow behavior) instead of wrapping.
+    CASE evaluates lazily, so the in-envelope path costs one compare."""
+    return (
+        f"CASE WHEN ({den_sql}) > {INT_RATIO_DEN_MAX}"
+        f" THEN CAST(raise_error('exactmath: int-ratio denominator"
+        f" exceeds the int64 1e-6 fixed-point envelope') AS BIGINT)"
+        f" ELSE ({den_sql}) END"
+    )
+
+
+def sql_guard_den(den_sql: str) -> str:
+    """DuckDB twin of ``guard_den`` (DuckDB would raise on the wrap
+    anyway; the guard makes the failure message and the cut point
+    identical across engines)."""
+    return (
+        f"CASE WHEN ({den_sql}) > {INT_RATIO_DEN_MAX}"
+        f" THEN CAST(error('exactmath: int-ratio denominator"
+        f" exceeds the int64 1e-6 fixed-point envelope') AS BIGINT)"
+        f" ELSE ({den_sql}) END"
+    )
+
 # Overflow discipline: the magnitude is computed via a divmod
 # decomposition — halfaway(|a|·1e6 / b) = (|a| div b)·1e6 +
 # halfaway((|a| mod b)·1e6 / b) — so the largest REMAINDER-side

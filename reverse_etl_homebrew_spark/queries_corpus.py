@@ -22,8 +22,10 @@ from pyspark.sql import Window as W, functions as F
 
 from .functions import text as TX
 from .functions.exactmath import (
+    guard_den,
     round6_dec6_over_int,
     round6_int_ratio,
+    sql_guard_den,
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
 )
@@ -468,7 +470,7 @@ def q_bucketed_join(spark, sf_dir):
     SELECT c.lang, c.n_docs, c.n_chars,
            {sql_round6_int_ratio('c.n_docs', 'tot.total')} AS actual_share,
            {sql_round6_int_ratio('1', 'tot.n_langs')} AS target_share,
-           {sql_round6_int_ratio('tot.total', 'tot.n_langs * c.n_docs')}
+           {sql_round6_int_ratio('tot.total', sql_guard_den('tot.n_langs * c.n_docs'))}
              AS sample_weight
     FROM c, tot
     """,
@@ -506,7 +508,13 @@ def q_mix_weights(spark, sf_dir):
         "n_chars",
         round6_int_ratio("n_docs", "total").alias("actual_share"),
         round6_int_ratio("1", "n_langs").alias("target_share"),
-        round6_int_ratio("total", "n_langs * n_docs").alias("sample_weight"),
+        # the only int-ratio site whose denominator is a PRODUCT of two
+        # data-derived counts: at 100 TB n_langs × n_docs can cross the
+        # int64 fixed-point envelope (~4.6e12), where Spark wraps
+        # silently and DuckDB raises — the guard makes both raise
+        round6_int_ratio("total", guard_den("n_langs * n_docs")).alias(
+            "sample_weight"
+        ),
     )
 
 
@@ -644,3 +652,59 @@ def q_heavy_hitters(spark, sf_dir):
         .alias("item")
     )
     return heavy_hitters_exact(items, "item", 100)
+
+
+@register(
+    "ngram-topk-sketch",
+    sql="""
+    WITH norm AS (
+      SELECT lower(trim(text)) AS t
+      FROM documents
+      WHERE length(trim(text)) >= 3
+    ), grams AS (
+      SELECT substr(t, i, 3) AS g
+      FROM norm, UNNEST(range(1, length(t) - 1)) AS r(i)
+    )
+    SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams
+    GROUP BY g
+    ORDER BY cnt DESC, gram
+    LIMIT 50
+    """,
+)
+def q_ngram_topk_sketch(spark, sf_dir):
+    """Top-50 corpus character trigrams via the two-phase Misra-Gries
+    sketch + exact recount — the vocabulary-too-big twin of
+    `ngram-topk`. That key's single hash aggregation shuffles the
+    whole gram vocabulary, which is fine until the gram space exceeds
+    aggregate memory at 100 TB; this path shuffles only candidates
+    (at most partitions x sketch_k rows) and recounts them exactly,
+    so the answer is identical to the full aggregation whenever the
+    k-th count clears n/(sketch_k+1) — a condition the plan itself
+    enforces (strict guard raises outside the provable regime rather
+    than silently truncating the top-k).
+
+    sketch_k=255 is deliberately SMALLER than the testdata trigram
+    vocabulary (377 distinct at every SF), so the per-partition
+    summaries really compress (the mergeable-summaries decrement path
+    runs), while the 50th trigram count clears n/256 with >1.5x
+    margin at every SF — the sketch is exercised AND the result is
+    provably exact, making the full-aggregation oracle a bit-for-bit
+    check of the sketch path (operators/vectorized.py
+    topk_frequent_sketch)."""
+    from .operators.vectorized import topk_frequent_sketch
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    norm = d.select(t.alias("t")).filter(F.length("t") >= 3)
+    # adjacent character trigrams: explode the start index, then one
+    # substr — both map-side inside codegen, no Python until the
+    # sketch itself
+    grams = (
+        norm.select(
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
+        )
+        .select(F.expr("substr(t, i, 3)").alias("gram"))
+    )
+    return topk_frequent_sketch(grams, "gram", k=50, sketch_k=255)

@@ -179,7 +179,15 @@ def compact_small_files(
     module produces) are detected from the ``key=value`` directory
     chain and re-written with the SAME ``partitionBy``, so compaction
     never flattens a partitioned table; the returned file count is
-    recursive either way."""
+    recursive either way.
+
+    Partition VALUES are preserved verbatim: the read runs with
+    ``spark.sql.sources.partitionColumnTypeInference.enabled=false``,
+    because type inference re-parses directory names and rewrites
+    zero-padded or date-like string values under a different name and
+    type (``part=01`` read as int 1 is rewritten as ``part=1``) — a
+    silent layout/schema change for tables this repo did not write.
+    Compaction must be a byte-layout operation only."""
     import glob
     import os
     import shutil
@@ -205,10 +213,19 @@ def compact_small_files(
     # For a partitioned table the coalesce target applies per write
     # task, and partitionBy re-splits by value — each partition
     # directory ends up with at most n_out files, usually 1.
-    writer = spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(tmp)
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_prev = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        # partition discovery (and with it the conf read) happens
+        # eagerly at DataFrame creation, but the conf is restored only
+        # after the write so a lazy re-analysis can't see the old value
+        writer = spark.read.parquet(path).coalesce(n_out).write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+    finally:
+        spark.conf.set(infer_key, infer_prev)
     shutil.rmtree(path)
     os.rename(tmp, path)
     return len(glob.glob(os.path.join(path, "**/*.parquet"), recursive=True))

@@ -15,9 +15,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from reverse_etl_homebrew_spark.functions.exactmath import (
+    INT_RATIO_DEN_MAX,
     SCALE,
+    guard_den,
     round6_dec6_over_int,
     round6_int_ratio,
+    sql_guard_den,
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
 )
@@ -107,6 +110,52 @@ def test_int_ratio_matches_exact_reference_in_both_engines(evald):
         want = _ref_round6(a, b)  # round6(a/b)
         assert spark_int[i] == want, (a, b, spark_int[i], want)
         assert duck_int[i] == want, (a, b, duck_int[i], want)
+
+
+def test_den_max_is_the_exact_int64_envelope():
+    # the remainder-side intermediate 2·(b−1)·1e6 + b must fit int64 at
+    # the cap and overflow one past it
+    b = INT_RATIO_DEN_MAX
+    assert 2 * (b - 1) * SCALE + b <= 2**63 - 1
+    assert 2 * b * SCALE + (b + 1) > 2**63 - 1
+
+
+def test_guarded_den_passes_through_in_envelope(spark):
+    sdf = spark.createDataFrame(
+        [(10, 4), (5 * 10**12, 3)], "a long, b long"
+    )
+    vals = [
+        r["v"]
+        for r in sdf.select(
+            round6_int_ratio("a", guard_den("b")).alias("v")
+        ).collect()
+    ]
+    assert vals == [_ref_round6(10, 4), _ref_round6(5 * 10**12, 3)]
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {sql_round6_int_ratio('a', sql_guard_den('b'))} "
+        "FROM (VALUES (10, 4), (5000000000000, 3)) t(a, b) ORDER BY b"
+    ).fetchall()
+    con.close()
+    assert [g[0] for g in got] == [
+        _ref_round6(5 * 10**12, 3), _ref_round6(10, 4)
+    ]
+
+
+def test_guarded_den_raises_past_envelope_in_both_engines(spark):
+    # past the envelope Spark would WRAP silently (non-ANSI) while
+    # DuckDB raises — the guard makes BOTH raise at the same cut
+    over = INT_RATIO_DEN_MAX + 1
+    sdf = spark.createDataFrame([(1, over)], "a long, b long")
+    with pytest.raises(Exception, match="exactmath"):
+        sdf.select(round6_int_ratio("a", guard_den("b")).alias("v")).collect()
+    con = duckdb.connect()
+    with pytest.raises(Exception, match="exactmath"):
+        con.execute(
+            f"SELECT {sql_round6_int_ratio('a', sql_guard_den('b'))} "
+            f"FROM (VALUES (1, {over})) t(a, b)"
+        ).fetchall()
+    con.close()
 
 
 def test_dec6_over_int_matches_exact_reference_in_both_engines(evald):

@@ -130,6 +130,32 @@ def test_compact_preserves_hive_partitioning(spark, tmp_path):
     }
 
 
+def test_compact_preserves_partition_values_verbatim(spark, tmp_path):
+    # Zero-padded string partition values (part=01) must survive
+    # compaction byte-for-byte: with partition-column type inference
+    # on, the read re-parses "01" as int 1 and the rewrite renames the
+    # directory to part=1 with a changed column type — a silent
+    # layout/schema change for externally-written tables.
+    out = str(tmp_path / "padded")
+    df = spark.range(300).select(
+        F.col("id"),
+        F.lpad((F.col("id") % 3).cast("string"), 2, "0").alias("part"),
+    )
+    df.repartition(8).write.partitionBy("part").parquet(out)
+    FS.compact_small_files(spark, out, target_file_bytes=10**9)
+    dirs = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "part=*"))
+    )
+    assert dirs == ["part=00", "part=01", "part=02"]
+    # and the session conf the fix toggles is restored afterward
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.partitionColumnTypeInference.enabled"
+        )
+        == "true"
+    )
+
+
 def test_salted_write_deterministic_under_reshuffle(spark, tmp_path):
     # The salt must be a pure function of row content (xxhash64), so
     # writing the same rows arriving through different upstream
