@@ -105,6 +105,12 @@ HEAVY_ADDITIONS = [
     "containment-dedup-capped",
     "scd2-lookup",
     "attribution-last-touch",
+    # r9: the two-phase Misra-Gries operators — heavy-hitters (added
+    # late in r8 with no wall-time history) and the sketch-path twin
+    # of ngram-topk (new this round; candidates-only shuffle is its
+    # whole point, so the ledger must show what that shape costs)
+    "heavy-hitters",
+    "ngram-topk-sketch",
 ]
 
 

@@ -27,18 +27,22 @@ This is a leaf module (no package imports) so query modules and
 
 Hardened call sites (r8): embedding-centroid, kmeans-iterate means,
 mix-weights, markov-transitions, vocab-stats TTR, dedup-rate-report,
-both containment keys. KNOWN RESIDUAL sites kept on double ROUND with
-eyes open: `ewma-smooth` and `trigram-lm-score` — the division
-algebra below is now full-range safe, but REPRESENTING their
-numerators in 1e-6/1e-12 units as BIGINT overflows at creation
-(weighted sums up to ~1e13 × the scale), and DuckDB's ``//`` on
-DECIMAL performs TRUE division (measured: 10//4 = 2.5), so the
-decimal-typed alternative has no shared floor semantics without
-INT128. Their boundary-hit probability is far lower (irrational log
-terms / non-dyadic weight sums) and all three SF sweeps are green.
-percent_rank/cume_dist (`rank-funcs`) divide by n-1/n whose values at
-every test SF are coprime to the 2·10⁶ scale (exact cuts impossible
-there — parity-safe, left as builtins).
+both containment keys. r9 closed the two former KNOWN RESIDUAL
+sites: `ewma-smooth` (its 1e-6-unit numerator DOES fit int64 — the
+r8 note over-estimated the weighted-sum range; measured max ~6.4e17
+vs the 9.2e18 envelope, guarded by ``guard_dec_units``) and
+`trigram-lm-score` (per-DOC 1e-12-unit sums are small — ≤ ~4e17 —
+and halfaway(s12 / (n·1e6)) IS the 6-decimal rounding of the mean,
+so no new function was needed). The move was forced by measurement:
+the sf0.1 margin probe found an ewma pre-round value only 9.2e-7
+(1e6-scaled) from a .5e-7 cut — inside the double-ROUND divergence
+slack at 10× data. Remaining trigram surface (each engine quantizes
+its own ln() doubles at 1e-12 before the exact sum) is bounded by n
+integer units per doc and constructively margin-checked in
+tests/test_round_boundary_margin.py. percent_rank/cume_dist
+(`rank-funcs`) divide by n-1/n whose values at every test SF are
+coprime to the 2·10⁶ scale (exact cuts impossible there —
+parity-safe, left as builtins).
 """
 
 from __future__ import annotations
@@ -67,6 +71,40 @@ def guard_den(den_sql: str) -> str:
         f" THEN CAST(raise_error('exactmath: int-ratio denominator"
         f" exceeds the int64 1e-6 fixed-point envelope') AS BIGINT)"
         f" ELSE ({den_sql}) END"
+    )
+
+
+def guard_dec_units(dec_sql: str, unit_scale: int, den_sql: str) -> str:
+    """Build the integer-units BIGINT numerator for
+    ``round6_dec6_over_int`` from an exact DECIMAL SQL expression
+    (scale matching ``unit_scale``: 1e6 for decimal(38,6) sums, 1e12
+    for decimal(38,12) sums), raising in BOTH engines when the units
+    magnitude would leave the int64 envelope |units| <= int64max -
+    3*den (the _dec6_units remainder intermediate is bounded by 3*den).
+    Without the guard Spark's non-ANSI decimal->bigint cast NULLs
+    silently on overflow while DuckDB raises — the same
+    wrong-answer-vs-crash divergence class ``guard_den`` closes on the
+    denominator side. The comparison runs in DECIMAL (exact), so the
+    guard itself cannot overflow."""
+    return (
+        f"CASE WHEN abs({dec_sql}) * {unit_scale}"
+        f" > CAST({2**63 - 1} AS DECIMAL(38,0)) - 3 * ({den_sql})"
+        f" THEN CAST(raise_error('exactmath: dec-units numerator"
+        f" exceeds the int64 envelope') AS BIGINT)"
+        f" ELSE CAST(({dec_sql}) * {unit_scale} AS BIGINT) END"
+    )
+
+
+def sql_guard_dec_units(dec_sql: str, unit_scale: int, den_sql: str) -> str:
+    """DuckDB twin of ``guard_dec_units`` (DuckDB would raise on the
+    cast anyway; the guard makes the failure message and the cut point
+    identical across engines)."""
+    return (
+        f"CASE WHEN abs({dec_sql}) * {unit_scale}"
+        f" > CAST({2**63 - 1} AS DECIMAL(38,0)) - 3 * ({den_sql})"
+        f" THEN CAST(error('exactmath: dec-units numerator"
+        f" exceeds the int64 envelope') AS BIGINT)"
+        f" ELSE CAST(({dec_sql}) * {unit_scale} AS BIGINT) END"
     )
 
 

@@ -22,6 +22,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import vectors as VEC
+from ..functions.exactmath import guard_dec_units, round6_dec6_over_int
 from .dedup import _deterministic_planes
 
 
@@ -461,13 +462,23 @@ def trigram_lm_score(
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.round(
-                (
-                    F.sum(F.col("nll").cast("decimal(38,12)"))
-                    / F.count(F.lit(1))
-                ).cast("double"),
-                6,
+            F.sum(F.col("nll").cast("decimal(38,12)")).alias("s12"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_trigrams",
+            # r9: exact-integer rounding — the per-doc decimal(38,12)
+            # sum in 1e-12 units fits int64 (|nll| <= ln(corpus) ~ 45,
+            # so a 1e14-char doc would still fit), and halfaway(s12 /
+            # (n*1e6)) IS the 6-decimal rounding of the mean — no
+            # double division before the round, so the only remaining
+            # cross-engine surface is the 1e-12 quantization of each
+            # engine's ln(), whose distance from any rounding cut the
+            # boundary-margin test measures in exact integers
+            # (tests/test_round_boundary_margin.py).
+            round6_dec6_over_int(
+                guard_dec_units("s12", 10**12, "n_trigrams * 1000000"),
+                "n_trigrams * 1000000",
             ).alias("xent_nats"),
         )
-        .select(F.col("id").alias(id_col), "n_trigrams", "xent_nats")
     )

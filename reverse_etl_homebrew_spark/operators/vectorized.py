@@ -226,26 +226,48 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
         import numpy as np
 
         m = np.asarray(vecs.tolist(), dtype=np.float64)
-        proj = m @ P.T  # (n, L*p)
-        # summation-order error bound: |any-order - fold| ≤ 8·d·u·Σ|terms|
-        bound = (np.abs(m) @ np.abs(P.T)) * (8.0 * m.shape[1] * 2.0**-53)
-        risky_rows = (np.abs(proj) <= bound).any(axis=1)
-        if risky_rows.any():
-            # exact per-dimension left fold for the rows holding risky
-            # entries, VECTORIZED across those rows and all planes —
-            # degenerate inputs (all-zero/padding embeddings make every
-            # entry risky) must not fall onto a per-entry Python loop
-            mr = m[risky_rows]
-            acc = mr[:, 0:1] * P[None, :, 0].reshape(1, -1)
-            for i in range(1, mr.shape[1]):
-                acc = acc + mr[:, i : i + 1] * P[None, :, i].reshape(1, -1)
-            proj[risky_rows] = acc
-        signs = proj >= 0  # (n, L*p)
+        signs = hybrid_fold_signs(m, P)  # (n, L*p)
         bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
         bs = bs + tags  # (n, L)
         return pd.Series(list(bs))
 
     return buckets
+
+
+def hybrid_fold_signs(m, P):
+    """The hybrid bucketer's sign kernel, factored out so the error
+    bound is a property-testable invariant without a SparkSession
+    (tests/test_property_scalars.py), the way ``_mg_merge_batch`` pins
+    the Misra-Gries retention guarantee.
+
+    Returns the boolean sign matrix (projection >= 0) for rows ``m``
+    (n x d) against planes ``P`` (q x d), GUARANTEED entry-for-entry
+    equal to the sequential left fold ``((m[i,0]*P[j,0]) + m[i,1]*
+    P[j,1]) + ...``: BLAS computes the projection in some arbitrary
+    summation order, but any two orders of summing d products differ
+    by at most ~2·d·u·Σ|mᵢPⱼᵢ| (standard floating-point summation
+    error, u = 2⁻⁵³; 8·d·u used for margin) — so wherever |matmul
+    projection| exceeds that bound its sign equals the fold's sign
+    mathematically, and inside the bound the kernel RECOMPUTES the
+    exact fold and lets its value decide."""
+    import numpy as np
+
+    m = np.ascontiguousarray(m, dtype=np.float64)
+    proj = m @ P.T  # (n, q)
+    # summation-order error bound: |any-order - fold| ≤ 8·d·u·Σ|terms|
+    bound = (np.abs(m) @ np.abs(P.T)) * (8.0 * m.shape[1] * 2.0**-53)
+    risky_rows = (np.abs(proj) <= bound).any(axis=1)
+    if risky_rows.any():
+        # exact per-dimension left fold for the rows holding risky
+        # entries, VECTORIZED across those rows and all planes —
+        # degenerate inputs (all-zero/padding embeddings make every
+        # entry risky) must not fall onto a per-entry Python loop
+        mr = m[risky_rows]
+        acc = mr[:, 0:1] * P[None, :, 0].reshape(1, -1)
+        for i in range(1, mr.shape[1]):
+            acc = acc + mr[:, i : i + 1] * P[None, :, i].reshape(1, -1)
+        proj[risky_rows] = acc
+    return proj >= 0
 
 
 def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id"):
@@ -353,6 +375,117 @@ def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
                 counts[i] = c - thr
             else:
                 del counts[i]
+
+
+def topk_frequent_sketch(
+    df: DataFrame, col: str, k: int, sketch_k: int, strict: bool = True
+) -> DataFrame:
+    """Top-``k`` most frequent non-null items via the two-phase
+    Misra-Gries sketch + exact recount — the vocabulary-too-big path
+    behind a plain ``GROUP BY item ORDER BY count`` top-k.
+
+    Same two scans as ``heavy_hitters_exact``: per-partition mergeable
+    summaries of capacity ``sketch_k`` (candidates only — at most
+    partitions x sketch_k rows ever shuffle, never the vocabulary),
+    then ONE masked recount whose hash aggregation yields the
+    candidates' exact counts AND the exact total n. The top-k is then
+    TakeOrdered over the tiny candidate frame with a (count DESC,
+    item ASC) total order.
+
+    Exactness regime: any non-candidate item has true count
+    <= n/(sketch_k+1) (mergeable-summaries retention bound), so the
+    returned set IS the global top-k whenever the k-th returned count
+    exceeds n/(sketch_k+1). ``strict=True`` embeds that check in the
+    plan (CASE + raise_error over the k-row result — lazy, one compare
+    per returned row) and raises when the data leaves the provable
+    regime, including the fewer-than-k-candidates case where a
+    non-candidate could belong to the result; ``strict=False`` returns
+    the best-effort head instead. Sizing rule: pick sketch_k so the
+    expected k-th count clears n/(sketch_k+1) with margin — counts are
+    integers, so when the guard passes the result is exact and the
+    oracle comparison is bit-for-bit."""
+    cands = misra_gries_candidates(df, col, sketch_k).distinct()
+    masked = (
+        df.select(col)
+        .filter(F.col(col).isNotNull())
+        .join(
+            F.broadcast(cands.withColumn("__cand", F.lit(True))), [col], "left"
+        )
+        .select(F.when(F.col("__cand"), F.col(col)).alias("__k"))
+    )
+    grouped = masked.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    if not strict:
+        return (
+            grouped.filter(F.col("__k").isNotNull())
+            .orderBy(F.col("cnt").desc(), F.col("__k").asc())
+            .limit(k)
+            .select(F.col("__k").alias(col), "cnt")
+        )
+    from pyspark.sql import Window as W
+
+    item_type = df.schema[col].dataType
+    msg = (
+        "topk_frequent_sketch: data outside the provable regime for "
+        f"sketch_k={sketch_k}, k={k} — the k-th count does not clear "
+        "n/(sketch_k+1); enlarge sketch_k or pass strict=False"
+    )
+    # ``grouped`` is tiny (at most partitions x sketch_k candidates
+    # plus the NULL mask bucket), so the ranking/guard windows below
+    # run over one small partition — and the whole guard is ONE
+    # lineage (the input is scanned exactly twice: sketch + recount).
+    # n and the candidate count come from one window pass over the
+    # WHOLE frame (null bucket included — its cnt is part of n);
+    # candidates rank below-null-last so the null bucket never holds
+    # a top-k rank.
+    w1 = W.partitionBy(F.lit(1))
+    wrank = W.partitionBy(F.lit(1)).orderBy(
+        F.col("__k").isNull().asc(), F.col("cnt").desc(), F.col("__k").asc()
+    )
+    ranked = (
+        grouped.withColumn("__n", F.sum("cnt").over(w1))
+        .withColumn(
+            "__cands",
+            F.count(F.when(F.col("__k").isNotNull(), F.lit(1))).over(w1),
+        )
+        .withColumn("__rank", F.row_number().over(wrank))
+        .withColumn(
+            "__kth",
+            F.max(
+                F.when(
+                    (F.col("__rank") == k) & F.col("__k").isNotNull(),
+                    F.col("cnt"),
+                )
+            ).over(w1),
+        )
+    )
+    # Row retention: the k best candidates — plus, when the candidate
+    # set is EMPTY while the input is not (aggressive compression on
+    # flat data can empty every partition summary — observed,
+    # partition-layout dependent), the NULL-mask bucket row, which
+    # then exists by construction (every input row was masked to it)
+    # and carries the guard that a zero-row result would bypass.
+    keep = ranked.filter(
+        (F.col("__k").isNotNull() & (F.col("__rank") <= k))
+        | (F.col("__k").isNull() & (F.col("__cands") == 0))
+    )
+    # Per-row guard: fires when fewer than k candidates exist or the
+    # k-th count does not clear the non-candidate ceiling. CASE is
+    # lazy, so in-regime data pays k compares; the projection is
+    # never reordered below its filter, so the null-bucket sentinel
+    # raises if and only if it was kept.
+    bad = (
+        F.col("__k").isNull()
+        | (F.col("__cands") < F.lit(k))
+        | (F.col("__kth") * F.lit(sketch_k + 1) <= F.col("__n"))
+    )
+    return keep.select(
+        F.when(bad, F.raise_error(F.lit(msg)).cast(item_type))
+        .otherwise(F.col("__k"))
+        .alias(col),
+        "cnt",
+    )
 
 
 def heavy_hitters_exact(df: DataFrame, col: str, k: int) -> DataFrame:

@@ -12,7 +12,14 @@ from __future__ import annotations
 
 from pyspark.sql import Window as W, functions as F
 
-from .functions.exactmath import round6_int_ratio, sql_round6_int_ratio
+from .functions.exactmath import (
+    guard_dec_units,
+    round6_dec6_over_int,
+    round6_int_ratio,
+    sql_guard_dec_units,
+    sql_round6_dec6_over_int,
+    sql_round6_int_ratio,
+)
 from .queries import register
 from .sources.catalog import load_table
 
@@ -52,8 +59,10 @@ _EWMA_COEFF_SQL = "[" + ", ".join(str(c) for c in _EWMA_COEFFS) + "]"
        AND b.rn BETWEEN a.rn - {_EWMA_DEPTH - 1} AND a.rn
     )
     SELECT user_id, event_id, ts,
-           ROUND(CAST(SUM(wx) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
-             AS ewma
+           {sql_round6_dec6_over_int(
+               sql_guard_dec_units('SUM(wx)', 1_000_000, 'SUM(w)'),
+               'SUM(w)',
+           )} AS ewma
     FROM terms GROUP BY user_id, event_id, ts
     """,
 )
@@ -96,10 +105,26 @@ def q_ewma_smooth(spark, sf_dir):
         (F.col("b.value").cast("decimal(38,6)") * coeff).alias("wx"),
         coeff.alias("w"),
     )
-    return terms.groupBy("user_id", "event_id", "ts").agg(
-        F.round(
-            F.sum("wx").cast("double") / F.sum("w").cast("double"), 6
-        ).alias("ewma")
+    # r9: exact-integer rounding replaced the double ROUND — the sf0.1
+    # margin probe measured a pre-round value only 9.2e-7 (in 1e6-
+    # scaled units) from a .5e-7 cut, inside the shortest-repr-vs-
+    # binary divergence slack at 10x data. The weighted sum in 1e-6
+    # units fits int64 up to |value| ~ 2.8e3 (coeff mass 3.24e9 x 1e6
+    # per unit of value); guard_dec_units makes BOTH engines raise
+    # past that envelope instead of Spark's silent NULL cast.
+    return (
+        terms.groupBy("user_id", "event_id", "ts")
+        .agg(
+            F.sum("wx").alias("wx_sum"), F.sum("w").alias("w_sum")
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            round6_dec6_over_int(
+                guard_dec_units("wx_sum", 1_000_000, "w_sum"), "w_sum"
+            ).alias("ewma"),
+        )
     )
 
 

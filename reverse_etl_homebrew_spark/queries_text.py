@@ -16,7 +16,12 @@ from pyspark.sql import Window as W, functions as F
 from .functions import text as TX, vectors as VEC
 from .operators import dedup as DD, similarity as SIM
 from .sources.catalog import load_table
-from .functions.exactmath import round6_int_ratio, sql_round6_int_ratio
+from .functions.exactmath import (
+    round6_int_ratio,
+    sql_guard_dec_units,
+    sql_round6_dec6_over_int,
+    sql_round6_int_ratio,
+)
 from .queries import register
 
 _NORM_SQL = (
@@ -984,6 +989,18 @@ def q_tfidf_topterms(spark, sf_dir):
     return SIM.tfidf_topterms(d, k=3)
 
 
+# Exact 6-decimal rounding of the per-doc mean nll: the decimal(38,12)
+# sum in 1e-12 units over the denominator n_trigrams*1e6 — identical
+# algebra to the Spark side (operators/similarity.py trigram_lm_score);
+# the dec-units guard makes both engines raise at the int64 envelope.
+_XENT_SQL = sql_round6_dec6_over_int(
+    sql_guard_dec_units(
+        "SUM(CAST(nll AS DECIMAL(38,12)))", 10**12, "COUNT(*) * 1000000"
+    ),
+    "COUNT(*) * 1000000",
+)
+
+
 @register(
     "trigram-lm-score",
     sql=f"""
@@ -1004,8 +1021,7 @@ def q_tfidf_topterms(spark, sf_dir):
     )
     SELECT id AS doc_id,
            COUNT(*) AS n_trigrams,
-           ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,12))) / COUNT(*) AS DOUBLE), 6)
-             AS xent_nats
+           {_XENT_SQL} AS xent_nats
     FROM grams JOIN model USING (g)
     GROUP BY id
     """,

@@ -207,3 +207,95 @@ def test_heavy_hitters_null_policy_and_item_types(spark):
         (r["item"], r["cnt"]) for r in heavy_hitters_exact(df, "item", 10).collect()
     )
     assert got == [(7, 60), (8, 20)]
+
+
+def test_topk_frequent_sketch_matches_brute_force_under_compression(spark):
+    """The two-phase top-k must equal the full-vocabulary groupBy
+    top-k under any partitioning WHILE the sketch genuinely
+    compresses (sketch_k far below the distinct-item count, so the
+    mergeable-summaries decrement path runs)."""
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        misra_gries_candidates,
+        topk_frequent_sketch,
+    )
+
+    # Zipf-ish: item i (1 <= i <= 40) appears 1200 // i times, plus
+    # 3000 cold singletons — distinct = 3040, sketch_k = 64 << that
+    rows = [(f"z_{i:02d}",) for i in range(1, 41) for _ in range(1200 // i)] + [
+        (f"cold_{i}",) for i in range(3000)
+    ]
+    # n ≈ 8134, so n/(sketch_k+1) = 63 < the 10th count (120): inside
+    # the provable regime, while sketch_k = 128 << 3040 distinct
+    df = spark.createDataFrame(rows, "item string")
+    k, sketch_k = 10, 128
+
+    brute = sorted(
+        ((r["item"], r["cnt"]) for r in df.groupBy("item")
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+
+    for parts in (3, 32):
+        part = df.repartition(parts)
+        got = sorted(
+            ((r["item"], r["cnt"])
+             for r in topk_frequent_sketch(part, "item", k, sketch_k).collect()),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == brute, f"parts={parts}"
+        # the sketch really compressed: candidates are far fewer than
+        # the vocabulary, and bounded by partitions x sketch_k
+        n_cands = misra_gries_candidates(part, "item", sketch_k).distinct().count()
+        assert n_cands < 3040
+        assert n_cands <= parts * sketch_k
+
+
+def test_topk_frequent_sketch_strict_guard_raises_outside_regime(spark):
+    """On a flat distribution the k-th count cannot clear
+    n/(sketch_k+1): strict mode must raise (never silently truncate
+    the top-k), and strict=False must return a best-effort head
+    without raising — possibly SHORT of k rows, since flat data can
+    empty every partition summary (the equal-counts compression case:
+    the threshold equals every held count and drops them all)."""
+    import pytest
+
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        topk_frequent_sketch,
+    )
+
+    # 2000 items x 3 occurrences: perfectly flat, n = 6000,
+    # n/(sketch_k+1) = 6000/17 = 352 >> 3
+    rows = [(f"flat_{i:04d}",) for i in range(2000) for _ in range(3)]
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+
+    with pytest.raises(Exception, match="provable regime"):
+        topk_frequent_sketch(df, "item", 5, 16).collect()
+
+    loose = topk_frequent_sketch(df, "item", 5, 16, strict=False).collect()
+    assert len(loose) <= 5  # best-effort: no raise, never more than k
+
+
+def test_topk_frequent_sketch_fewer_candidates_than_k(spark):
+    """When the candidate set is smaller than k a non-candidate could
+    belong to the result, so strict raises; with a sketch wide enough
+    to hold the whole vocabulary the result is the (trivially exact)
+    full item list."""
+    import pytest
+
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        topk_frequent_sketch,
+    )
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string").repartition(2)
+
+    # sketch holds everything: 3 distinct <= sketch_k, but k=5 asks
+    # for more rows than exist — strict cannot prove completeness
+    with pytest.raises(Exception, match="provable regime"):
+        topk_frequent_sketch(df, "item", 5, 16).collect()
+
+    got = sorted(
+        (r["item"], r["cnt"])
+        for r in topk_frequent_sketch(df, "item", 3, 16).collect()
+    )
+    assert got == [("a", 5), ("b", 3), ("c", 1)]

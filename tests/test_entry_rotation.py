@@ -13,33 +13,38 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round: evidence-gapped (never
-# driver-checked, or the r7 row errored), added this round, or code
-# changed this round.
-MUST_RUN_R8 = {
-    # evidence-gapped: the 5 post-cap r7 additions never had a driver
-    # row; embedding-centroid's r7 row errored (array column) and its
-    # output was reshaped this round
-    "mix-weights", "markov-transitions", "kmeans-iterate",
-    "scd2-lookup", "attribution-last-touch", "embedding-centroid",
-    # added this round — never had a driver row
-    "containment-dedup-capped", "sqlite-scan-pushdown",
-    # code changed this round: bucketer matmul → guaranteed-fold-equal
-    # hybrid; containment-dedup gained the lineage cut
-    "topk-similarity-lsh", "knn-join", "knn-join-lsh",
-    "knn-join-tables", "similarity-join", "embedding-near-dup",
-    "containment-dedup",
-}
-
-# The r5-evidenced keys deliberately rolled past the cap to round 9 —
-# pinned so the roll stays the EXPLICIT 14, not an accident of
-# ordering. These must lead the round-9 rotation.
-ROLLED_TO_R9 = {
+# Keys that MUST be inside the cap this round (round 9): the 3
+# evidence-gapped keys named by VERDICT r8 (heavy-hitters has never
+# faced the driver; vocab-stats and dedup-rate-report changed rounding
+# code after the r8 cap filled), the 14 r5-stale scalar keys rolled
+# from round 8 by explicit plan, and the keys added or code-changed
+# this round.
+MUST_RUN_R9 = {
+    # evidence-gapped
+    "heavy-hitters", "vocab-stats", "dedup-rate-report",
+    # r5-evidenced cohort, rolled from the r8 cap by explicit plan
     "bool-normalize", "identifier-canon", "email-normalize",
     "phi-redact", "epoch-millis", "eastern-date", "json-payload",
     "natural-key", "next-birthday", "patient-projection",
     "roi-projection", "remote-search", "remote-get",
     "retry-threshold",
+    # added / code changed this round: the two-phase sketch path, the
+    # two keys whose product denominator gained guard_den, and the two
+    # KNOWN-RESIDUAL keys moved onto exact integer rounding
+    "ngram-topk-sketch", "mix-weights", "bucketed-join",
+    "ewma-smooth", "trigram-lm-score",
+}
+
+# The r6-evidenced keys deliberately rolled past the cap to round 10 —
+# pinned so the roll stays the EXPLICIT 11, not an accident of
+# ordering. These must lead the round-10 rotation (together with any
+# key whose code changes in round 10).
+ROLLED_TO_R10 = {
+    "roi-patient-anti-join", "roi-sync-pipeline",
+    "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
+    "split-assign", "stratified-sample", "threetier-composite",
+    "topk-similarity", "topk-similarity-ivf", "topk-similarity-pandas",
+    "video-frame-index", "watermark-filter",
 }
 
 
@@ -53,18 +58,18 @@ def test_priority_has_no_duplicates_and_resolves():
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R8 - set(head)
+    outside = MUST_RUN_R9 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_fourteen():
+def test_rolled_keys_are_exactly_the_named_thirteen():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
-    assert ROLLED_TO_R9 & head == set(), "a rolled key leaked into the cap"
-    assert ROLLED_TO_R9 <= set(tail)
-    # and they sit immediately after the boundary, so the r9 rotation
+    assert ROLLED_TO_R10 & head == set(), "a rolled key leaked into the cap"
+    assert ROLLED_TO_R10 <= set(tail)
+    # and they sit immediately after the boundary, so the r10 rotation
     # inherits them first
-    assert set(tail[: len(ROLLED_TO_R9)]) == ROLLED_TO_R9
+    assert set(tail[: len(ROLLED_TO_R10)]) == ROLLED_TO_R10
 
 
 def test_queries_and_oracle_emit_same_order():

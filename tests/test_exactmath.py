@@ -166,3 +166,47 @@ def test_dec6_over_int_matches_exact_reference_in_both_engines(evald):
         want = _ref_round6(s6, b * SCALE)
         assert spark_dec[i] == want, (s6, b, spark_dec[i], want)
         assert duck_dec[i] == want, (s6, b, duck_dec[i], want)
+
+
+def test_guard_dec_units_passthrough_and_raise(spark):
+    """In-envelope decimal sums cast to exact units in both engines;
+    past the envelope BOTH engines raise (Spark would otherwise NULL
+    the overflowing decimal->bigint cast silently while DuckDB
+    raises — the numerator-side twin of the guard_den divergence)."""
+    from reverse_etl_homebrew_spark.functions.exactmath import (
+        guard_dec_units,
+        sql_guard_dec_units,
+    )
+
+    # passthrough: 123.456789 at 1e6 units over den 4
+    sdf = spark.createDataFrame([("123.456789", 4)], "a string, b long").select(
+        F.col("a").cast("decimal(38,6)").alias("a"), "b"
+    )
+    got = sdf.select(
+        F.expr(guard_dec_units("a", 1_000_000, "b")).alias("u")
+    ).collect()[0]["u"]
+    assert got == 123456789
+    con = duckdb.connect()
+    dgot = con.execute(
+        "SELECT "
+        + sql_guard_dec_units("CAST('123.456789' AS DECIMAL(38,6))", 1_000_000, "4")
+    ).fetchone()[0]
+    assert dgot == 123456789
+
+    # raise: a decimal whose units exceed int64max - 3*den
+    big = "9223372036854.775808"  # units = 2^63 exactly
+    sdf2 = spark.createDataFrame([(big, 4)], "a string, b long").select(
+        F.col("a").cast("decimal(38,6)").alias("a"), "b"
+    )
+    with pytest.raises(Exception, match="exactmath"):
+        sdf2.select(
+            F.expr(guard_dec_units("a", 1_000_000, "b")).alias("u")
+        ).collect()
+    with pytest.raises(Exception, match="exactmath"):
+        con.execute(
+            "SELECT "
+            + sql_guard_dec_units(
+                f"CAST('{big}' AS DECIMAL(38,6))", 1_000_000, "4"
+            )
+        ).fetchone()
+    con.close()

@@ -380,3 +380,77 @@ def test_mg_summary_retains_every_heavy_item(stream, k, batch):
             assert item in counts, (
                 f"heavy item {item} (count {c} > {thr:.2f}) evicted"
             )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid LSH bucketer summation-order error bound (Spark-free: the
+# sign kernel used by operators/vectorized.table_buckets_pandas)
+# ---------------------------------------------------------------------------
+
+
+def _fold_sign(v, p):
+    # the oracle's sequential left fold — exactly what whole-stage
+    # codegen emits for the flat sign-fold expression
+    acc = v[0] * p[0]
+    for i in range(1, len(v)):
+        acc += v[i] * p[i]
+    return acc >= 0.0
+
+
+_coord = st.floats(
+    min_value=-1e12,
+    max_value=1e12,
+    allow_nan=False,
+    allow_subnormal=False,
+    width=64,
+)
+
+
+@given(data=st.data(), d=st.integers(min_value=1, max_value=24))
+@settings(max_examples=150, deadline=None)
+def test_hybrid_bucketer_signs_equal_left_fold(data, d):
+    """The 8·d·u summation-order bound as an invariant: for ANY
+    vectors and planes — including constructed catastrophic
+    cancellation where the fold lands within one ulp of zero — the
+    hybrid kernel's sign matrix is entry-for-entry the sequential
+    left fold's sign. Pins the bound the way
+    test_mg_summary_retains_every_heavy_item pins Misra-Gries."""
+    import numpy as np
+
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        hybrid_fold_signs,
+    )
+
+    n = data.draw(st.integers(min_value=1, max_value=4))
+    q = data.draw(st.integers(min_value=1, max_value=4))
+    rows = [
+        data.draw(st.lists(_coord, min_size=d, max_size=d)) for _ in range(n)
+    ]
+    planes = [
+        data.draw(st.lists(_coord, min_size=d, max_size=d)) for _ in range(q)
+    ]
+    # adversarial append: a mirrored-cancellation vector (fold == ±eps
+    # against the all-ones plane) plus the all-ones plane itself, so
+    # every run exercises the inside-the-bound recompute path, not
+    # just the wide-margin fast path
+    base = data.draw(st.lists(_coord, min_size=d, max_size=d))
+    cancel = list(base)
+    for i in range(0, d - 1, 2):
+        cancel[i + 1] = -cancel[i]
+    if d % 2 == 1:
+        cancel[-1] = data.draw(
+            st.sampled_from([0.0, 5e-324, -5e-324, 1e-290, -1e-290])
+        )
+    rows.append(cancel)
+    planes.append([1.0] * d)
+
+    m = np.asarray(rows, dtype=np.float64)
+    P = np.asarray(planes, dtype=np.float64)
+    got = hybrid_fold_signs(m, P)
+    for i in range(m.shape[0]):
+        for j in range(P.shape[0]):
+            want = _fold_sign(rows[i], planes[j])
+            assert got[i, j] == want, (
+                f"sign mismatch at ({i},{j}): vec={rows[i]} "
+                f"plane={planes[j]}"
+            )
