@@ -56,9 +56,9 @@ _PRIORITY = [
     "roi-projection", "remote-search", "remote-get",
     "retry-threshold",
     # -- (c) added / code changed this round --
-    "ngram-topk-sketch", "mix-weights", "bucketed-join",
-    "ewma-smooth", "trigram-lm-score",
-    # -- (d) r6-evidenced cohort: 28 of 41 fit the cap --
+    "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
+    "bucketed-join", "ewma-smooth", "trigram-lm-score",
+    # -- (d) r6-evidenced cohort: 27 of 41 fit the cap --
     "ambiguity-multi", "ambiguity-no-key", "asof-join", "bm25-topk",
     "coalesce-chain", "const-columns", "cube-agg", "decontaminate",
     "dq-audit", "drop-null-props", "exact-dedup",
@@ -67,10 +67,10 @@ _PRIORITY = [
     "json-coerce", "lock-projection", "merge-upsert",
     "multimodal-cols", "override-skip", "pack-sequences",
     "patient-sync-pipeline", "protected-drop", "quota-sample",
-    "range-join", "repetition-metrics",
-    # ---- 50-cap boundary: the 13 r6-evidenced keys below roll to
+    "range-join",
+    # ---- 50-cap boundary: the 14 r6-evidenced keys below roll to
     # round 10 and lead its rotation ----
-    "roi-patient-anti-join", "roi-sync-pipeline",
+    "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",
     "topk-similarity", "topk-similarity-ivf", "topk-similarity-pandas",

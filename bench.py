@@ -111,6 +111,9 @@ HEAVY_ADDITIONS = [
     # whole point, so the ledger must show what that shape costs)
     "heavy-hitters",
     "ngram-topk-sketch",
+    # r9: exact-lift collocations — two vocabulary-bounded aggs + the
+    # unigram joins; same profiling-scan cost class as ngram-topk
+    "bigram-lift-topk",
 ]
 
 

@@ -74,6 +74,35 @@ def guard_den(den_sql: str) -> str:
     )
 
 
+def guard_mul(a_sql: str, b_sql: str) -> str:
+    """Guarded int64 product of two nonnegative BIGINT expressions:
+    the overflow check runs in DECIMAL(38,0) (exact, cannot itself
+    overflow for int64 inputs), and past int64 BOTH engines raise —
+    Spark's non-ANSI `*` wraps silently where DuckDB raises, the same
+    wrong-answer-vs-crash divergence class as the division guards.
+    For ratio numerators that are products of two data-derived counts
+    (e.g. c(xy)·N in `bigram-lift-topk`)."""
+    return (
+        f"CASE WHEN CAST({a_sql} AS DECIMAL(38,0)) * ({b_sql})"
+        f" > {2**63 - 1}"
+        f" THEN CAST(raise_error('exactmath: int64 product overflow')"
+        f" AS BIGINT)"
+        f" ELSE ({a_sql}) * ({b_sql}) END"
+    )
+
+
+def sql_guard_mul(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of ``guard_mul`` (DuckDB would raise on the wrap
+    anyway; the guard makes the failure identical across engines)."""
+    return (
+        f"CASE WHEN CAST({a_sql} AS DECIMAL(38,0)) * ({b_sql})"
+        f" > {2**63 - 1}"
+        f" THEN CAST(error('exactmath: int64 product overflow')"
+        f" AS BIGINT)"
+        f" ELSE ({a_sql}) * ({b_sql}) END"
+    )
+
+
 def guard_dec_units(dec_sql: str, unit_scale: int, den_sql: str) -> str:
     """Build the integer-units BIGINT numerator for
     ``round6_dec6_over_int`` from an exact DECIMAL SQL expression

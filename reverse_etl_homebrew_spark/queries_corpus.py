@@ -23,9 +23,11 @@ from pyspark.sql import Window as W, functions as F
 from .functions import text as TX
 from .functions.exactmath import (
     guard_den,
+    guard_mul,
     round6_dec6_over_int,
     round6_int_ratio,
     sql_guard_den,
+    sql_guard_mul,
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
 )
@@ -708,3 +710,107 @@ def q_ngram_topk_sketch(spark, sf_dir):
         .select(F.expr("substr(t, i, 3)").alias("gram"))
     )
     return topk_frequent_sketch(grams, "gram", k=50, sketch_k=255)
+
+
+# Exact collocation score: lift = cxy*N / (cx*cy), the monotone
+# transform of PMI (PMI = ln lift) that needs no cross-engine ln —
+# rounded entirely in integers, with BOTH data-derived products
+# guarded at the int64 envelope (numerator via guard_mul, denominator
+# via guard_den) so the engines raise together instead of
+# wrap-vs-raise diverging at 100 TB counts.
+_LIFT_SQL = sql_round6_int_ratio(
+    sql_guard_mul("cxy", "n"), sql_guard_den("cx * cy")
+)
+
+
+@register(
+    "bigram-lift-topk",
+    sql=rf"""
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(trim(text)), '\S+') AS t
+      FROM documents
+    ), uni AS (
+      SELECT u.tok AS w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM toks, UNNEST(t) AS u(tok)
+      GROUP BY u.tok
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni
+    ), bi AS (
+      SELECT t[i] AS x, t[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+      GROUP BY t[i], t[i + 1]
+    ), scored AS (
+      SELECT bi.x || ' ' || bi.y AS bigram, cxy, ux.c1 AS cx, uy.c1 AS cy, n
+      FROM bi JOIN uni ux ON bi.x = ux.w
+              JOIN uni uy ON bi.y = uy.w
+              CROSS JOIN tot
+      WHERE cxy >= 5
+    )
+    SELECT bigram, cxy, {_LIFT_SQL} AS lift
+    FROM scored
+    ORDER BY lift DESC, bigram
+    LIMIT 50
+    """,
+)
+def q_bigram_lift_topk(spark, sf_dir):
+    """Top-50 collocations by exact-rounded lift — the association
+    score a corpus-profiling pass ranks word pairs by to find
+    multiword expressions and template phrases (lift = P(xy) /
+    (P(x)P(y)) with all probabilities as occurrence-count ratios over
+    the unigram total; PMI is ln(lift), a monotone transform, so the
+    ranking is PMI's without the cross-engine ln surface). The min
+    support cxy >= 5 is the standard noise floor: singleton pairs of
+    rare words otherwise dominate any association ranking.
+
+    Plan: tokenize map-side, ONE bigram hash agg + ONE unigram hash
+    agg (both vocabulary-bounded — shuffled bytes ∝ distinct grams,
+    not corpus bytes), two equi-joins of the bigram table against the
+    unigram counts, the 1-row total broadcast, then
+    TakeOrderedAndProject — no global sort, no corpus-sized shuffle.
+    The lift arithmetic runs entirely in guarded int64 integers
+    (functions/exactmath.py guard_mul + guard_den +
+    round6_int_ratio), so the score — and therefore the top-k row
+    set under the (lift, bigram) total order — is bit-identical in
+    both engines and at any partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("n"))
+    t = F.col("t")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .withColumn("x", F.element_at(F.split("bigram", " "), 1))
+        .withColumn("y", F.element_at(F.split("bigram", " "), 2))
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c1").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c1").alias("cy"))
+    scored = (
+        bi.filter(F.col("cxy") >= 5)
+        .join(ux, ["x"])
+        .join(uy, ["y"])
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        scored.select(
+            "bigram",
+            "cxy",
+            round6_int_ratio(
+                guard_mul("cxy", "n"), guard_den("cx * cy")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(50)
+    )

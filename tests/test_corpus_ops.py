@@ -299,3 +299,19 @@ def test_topk_frequent_sketch_fewer_candidates_than_k(spark):
         for r in topk_frequent_sketch(df, "item", 3, 16).collect()
     )
     assert got == [("a", 5), ("b", 3), ("c", 1)]
+
+
+def test_bigram_lift_topk_shape_support_and_order(spark, sf_dir):
+    """Every returned collocation meets the min-support floor, lift is
+    positive and 6-decimal-quantized, and rows come out in the
+    (lift DESC, bigram ASC) total order with exactly 50 rows."""
+    rows = _run(spark, sf_dir, "bigram-lift-topk").collect()
+    assert len(rows) == 50
+    seq = [(r["lift"], r["bigram"], r["cxy"]) for r in rows]
+    assert seq == sorted(seq, key=lambda t: (-t[0], t[1]))
+    for lift, bigram, cxy in seq:
+        assert cxy >= 5
+        assert lift > 0
+        # exact quantization: lift * 1e6 is integral
+        assert lift == round(lift * 1_000_000) / 1_000_000
+        assert len(bigram.split(" ")) == 2

@@ -210,3 +210,33 @@ def test_guard_dec_units_passthrough_and_raise(spark):
             )
         ).fetchone()
     con.close()
+
+
+def test_guard_mul_passthrough_and_raise(spark):
+    """In-envelope products pass through exactly; past int64 BOTH
+    engines raise (Spark's non-ANSI `*` would wrap silently)."""
+    from reverse_etl_homebrew_spark.functions.exactmath import (
+        guard_mul,
+        sql_guard_mul,
+    )
+
+    sdf = spark.createDataFrame(
+        [(3_000_000_000, 3)], "a long, b long"
+    )
+    got = sdf.select(F.expr(guard_mul("a", "b")).alias("p")).collect()[0]["p"]
+    assert got == 9_000_000_000
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT " + sql_guard_mul("3000000000", "3")
+    ).fetchone()[0] == 9_000_000_000
+
+    over = spark.createDataFrame(
+        [(3_100_000_000, 3_000_000_000)], "a long, b long"
+    )
+    with pytest.raises(Exception, match="exactmath"):
+        over.select(F.expr(guard_mul("a", "b")).alias("p")).collect()
+    with pytest.raises(Exception, match="exactmath"):
+        con.execute(
+            "SELECT " + sql_guard_mul("3100000000", "3000000000")
+        ).fetchone()
+    con.close()
