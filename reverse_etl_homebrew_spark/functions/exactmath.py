@@ -42,7 +42,12 @@ integer units per doc and constructively margin-checked in
 tests/test_round_boundary_margin.py. percent_rank/cume_dist
 (`rank-funcs`) divide by n-1/n whose values at every test SF are
 coprime to the 2·10⁶ scale (exact cuts impossible there —
-parity-safe, left as builtins).
+parity-safe, left as builtins). Guard family: ``guard_den`` (ratio
+denominators), ``guard_mul`` (int64 products of data-derived
+counts), ``guard_dec_units`` (decimal→units numerators) — each with
+a ``sql_`` DuckDB twin raising at the identical cut, so every
+envelope exit is a crash in BOTH engines, never a silent wrap/NULL
+in one of them.
 """
 
 from __future__ import annotations
