@@ -316,22 +316,26 @@ def train_centroids(
 
 def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     """Phase 1 of distributed heavy-hitters: a mergeable Misra-Gries
-    summary per input partition (mapInPandas), emitting at most ``k``
+    summary per input partition (mapInArrow), emitting at most ``k``
     candidate items per partition.
 
-    The summary is maintained batch-at-a-time with pandas
-    ``value_counts`` (C-speed per batch; the Python loop touches only
-    DISTINCT items per batch, never rows) and compressed by the
-    mergeable-summaries rule: when more than ``k`` items are held,
-    subtract the (k+1)-th largest count from every item and drop the
-    non-positive ones. Standard guarantee (Misra-Gries / PODS'12
-    mergeable summaries): an item whose true count in the partition
-    exceeds (partition rows)/(k+1) always survives, so the union of
-    per-partition candidates is a SUPERSET of every item with global
-    count > n/k — pigeonhole: such an item must beat the threshold in
-    at least one partition. Phase 2 (exact recount of candidates)
-    then makes the final answer exact and deterministic regardless of
-    which extra candidates each partitioning produces.
+    The summary is maintained batch-at-a-time with Arrow's C++
+    ``value_counts`` directly on the incoming RecordBatch — no
+    per-row Python and no Arrow→pandas materialization of the item
+    strings (the pandas path measured ~1.6 s at sf0.1 on 1.5M grams,
+    dominated by Series construction; the Arrow path only converts
+    the ≤ distinct-per-batch (item, count) pairs to Python) — and
+    compressed by the mergeable-summaries rule: when more than ``k``
+    items are held, subtract the (k+1)-th largest count from every
+    item and drop the non-positive ones. Standard guarantee
+    (Misra-Gries / PODS'12 mergeable summaries): an item whose true
+    count in the partition exceeds (partition rows)/(k+1) always
+    survives, so the union of per-partition candidates is a SUPERSET
+    of every item with global count > n/k — pigeonhole: such an item
+    must beat the threshold in at least one partition. Phase 2
+    (exact recount of candidates) then makes the final answer exact
+    and deterministic regardless of which extra candidates each
+    partitioning produces.
 
     Scale shape: the shuffle after this operator carries at most
     (partitions x k) candidate rows, NOT the item vocabulary — the
@@ -342,31 +346,43 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     ``heavy_hitters_exact``'s declared semantics); the output schema
     is derived from the input column's type, so non-string item ids
     (the common bigint case) work without a cast."""
+    import pyarrow as pa
+
     item_type = df.schema[col].dataType
 
     def summarize(batches):
         counts: dict = {}
-        for pdf in batches:
-            _mg_merge_batch(counts, pdf[col], k)
-        yield pd.DataFrame({col: list(counts.keys())})
+        for batch in batches:
+            vc = pa.compute.value_counts(batch.column(0))
+            _mg_merge_pairs(
+                counts,
+                zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()),
+                k,
+            )
+        # yield nothing for empty summaries (equal-counts compression
+        # can drop every held item): an empty python list would
+        # type-infer as null and fight the declared schema
+        if counts:
+            yield pa.RecordBatch.from_pydict({col: list(counts.keys())})
 
     return (
         df.select(col)
         .filter(F.col(col).isNotNull())
-        .mapInPandas(summarize, schema=T.StructType([T.StructField(col, item_type)]))
+        .mapInArrow(summarize, schema=T.StructType([T.StructField(col, item_type)]))
     )
 
 
-def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
-    """Merge one batch of items into a Misra-Gries summary in place
-    (mergeable-summaries compression: add the batch's value_counts,
-    then if more than ``k`` items are held, subtract the (k+1)-th
-    largest count and drop non-positive items). Factored out so the
-    retention guarantee is property-testable without a SparkSession
-    (tests/test_property_scalars.py)."""
+def _mg_merge_pairs(counts: dict, pairs, k: int) -> None:
+    """Merge pre-counted (item, count) pairs into a Misra-Gries
+    summary in place (mergeable-summaries compression: add the
+    batch's counts, then if more than ``k`` items are held, subtract
+    the (k+1)-th largest count and drop non-positive items). The
+    Python loop touches only DISTINCT items per batch, never rows —
+    counting itself happens upstream (Arrow value_counts /
+    pandas value_counts)."""
     import heapq
 
-    for item, c in items.value_counts().items():
+    for item, c in pairs:
         counts[item] = counts.get(item, 0) + int(c)
     if len(counts) > k:
         thr = heapq.nlargest(k + 1, counts.values())[-1]
@@ -375,6 +391,14 @@ def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
                 counts[i] = c - thr
             else:
                 del counts[i]
+
+
+def _mg_merge_batch(counts: dict, items: "pd.Series", k: int) -> None:
+    """Pandas-Series entry point over ``_mg_merge_pairs`` — kept as
+    the Hypothesis surface (tests/test_property_scalars.py pins the
+    retention guarantee through it, byte-identical compression path
+    to the Arrow batches ``misra_gries_candidates`` feeds)."""
+    _mg_merge_pairs(counts, items.value_counts().items(), k)
 
 
 def topk_frequent_sketch(
