@@ -58,7 +58,8 @@ _PRIORITY = [
     # -- (c) added / code changed this round --
     "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
     "bucketed-join", "ewma-smooth", "trigram-lm-score",
-    # -- (d) r6-evidenced cohort: 27 of 41 fit the cap --
+    "markov-transitions",
+    # -- (d) r6-evidenced cohort: 26 of 41 fit the cap --
     "ambiguity-multi", "ambiguity-no-key", "asof-join", "bm25-topk",
     "coalesce-chain", "const-columns", "cube-agg", "decontaminate",
     "dq-audit", "drop-null-props", "exact-dedup",
@@ -67,10 +68,9 @@ _PRIORITY = [
     "json-coerce", "lock-projection", "merge-upsert",
     "multimodal-cols", "override-skip", "pack-sequences",
     "patient-sync-pipeline", "protected-drop", "quota-sample",
-    "range-join",
-    # ---- 50-cap boundary: the 14 r6-evidenced keys below roll to
+    # ---- 50-cap boundary: the 15 r6-evidenced keys below roll to
     # round 10 and lead its rotation ----
-    "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
+    "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",
     "topk-similarity", "topk-similarity-ivf", "topk-similarity-pandas",

@@ -91,7 +91,12 @@ def q_ngram_topk(spark, sf_dir):
     )
 
 
-_TTR_SQL = sql_round6_int_ratio("COUNT(DISTINCT tok)", "COUNT(*)")
+# token totals are corpus-scale: at 100 TB a source group can hold
+# > 4.6e12 tokens, past the int-ratio denominator envelope — guard so
+# both engines raise instead of Spark wrapping silently
+_TTR_SQL = sql_round6_int_ratio(
+    "COUNT(DISTINCT tok)", sql_guard_den("COUNT(*)")
+)
 
 
 @register(
@@ -127,7 +132,9 @@ def q_vocab_stats(spark, sf_dir):
         "source",
         "n_tokens",
         "vocab_size",
-        round6_int_ratio("vocab_size", "n_tokens").alias("type_token_ratio"),
+        round6_int_ratio(
+            "vocab_size", guard_den("n_tokens")
+        ).alias("type_token_ratio"),
     )
 
 
@@ -470,7 +477,7 @@ def q_bucketed_join(spark, sf_dir):
       FROM c
     )
     SELECT c.lang, c.n_docs, c.n_chars,
-           {sql_round6_int_ratio('c.n_docs', 'tot.total')} AS actual_share,
+           {sql_round6_int_ratio('c.n_docs', sql_guard_den('tot.total'))} AS actual_share,
            {sql_round6_int_ratio('1', 'tot.n_langs')} AS target_share,
            {sql_round6_int_ratio('tot.total', sql_guard_den('tot.n_langs * c.n_docs'))}
              AS sample_weight
@@ -508,7 +515,7 @@ def q_mix_weights(spark, sf_dir):
         "lang",
         "n_docs",
         "n_chars",
-        round6_int_ratio("n_docs", "total").alias("actual_share"),
+        round6_int_ratio("n_docs", guard_den("total")).alias("actual_share"),
         round6_int_ratio("1", "n_langs").alias("target_share"),
         # the only int-ratio site whose denominator is a PRODUCT of two
         # data-derived counts: at 100 TB n_langs × n_docs can cross the

@@ -14,6 +14,8 @@ from pyspark.sql import Window as W, functions as F
 
 from .functions.exactmath import (
     guard_dec_units,
+    guard_den,
+    sql_guard_den,
     round6_dec6_over_int,
     round6_int_ratio,
     sql_guard_dec_units,
@@ -379,7 +381,7 @@ def q_retention_cohorts(spark, sf_dir):
       GROUP BY from_type
     )
     SELECT t.from_type, t.to_type, t.n,
-           {sql_round6_int_ratio('t.n', 'tot.n_from')} AS p
+           {sql_round6_int_ratio('t.n', sql_guard_den('tot.n_from'))} AS p
     FROM t JOIN tot USING (from_type)
     """,
 )
@@ -410,7 +412,9 @@ def q_markov_transitions(spark, sf_dir):
         "from_type",
         "to_type",
         "n",
-        round6_int_ratio("n", "n_from").alias("p"),
+        # n_from is a CORPUS-wide per-state transition count — past the
+        # 4.6e12 envelope at 100 TB, so guard it (both engines raise)
+        round6_int_ratio("n", guard_den("n_from")).alias("p"),
     )
 
 

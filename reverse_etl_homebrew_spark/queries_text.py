@@ -17,7 +17,9 @@ from .functions import text as TX, vectors as VEC
 from .operators import dedup as DD, similarity as SIM
 from .sources.catalog import load_table
 from .functions.exactmath import (
+    guard_den,
     round6_int_ratio,
+    sql_guard_den,
     sql_guard_dec_units,
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
@@ -1155,9 +1157,11 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+# doc counts are corpus-scale: guard the denominator at the int-ratio
+# envelope (both engines raise, never wrap-vs-raise diverge)
 _DUP_RATE_SQL = sql_round6_int_ratio(
     f"COUNT(*) - COUNT(DISTINCT sha256({_NORM_SQL.format(c='text')}))",
-    "COUNT(*)",
+    sql_guard_den("COUNT(*)"),
 )
 
 
@@ -1191,7 +1195,9 @@ def q_dedup_rate_report(spark, sf_dir):
         # exact integer rounding of (n_docs - n_unique)/n_docs —
         # mathematically identical to 1 - unique-rate, and stable at
         # .5e-7 ROUND cuts (functions/exactmath.py)
-        round6_int_ratio("n_docs - n_unique", "n_docs").alias("dup_rate"),
+        round6_int_ratio(
+            "n_docs - n_unique", guard_den("n_docs")
+        ).alias("dup_rate"),
     )
 
 

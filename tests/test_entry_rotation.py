@@ -33,6 +33,7 @@ MUST_RUN_R9 = {
     # KNOWN-RESIDUAL keys moved onto exact integer rounding
     "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
     "bucketed-join", "ewma-smooth", "trigram-lm-score",
+    "markov-transitions",
 }
 
 # The r6-evidenced keys deliberately rolled past the cap to round 10 —
@@ -40,7 +41,7 @@ MUST_RUN_R9 = {
 # ordering. These must lead the round-10 rotation (together with any
 # key whose code changes in round 10).
 ROLLED_TO_R10 = {
-    "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
+    "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",
     "topk-similarity", "topk-similarity-ivf", "topk-similarity-pandas",
@@ -62,7 +63,7 @@ def test_must_run_keys_inside_cap():
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_fourteen():
+def test_rolled_keys_are_exactly_the_named_fifteen():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
     assert ROLLED_TO_R10 & head == set(), "a rolled key leaked into the cap"
