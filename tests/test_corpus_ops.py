@@ -315,3 +315,17 @@ def test_bigram_lift_topk_shape_support_and_order(spark, sf_dir):
         # exact quantization: lift * 1e6 is integral
         assert lift == round(lift * 1_000_000) / 1_000_000
         assert len(bigram.split(" ")) == 2
+
+
+def test_ngram_topk_sketch_single_lineage_plan(spark, sf_dir):
+    """The sketch query must scan the input exactly TWICE (sketch
+    build + recount) — the strict guard is woven into ONE lineage, so
+    a future rewrite that anchors it on a second copy of the
+    recount (4 scans, 2 sketch passes — the shape an earlier draft
+    produced) fails here. Also pins: one broadcast candidates join,
+    one Arrow sketch stage."""
+    df = _run(spark, sf_dir, "ngram-topk-sketch")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 2, plan
+    assert plan.count("MapInArrow") == 1 or plan.count("mapInArrow") == 1, plan
+    assert plan.count("Join") == 1, plan
