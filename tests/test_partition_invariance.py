@@ -36,6 +36,12 @@ KEYS = [
     "fuzzy-dedup",
     "mix-weights",
     "containment-dedup-capped",
+    # r9 additions: the two-phase sketch paths (candidate sets are
+    # partition-DEPENDENT; the exact recount must erase that) and the
+    # guarded-integer lift score
+    "heavy-hitters",
+    "ngram-topk-sketch",
+    "bigram-lift-topk",
 ]
 
 
