@@ -114,6 +114,11 @@ HEAVY_ADDITIONS = [
     # r9: exact-lift collocations — two vocabulary-bounded aggs + the
     # unigram joins; same profiling-scan cost class as ngram-topk
     "bigram-lift-topk",
+    # r9: both moved from double ROUND onto the exact integer rounding
+    # path this round — ledger rows so the cost of exactness stays
+    # measured, not assumed
+    "ewma-smooth",
+    "trigram-lm-score",
 ]
 
 

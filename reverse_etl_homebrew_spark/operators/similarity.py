@@ -428,13 +428,18 @@ def trigram_lm_score(
     after the 6-decimal round)."""
     from ..functions import text as TX
 
+    # char_array MUST be a projected column before char_ngrams_from:
+    # an inline split inside the transform lambda re-evaluates the
+    # whole normalize+split per CHARACTER (the functions/text.py
+    # caveat this operator itself violated until r9 — measured 19.6 s
+    # vs 0.35 s for the gram explode at sf0.01, and this stream is
+    # consumed twice: model build + per-doc join)
     grams = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            TX.char_ngrams_from(
-                TX.char_array(TX.normalized_text(F.col(text_col))), 3
-            )
-        ).alias("g"),
+        TX.char_array(TX.normalized_text(F.col(text_col))).alias("__ch"),
+    ).select(
+        "id",
+        F.explode(TX.char_ngrams_from(F.col("__ch"), 3)).alias("g"),
     )
     c3 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
     ctx = c3.groupBy(F.substring("g", 1, 2).alias("pfx")).agg(
