@@ -58,8 +58,8 @@ _PRIORITY = [
     # -- (c) added / code changed this round --
     "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
     "bucketed-join", "ewma-smooth", "trigram-lm-score",
-    "markov-transitions",
-    # -- (d) r6-evidenced cohort: 26 of 41 fit the cap --
+    "markov-transitions", "incremental-agg-merge", "zorder-layout",
+    # -- (d) r6-evidenced cohort: 24 of 41 fit the cap --
     "ambiguity-multi", "ambiguity-no-key", "asof-join", "bm25-topk",
     "coalesce-chain", "const-columns", "cube-agg", "decontaminate",
     "dq-audit", "drop-null-props", "exact-dedup",
@@ -67,9 +67,10 @@ _PRIORITY = [
     "hll-sketch-merge", "hybrid-rrf", "incremental-dedup",
     "json-coerce", "lock-projection", "merge-upsert",
     "multimodal-cols", "override-skip", "pack-sequences",
-    "patient-sync-pipeline", "protected-drop", "quota-sample",
-    # ---- 50-cap boundary: the 15 r6-evidenced keys below roll to
+    "patient-sync-pipeline",
+    # ---- 50-cap boundary: the 17 r6-evidenced keys below roll to
     # round 10 and lead its rotation ----
+    "protected-drop", "quota-sample",
     "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",

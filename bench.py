@@ -119,6 +119,11 @@ HEAVY_ADDITIONS = [
     # measured, not assumed
     "ewma-smooth",
     "trigram-lm-score",
+    # r9 continuation: every new key gets a bench row the round it
+    # ships (the trigram-lm-score lesson) — the IVM state merge and
+    # the two-phase z-order ranking
+    "incremental-agg-merge",
+    "zorder-layout",
 ]
 
 

@@ -42,3 +42,45 @@ def upsert_merge(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
+
+
+def rollup_partial(df: DataFrame, key: str, value_col: str, ts_col: str) -> DataFrame:
+    """Mergeable partial-aggregate state for a per-``key`` rollup:
+    exact count / decimal(38,6) sum / min / max — each a mergeable
+    summary (Agarwal et al., PODS'12), so states fold associatively
+    and a maintenance job never rescans history. Columns:
+    (key, n, s6, lo, hi)."""
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("s6"),
+        F.min(ts_col).alias("lo"),
+        F.max(ts_col).alias("hi"),
+    )
+
+
+def merge_rollup_state(state: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """Fold a delta batch's partial state into the stored state:
+    counts add, exact decimal sums add, bounds take least/greatest
+    (NULL-skipping in both Spark and DuckDB, so a key present on one
+    side keeps that side's bound). Full-outer on the rollup key; with
+    the state table bucketed by ``key`` the join co-partitions and
+    only the delta side shuffles. Output has the same shape as the
+    inputs — the merge is closed, so batches fold in indefinitely."""
+    zero6 = F.lit(0).cast("decimal(38,6)")
+    return (
+        state.alias("s")
+        .join(delta.alias("d"), [key], "full_outer")
+        .select(
+            key,
+            (
+                F.coalesce(F.col("s.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n"),
+            (
+                F.coalesce(F.col("s.s6"), zero6)
+                + F.coalesce(F.col("d.s6"), zero6)
+            ).alias("s6"),
+            F.least(F.col("s.lo"), F.col("d.lo")).alias("lo"),
+            F.greatest(F.col("s.hi"), F.col("d.hi")).alias("hi"),
+        )
+    )

@@ -5,8 +5,14 @@ expressions — rounding out the engine's general-purpose SQL surface.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
+from .functions.exactmath import (
+    guard_dec_units,
+    round6_dec6_over_int,
+    sql_guard_dec_units,
+    sql_round6_dec6_over_int,
+)
 from .sources.catalog import load_table
 from .queries import register
 
@@ -508,4 +514,208 @@ def q_stats_agg(spark, sf_dir):
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
         ).alias("qty_price_corr"),
+    )
+
+
+# ===========================================================================
+# Incremental view maintenance: mergeable partial-aggregate state
+# ===========================================================================
+
+# Watermark splitting the orders table into "already-materialized
+# state" (< cutoff) and "new delta batch" (>= cutoff) — the two inputs
+# an incremental rollup maintenance job would see.
+_IAM_CUTOFF = "2000-01-01 00:00:00"
+
+_IAM_ORACLE_SUM = "SUM(CAST(o_totalprice AS DECIMAL(38,6)))"
+
+
+@register(
+    "incremental-agg-merge",
+    sql=f"""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST({_IAM_ORACLE_SUM} AS DOUBLE) AS total_price,
+           {sql_round6_dec6_over_int(
+               sql_guard_dec_units(_IAM_ORACLE_SUM, 1_000_000, 'COUNT(*)'),
+               'COUNT(*)',
+           )} AS avg_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_incremental_agg_merge(spark, sf_dir):
+    """Incremental view maintenance of a per-customer order rollup:
+    the pre-cutoff history is aggregated once into MERGEABLE partial
+    state (count / exact decimal sum / min / max — the mergeable-
+    summaries property of Agarwal et al., PODS'12, already exploited
+    by `heavy-hitters` and `hll-sketch-merge`), and each new delta
+    batch is folded in by a keyed merge join: counts add, exact
+    decimal sums add, min/max take least/greatest. The oracle is the
+    FULL recompute over the union — equality proves the merge algebra
+    is lossless, so the maintenance job never rescans history.
+
+    Plan shape at 100 TB: the delta partial-agg shuffles only the
+    delta batch (the watermark filter is pushed to the scan); the
+    state side is a stored table bucketed by the group key, so the
+    full-outer merge co-partitions with ZERO shuffle of state, and
+    the merge output overwrites state in place. Cost per batch is
+    O(delta + touched groups), independent of history size — the A/B
+    in SCALE.md measures exactly that. Derived metrics (avg) are
+    recomputed FROM the merged state via the exact integer-rounding
+    device (never merged directly — a mean is not mergeable, its
+    sum/count parts are)."""
+    from .operators.merge import merge_rollup_state, rollup_partial
+
+    o = _t(spark, sf_dir, "orders")
+    state = rollup_partial(
+        o.filter(F.col("o_orderdate") < F.lit(_IAM_CUTOFF)),
+        "o_custkey", "o_totalprice", "o_orderdate",
+    )
+    delta = rollup_partial(
+        o.filter(F.col("o_orderdate") >= F.lit(_IAM_CUTOFF)),
+        "o_custkey", "o_totalprice", "o_orderdate",
+    )
+    merged = merge_rollup_state(state, delta, "o_custkey")
+    return merged.select(
+        "o_custkey",
+        F.col("n").alias("n_orders"),
+        F.col("s6").cast("double").alias("total_price"),
+        round6_dec6_over_int(
+            guard_dec_units("s6", 1_000_000, "n"), "n"
+        ).alias("avg_price"),
+        F.col("lo").alias("first_order"),
+        F.col("hi").alias("last_order"),
+    )
+
+
+# ===========================================================================
+# Z-order data layout: multi-dimensional clustering for file skipping
+# ===========================================================================
+
+_ZBITS = 6  # 64×64 normalized grid → 12-bit z-values
+_ZCELL_DIV = 64  # cell = z div 64 → 64 coarse cells for 2-phase ranking
+_ZROWS_PER_FILE = 4096
+
+
+def _z_interleave_sql(gx: str, gy: str, bits: int, intdiv: str) -> str:
+    """Morton/Z-order bit interleave of two ``bits``-wide nonnegative
+    grid coordinates, in pure integer arithmetic (div/mod/add — no
+    engine-specific bitwise operators, and the terms occupy disjoint
+    bit positions so + is |). ``intdiv`` is the engine's integral
+    division (Spark ``div``, DuckDB ``//`` — identical on the
+    nonnegative operands used here)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({gx}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({gy}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder-layout",
+    sql=f"""
+    WITH m AS (
+      SELECT MAX(l_partkey) AS mp, MAX(l_suppkey) AS ms FROM lineitem
+    ), g AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             (l_partkey * {1 << _ZBITS}) // (mp + 1) AS gx,
+             (l_suppkey * {1 << _ZBITS}) // (ms + 1) AS gy
+      FROM lineitem, m
+    ), z AS (
+      SELECT *, {_z_interleave_sql('gx', 'gy', _ZBITS, '//')} AS z FROM g
+    ), zc AS (
+      SELECT *, z // {_ZCELL_DIV} AS cell FROM z
+    ), offs AS (
+      SELECT cell,
+             CAST(SUM(cn) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING)
+                  - cn AS BIGINT) AS off
+      FROM (SELECT cell, COUNT(*) AS cn FROM zc GROUP BY cell)
+    ), ranked AS (
+      SELECT zc.*,
+             offs.off + ROW_NUMBER() OVER (
+               PARTITION BY zc.cell
+               ORDER BY z, l_orderkey, l_linenumber) AS grank
+      FROM zc JOIN offs USING (cell)
+    )
+    SELECT CAST((grank - 1) // {_ZROWS_PER_FILE} AS BIGINT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(z) AS min_z, MAX(z) AS max_z,
+           MIN(l_partkey) AS min_partkey, MAX(l_partkey) AS max_partkey,
+           MIN(l_suppkey) AS min_suppkey, MAX(l_suppkey) AS max_suppkey
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton-curve) data layout — the multi-dimensional
+    clustering behind Delta ``OPTIMIZE ZORDER BY`` and Iceberg sort
+    orders: rows are sorted by the bit-interleave of two normalized
+    key coordinates and packed into fixed-size files, and the output
+    is the per-file (min, max) statistics table on BOTH dimensions —
+    exactly the footer stats a scan prunes on. A linear sort makes
+    one dimension's per-file ranges tight and leaves the other
+    spanning the full domain; the z-order makes both ~√-tight, so
+    range predicates on EITHER column skip most files (measured in
+    SCALE.md against the linear layout).
+
+    Plan shape: grid bounds are a 1-row agg broadcast back (the
+    anomaly-zscore shape); the z-value is pure JVM integer
+    arithmetic; the global rank is TWO-PHASE — per-cell counts (64
+    rows) → running offsets (a window over those 64 rows, never the
+    data) → row_number partitioned by cell plus the broadcast offset
+    — so no global single-partition sort ever touches the data. At
+    100 TB the physical form is repartitionByRange(z) +
+    sortWithinPartitions with deeper cells (the grid depth is a
+    knob); the per-file stats emit from the parquet writer for free."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    )
+    g = li.crossJoin(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(f"(l_partkey * {1 << _ZBITS}) div (mp + 1)").alias("gx"),
+        F.expr(f"(l_suppkey * {1 << _ZBITS}) div (ms + 1)").alias("gy"),
+    )
+    z = g.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr(_z_interleave_sql("gx", "gy", _ZBITS, "div")).alias("z"),
+    ).withColumn("cell", F.expr(f"z div {_ZCELL_DIV}"))
+    counts = z.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
+    # running offsets over the 64 coarse cells — a window over the
+    # tiny counts frame, never over the data
+    offs = counts.select(
+        "cell",
+        (
+            F.sum("cn").over(
+                W.orderBy("cell").rowsBetween(W.unboundedPreceding, 0)
+            )
+            - F.col("cn")
+        ).alias("off"),
+    )
+    ranked = z.join(F.broadcast(offs), "cell").withColumn(
+        "grank",
+        F.col("off")
+        + F.row_number().over(
+            W.partitionBy("cell").orderBy("z", "l_orderkey", "l_linenumber")
+        ),
+    )
+    files = ranked.withColumn(
+        "file_id", F.expr(f"(grank - 1) div {_ZROWS_PER_FILE}")
+    )
+    return files.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+        F.min("l_partkey").alias("min_partkey"),
+        F.max("l_partkey").alias("max_partkey"),
+        F.min("l_suppkey").alias("min_suppkey"),
+        F.max("l_suppkey").alias("max_suppkey"),
     )

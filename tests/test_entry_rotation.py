@@ -34,13 +34,19 @@ MUST_RUN_R9 = {
     "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
     "bucketed-join", "ewma-smooth", "trigram-lm-score",
     "markov-transitions",
+    # added in the round-9 continuation: the IVM merge and the
+    # z-order layout operators — new keys must face the driver the
+    # round they ship (the heavy-hitters lesson from r8)
+    "incremental-agg-merge", "zorder-layout",
 }
 
 # The r6-evidenced keys deliberately rolled past the cap to round 10 —
-# pinned so the roll stays the EXPLICIT 11, not an accident of
-# ordering. These must lead the round-10 rotation (together with any
-# key whose code changes in round 10).
+# pinned so the roll stays EXPLICIT, not an accident of ordering.
+# These must lead the round-10 rotation (together with any key whose
+# code changes in round 10). protected-drop and quota-sample rolled
+# when the two new r9 operators took their cap slots.
 ROLLED_TO_R10 = {
+    "protected-drop", "quota-sample",
     "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",

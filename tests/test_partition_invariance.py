@@ -42,6 +42,11 @@ KEYS = [
     "heavy-hitters",
     "ngram-topk-sketch",
     "bigram-lift-topk",
+    # r9 continuation: the IVM merge (decimal partial-sum addition
+    # must be width-independent) and the z-order layout (two-phase
+    # rank must give the same global order at any width)
+    "incremental-agg-merge",
+    "zorder-layout",
 ]
 
 
