@@ -59,7 +59,8 @@ _PRIORITY = [
     "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
     "bucketed-join", "ewma-smooth", "trigram-lm-score",
     "markov-transitions", "incremental-agg-merge", "zorder-layout",
-    # -- (d) r6-evidenced cohort: 24 of 41 fit the cap --
+    "heavy-hitters-by-group",
+    # -- (d) r6-evidenced cohort: 23 of 41 fit the cap --
     "ambiguity-multi", "ambiguity-no-key", "asof-join", "bm25-topk",
     "coalesce-chain", "const-columns", "cube-agg", "decontaminate",
     "dq-audit", "drop-null-props", "exact-dedup",
@@ -67,10 +68,9 @@ _PRIORITY = [
     "hll-sketch-merge", "hybrid-rrf", "incremental-dedup",
     "json-coerce", "lock-projection", "merge-upsert",
     "multimodal-cols", "override-skip", "pack-sequences",
-    "patient-sync-pipeline",
-    # ---- 50-cap boundary: the 17 r6-evidenced keys below roll to
+    # ---- 50-cap boundary: the 18 r6-evidenced keys below roll to
     # round 10 and lead its rotation ----
-    "protected-drop", "quota-sample",
+    "patient-sync-pipeline", "protected-drop", "quota-sample",
     "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",

@@ -120,10 +120,12 @@ HEAVY_ADDITIONS = [
     "ewma-smooth",
     "trigram-lm-score",
     # r9 continuation: every new key gets a bench row the round it
-    # ships (the trigram-lm-score lesson) — the IVM state merge and
-    # the two-phase z-order ranking
+    # ships (the trigram-lm-score lesson) — the IVM state merge, the
+    # two-phase z-order ranking, and the grouped sketch (its cost is
+    # the designed two-scan shape over the gram stream, per group)
     "incremental-agg-merge",
     "zorder-layout",
+    "heavy-hitters-by-group",
 ]
 
 

@@ -719,6 +719,59 @@ def q_ngram_topk_sketch(spark, sf_dir):
     return topk_frequent_sketch(grams, "gram", k=50, sketch_k=255)
 
 
+@register(
+    "heavy-hitters-by-group",
+    sql=r"""
+    WITH norm AS (
+      SELECT lang, lower(trim(text)) AS t
+      FROM documents
+      WHERE length(trim(text)) >= 3
+    ), grams AS (
+      SELECT lang, substr(t, i, 3) AS g
+      FROM norm, UNNEST(range(1, length(t) - 1)) AS r(i)
+    ), c AS (
+      SELECT lang, g, COUNT(*) AS cnt FROM grams GROUP BY lang, g
+    )
+    SELECT lang, g AS gram, CAST(cnt AS BIGINT) AS cnt
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY cnt DESC, g) <= 15
+    """,
+)
+def q_heavy_hitters_by_group(spark, sf_dir):
+    """Per-language top-15 character trigrams via the GROUPED
+    two-phase Misra-Gries sketch + exact recount — the per-shard
+    vocabulary-head audit (which grams dominate each language's
+    slice) a sharded training pipeline runs where the per-group gram
+    space is too large to hash-aggregate wholesale.
+
+    Plan (operators/vectorized.topk_frequent_by_group): one
+    capacity-255 summary per (partition, lang) on the map side
+    (Arrow C++ group_by counting, Python touches only distinct
+    pairs), candidates-only shuffle, one masked (lang, gram) recount
+    giving exact counts AND per-group totals, then per-group ranking
+    windows over the tiny candidate frame. sketch_k=255 is smaller
+    than every language's ~377-gram vocabulary, so per-group
+    compression genuinely runs, while the 15th per-language count
+    clears n_g/256 with ≥1.6× margin at every SF (probed across all
+    (SF, lang) cells) — the strict in-plan guard proves each group's
+    result exact, making the full-aggregation oracle a bit-for-bit
+    check."""
+    from .operators.vectorized import topk_frequent_by_group
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    grams = (
+        d.select("lang", t.alias("t"))
+        .filter(F.length("t") >= 3)
+        .select("lang", TX.char_array(F.col("t")).alias("ch"))
+        .select(
+            "lang", F.explode(TX.char_ngrams_from(F.col("ch"), 3)).alias("gram")
+        )
+    )
+    return topk_frequent_by_group(grams, "lang", "gram", k=15, sketch_k=255)
+
+
 # Exact collocation score: lift = cxy*N / (cx*cy), the monotone
 # transform of PMI (PMI = ln lift) that needs no cross-engine ln —
 # rounded entirely in integers, with BOTH data-derived products

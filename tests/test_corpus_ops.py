@@ -329,3 +329,109 @@ def test_ngram_topk_sketch_single_lineage_plan(spark, sf_dir):
     assert plan.count("Relation") == 2, plan
     assert plan.count("MapInArrow") == 1 or plan.count("mapInArrow") == 1, plan
     assert plan.count("Join") == 1, plan
+
+
+def test_topk_frequent_by_group_matches_brute_force_under_compression(spark):
+    """The grouped two-phase top-k must equal each group's brute-force
+    top-k under any partitioning, while per-group summaries genuinely
+    compress (sketch_k far below each group's distinct count)."""
+    from pyspark.sql import Window as W
+
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        misra_gries_candidates_by_group,
+        topk_frequent_by_group,
+    )
+
+    # two groups with DIFFERENT Zipf heads (g0 favors low ids, g1
+    # high ids) + per-group cold singletons: distinct per group ≈
+    # 1540; sketch_k = 64 is BOTH far below that and below each
+    # (partition, group) slice's distinct count even at 32 partitions
+    # (~47 cold + 40 zipf ≈ 87 > 64), so per-group compression runs
+    # at every tested width — while the regime holds: n_g ≈ 6570,
+    # 10th count 120 > n_g/65 ≈ 101
+    rows = (
+        [("g0", f"z_{i:02d}") for i in range(1, 41) for _ in range(1200 // i)]
+        + [("g1", f"z_{41 - i:02d}") for i in range(1, 41) for _ in range(1200 // i)]
+        + [(g, f"cold_{g}_{i}") for g in ("g0", "g1") for i in range(1500)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    k, sketch_k = 10, 64
+
+    wrank = W.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("item").asc())
+    brute = sorted(
+        (r["grp"], r["item"], r["cnt"])
+        for r in df.groupBy("grp", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") <= k)
+        .select("grp", "item", "cnt")
+        .collect()
+    )
+
+    for parts in (3, 32):
+        part = df.repartition(parts)
+        got = sorted(
+            (r["grp"], r["item"], r["cnt"])
+            for r in topk_frequent_by_group(
+                part, "grp", "item", k, sketch_k
+            ).collect()
+        )
+        assert got == brute, f"parts={parts}"
+        n_cands = (
+            misra_gries_candidates_by_group(part, "grp", "item", sketch_k)
+            .distinct()
+            .count()
+        )
+        assert n_cands < 2 * 1540  # far below the total vocabulary
+        assert n_cands <= parts * 2 * sketch_k  # per-(partition, group) bound
+
+
+def test_topk_frequent_by_group_strict_guard_is_per_group(spark):
+    """ONE out-of-regime group poisons strict mode (a silent partial
+    answer would be wrong for that group), while strict=False returns
+    the skewed group's exact head alongside the flat group's
+    best-effort one."""
+    import pytest
+
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        topk_frequent_by_group,
+    )
+
+    rows = (
+        # skewed group: item s_i appears 600 // i times — k=5 in-regime
+        [("skew", f"s_{i}") for i in range(1, 11) for _ in range(600 // i)]
+        # flat group: 500 items x 3 — k-th count can never clear n/(16+1)
+        + [("flat", f"f_{i:03d}") for i in range(500) for _ in range(3)]
+    )
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(8)
+
+    with pytest.raises(Exception, match="provable regime"):
+        topk_frequent_by_group(df, "grp", "item", 5, 16).collect()
+
+    loose = topk_frequent_by_group(df, "grp", "item", 5, 16, strict=False).collect()
+    skew = sorted((r["item"], r["cnt"]) for r in loose if r["grp"] == "skew")
+    assert skew == [("s_1", 600), ("s_2", 300), ("s_3", 200), ("s_4", 150), ("s_5", 120)]
+    assert sum(1 for r in loose if r["grp"] == "flat") <= 5
+
+
+def test_topk_frequent_by_group_null_policy(spark):
+    """NULL items and NULL group keys are excluded by declared
+    semantics: they appear in no group's result and inflate no
+    group's total (a NULL-key flood must not push a real group out
+    of its provable regime)."""
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        topk_frequent_by_group,
+    )
+
+    rows = (
+        [("g", "a")] * 30
+        + [("g", "b")] * 10
+        + [("g", None)] * 200  # NULL items: excluded from n_g
+        + [(None, "x")] * 200  # NULL group: excluded entirely
+    )
+    df = spark.createDataFrame(rows, "grp string, item string").repartition(4)
+    got = sorted(
+        (r["grp"], r["item"], r["cnt"])
+        for r in topk_frequent_by_group(df, "grp", "item", 2, 8).collect()
+    )
+    assert got == [("g", "a", 30), ("g", "b", 10)]

@@ -34,19 +34,21 @@ MUST_RUN_R9 = {
     "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
     "bucketed-join", "ewma-smooth", "trigram-lm-score",
     "markov-transitions",
-    # added in the round-9 continuation: the IVM merge and the
-    # z-order layout operators — new keys must face the driver the
-    # round they ship (the heavy-hitters lesson from r8)
-    "incremental-agg-merge", "zorder-layout",
+    # added in the round-9 continuation: the IVM merge, the z-order
+    # layout, and the grouped sketch operators — new keys must face
+    # the driver the round they ship (the heavy-hitters lesson
+    # from r8)
+    "incremental-agg-merge", "zorder-layout", "heavy-hitters-by-group",
 }
 
 # The r6-evidenced keys deliberately rolled past the cap to round 10 —
 # pinned so the roll stays EXPLICIT, not an accident of ordering.
 # These must lead the round-10 rotation (together with any key whose
-# code changes in round 10). protected-drop and quota-sample rolled
-# when the two new r9 operators took their cap slots.
+# code changes in round 10). patient-sync-pipeline, protected-drop
+# and quota-sample rolled when the three new r9-continuation
+# operators took their cap slots.
 ROLLED_TO_R10 = {
-    "protected-drop", "quota-sample",
+    "patient-sync-pipeline", "protected-drop", "quota-sample",
     "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
     "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
     "split-assign", "stratified-sample", "threetier-composite",

@@ -47,6 +47,9 @@ KEYS = [
     # rank must give the same global order at any width)
     "incremental-agg-merge",
     "zorder-layout",
+    # per-group sketch: candidate sets are partition-dependent per
+    # group; the per-group recount must erase that
+    "heavy-hitters-by-group",
 ]
 
 
