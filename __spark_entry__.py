@@ -33,49 +33,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registry emission order. The driver evaluates queries in dict order
 # and caps CORRECTNESS at ~50 entries per round, so rounds rotate which
-# keys lead. Round 9 (cap counted, asserted by
-# tests/test_entry_rotation.py): (a) the 3 evidence-gapped keys —
-# heavy-hitters (added after the r8 cap filled, never driver-checked)
-# and vocab-stats + dedup-rate-report (exact-integer rounding code
-# changed late in r8, after the cap was full, so their green r7 rows
-# predate the shipped code); (b) the 14 keys whose driver evidence is
-# r5 (rolled past the r8 cap by explicit plan — the scalar-projection
-# cohort); (c) the keys ADDED or code-changed this round
-# (ngram-topk-sketch — new two-phase sketch path; mix-weights +
-# bucketed-join — gained the guard_den envelope guard on their
-# product denominator); (d) the stalest of the r6-evidenced cohort
-# fills the remaining cap slots. Keys not listed keep registry order
-# after these; the r6 keys below the boundary roll to round 10.
+# keys lead. Round 10 (cap counted, asserted by
+# tests/test_entry_rotation.py): (a) the 18 keys whose driver evidence
+# is r6 — rolled past the r9 cap by explicit plan and committed (by
+# VERDICT r9 #1 and the r9 ROLLED_TO_R10 pin) to lead this round;
+# (b) the keys whose CODE changed this round — guard_den_mul replaced
+# guard_den on the two product denominators (mix-weights,
+# bigram-lift-topk), guard_dec_units gained the IS-NOT-TRUE overflow
+# comparison (ewma-smooth, trigram-lm-score, incremental-agg-merge),
+# the IAM delta split became null-inclusive (incremental-agg-merge),
+# and the Misra-Gries sketch phases now emit explicitly-typed Arrow
+# arrays (heavy-hitters, ngram-topk-sketch, heavy-hitters-by-group);
+# (c) 24 of the 37 r7-evidenced keys (alphabetical) fill the cap.
+# Keys not listed keep registry order after these; the 13 r7 keys
+# below the boundary roll to round 11 and must lead it.
 _PRIORITY = [
-    # -- (a) evidence-gapped --
-    "heavy-hitters", "vocab-stats", "dedup-rate-report",
-    # -- (b) r5-evidenced cohort (stalest driver evidence) --
-    "bool-normalize", "identifier-canon", "email-normalize",
-    "phi-redact", "epoch-millis", "eastern-date", "json-payload",
-    "natural-key", "next-birthday", "patient-projection",
-    "roi-projection", "remote-search", "remote-get",
-    "retry-threshold",
-    # -- (c) added / code changed this round --
-    "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
-    "bucketed-join", "ewma-smooth", "trigram-lm-score",
-    "markov-transitions", "incremental-agg-merge", "zorder-layout",
-    "heavy-hitters-by-group",
-    # -- (d) r6-evidenced cohort: 23 of 41 fit the cap --
-    "ambiguity-multi", "ambiguity-no-key", "asof-join", "bm25-topk",
-    "coalesce-chain", "const-columns", "cube-agg", "decontaminate",
-    "dq-audit", "drop-null-props", "exact-dedup",
-    "external-scan-pushdown", "fk-orphans", "grouping-sets",
-    "hll-sketch-merge", "hybrid-rrf", "incremental-dedup",
-    "json-coerce", "lock-projection", "merge-upsert",
-    "multimodal-cols", "override-skip", "pack-sequences",
-    # ---- 50-cap boundary: the 18 r6-evidenced keys below roll to
-    # round 10 and lead its rotation ----
+    # -- (a) r6-evidenced cohort (stalest driver evidence) --
     "patient-sync-pipeline", "protected-drop", "quota-sample",
-    "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
-    "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
-    "split-assign", "stratified-sample", "threetier-composite",
-    "topk-similarity", "topk-similarity-ivf", "topk-similarity-pandas",
-    "video-frame-index", "watermark-filter",
+    "range-join", "repetition-metrics", "roi-patient-anti-join",
+    "roi-sync-pipeline", "rollup-agg", "simhash-dedup-md5",
+    "skew-salted-join", "split-assign", "stratified-sample",
+    "threetier-composite", "topk-similarity", "topk-similarity-ivf",
+    "topk-similarity-pandas", "video-frame-index", "watermark-filter",
+    # -- (b) code changed this round --
+    "mix-weights", "bigram-lift-topk", "incremental-agg-merge",
+    "ewma-smooth", "trigram-lm-score", "heavy-hitters",
+    "ngram-topk-sketch", "heavy-hitters-by-group",
+    # -- (c) r7-evidenced cohort: 24 of 37 fit the cap --
+    "anomaly-zscore", "array-ops", "audio-resample",
+    "conditional-agg", "dedup-survivorship", "distinct-agg",
+    "domain-stats", "entropy-quality", "explode-posexplode",
+    "funnel-steps", "fuzzy-dedup", "fuzzy-dedup-clusters",
+    "gap-fill", "image-resize", "kmeans-assign", "lag-lead",
+    "length-histogram", "mad-outliers", "merge-intervals",
+    "multimodal-decode", "ngram-topk", "null-safe-join",
+    "pii-scrub", "pivot-agg",
+    # ---- 50-cap boundary: the 13 r7-evidenced keys below roll to
+    # round 11 and lead its rotation ----
+    "quantiles", "rank-funcs", "retention-cohorts", "running-window",
+    "scd2-history", "shard-assign", "stats-agg", "string-funcs",
+    "struct-json-ops", "tfidf-topterms", "unpivot-melt",
+    "weighted-sample", "window-median",
 ]
 
 

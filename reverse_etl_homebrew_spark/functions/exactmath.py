@@ -79,6 +79,40 @@ def guard_den(den_sql: str) -> str:
     )
 
 
+def guard_den_mul(a_sql: str, b_sql: str) -> str:
+    """Guarded int-ratio denominator that is a PRODUCT of two
+    nonnegative BIGINT expressions. ``guard_den`` alone is NOT safe
+    for products: it evaluates its argument in int64 first, so a
+    product past int64 wraps (Spark non-ANSI ``*``) BEFORE the
+    compare and can land back inside the accepted range (e.g.
+    2^32 * 2^32 wraps to 0) — failing open exactly where DuckDB
+    raises. Here the envelope check runs in DECIMAL(38,0) (exact for
+    int64 factors, like ``guard_mul``) BEFORE any int64 multiply;
+    the ELSE branch's product is ≤ INT_RATIO_DEN_MAX so it cannot
+    wrap. Products in (INT_RATIO_DEN_MAX, ∞) — wrapped or not — all
+    raise."""
+    return (
+        f"CASE WHEN CAST({a_sql} AS DECIMAL(38,0)) * ({b_sql})"
+        f" > {INT_RATIO_DEN_MAX}"
+        f" THEN CAST(raise_error('exactmath: int-ratio denominator"
+        f" exceeds the int64 1e-6 fixed-point envelope') AS BIGINT)"
+        f" ELSE CAST({a_sql} AS BIGINT) * ({b_sql}) END"
+    )
+
+
+def sql_guard_den_mul(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of ``guard_den_mul`` (DuckDB would raise on the
+    int64 wrap anyway; the guard moves the cut to the identical
+    INT_RATIO_DEN_MAX envelope with the identical message)."""
+    return (
+        f"CASE WHEN CAST({a_sql} AS DECIMAL(38,0)) * ({b_sql})"
+        f" > {INT_RATIO_DEN_MAX}"
+        f" THEN CAST(error('exactmath: int-ratio denominator"
+        f" exceeds the int64 1e-6 fixed-point envelope') AS BIGINT)"
+        f" ELSE CAST({a_sql} AS BIGINT) * ({b_sql}) END"
+    )
+
+
 def guard_mul(a_sql: str, b_sql: str) -> str:
     """Guarded int64 product of two nonnegative BIGINT expressions:
     the overflow check runs in DECIMAL(38,0) (exact, cannot itself
@@ -118,11 +152,20 @@ def guard_dec_units(dec_sql: str, unit_scale: int, den_sql: str) -> str:
     Without the guard Spark's non-ANSI decimal->bigint cast NULLs
     silently on overflow while DuckDB raises — the same
     wrong-answer-vs-crash divergence class ``guard_den`` closes on the
-    denominator side. The comparison runs in DECIMAL (exact), so the
-    guard itself cannot overflow."""
+    denominator side. The comparison runs in DECIMAL (exact for every
+    reachable magnitude); for sums so large the comparison product
+    itself overflows precision 38 (~1e20 at scale 12 / ~1e26 at
+    scale 6 — beyond any physical data scale) Spark's non-ANSI
+    decimal multiply yields NULL, so the guard compares via
+    ``IS NOT TRUE``: a NULL comparison counts as over-envelope and
+    raises rather than falling through to a silent NULL cast. A NULL
+    ``dec_sql`` input (empty/all-NULL sum) stays NULL-in → NULL-out,
+    matching DuckDB."""
     return (
-        f"CASE WHEN abs({dec_sql}) * {unit_scale}"
-        f" > CAST({2**63 - 1} AS DECIMAL(38,0)) - 3 * ({den_sql})"
+        f"CASE WHEN ({dec_sql}) IS NOT NULL AND"
+        f" ((abs({dec_sql}) * {unit_scale}"
+        f" <= CAST({2**63 - 1} AS DECIMAL(38,0)) - 3 * ({den_sql}))"
+        f" IS NOT TRUE)"
         f" THEN CAST(raise_error('exactmath: dec-units numerator"
         f" exceeds the int64 envelope') AS BIGINT)"
         f" ELSE CAST(({dec_sql}) * {unit_scale} AS BIGINT) END"
@@ -132,10 +175,13 @@ def guard_dec_units(dec_sql: str, unit_scale: int, den_sql: str) -> str:
 def sql_guard_dec_units(dec_sql: str, unit_scale: int, den_sql: str) -> str:
     """DuckDB twin of ``guard_dec_units`` (DuckDB would raise on the
     cast anyway; the guard makes the failure message and the cut point
-    identical across engines)."""
+    identical across engines, including the NULL-comparison regime —
+    see ``guard_dec_units``)."""
     return (
-        f"CASE WHEN abs({dec_sql}) * {unit_scale}"
-        f" > CAST({2**63 - 1} AS DECIMAL(38,0)) - 3 * ({den_sql})"
+        f"CASE WHEN ({dec_sql}) IS NOT NULL AND"
+        f" ((abs({dec_sql}) * {unit_scale}"
+        f" <= CAST({2**63 - 1} AS DECIMAL(38,0)) - 3 * ({den_sql}))"
+        f" IS NOT TRUE)"
         f" THEN CAST(error('exactmath: dec-units numerator"
         f" exceeds the int64 envelope') AS BIGINT)"
         f" ELSE CAST(({dec_sql}) * {unit_scale} AS BIGINT) END"

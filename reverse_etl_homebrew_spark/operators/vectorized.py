@@ -345,10 +345,15 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     NULL items are excluded (filtered before the sketch, matching
     ``heavy_hitters_exact``'s declared semantics); the output schema
     is derived from the input column's type, so non-string item ids
-    (the common bigint case) work without a cast."""
+    (the common bigint case) work without a cast — the yielded array
+    is built with the EXPLICIT Arrow type of that column (inference
+    from Python ints would always produce int64 and fail mapInArrow's
+    declared-schema check for narrower int columns)."""
     import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
 
     item_type = df.schema[col].dataType
+    arrow_item = to_arrow_type(item_type)
 
     def summarize(batches):
         counts: dict = {}
@@ -363,7 +368,9 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
         # can drop every held item): an empty python list would
         # type-infer as null and fight the declared schema
         if counts:
-            yield pa.RecordBatch.from_pydict({col: list(counts.keys())})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(counts.keys()), type=arrow_item)], names=[col]
+            )
 
     return (
         df.select(col)
@@ -568,9 +575,12 @@ def misra_gries_candidates_by_group(
     vocabulary. NULL items and NULL group keys are excluded by
     declared semantics."""
     import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
 
     g_type = df.schema[group_col].dataType
     item_type = df.schema[col].dataType
+    arrow_g = to_arrow_type(g_type)
+    arrow_item = to_arrow_type(item_type)
 
     # Arrow batches arrive at ~10k rows; counting distinct pairs per
     # batch would run the Python pair loop once per batch (measured
@@ -614,9 +624,18 @@ def misra_gries_candidates_by_group(
             for it in cs:
                 gs.append(g)
                 its.append(it)
-        # empty summaries yield nothing (see misra_gries_candidates)
+        # empty summaries yield nothing (see misra_gries_candidates);
+        # arrays carry the declared Arrow types explicitly — Python
+        # int inference would widen narrow int columns to int64 and
+        # fail mapInArrow's schema check
         if its:
-            yield pa.RecordBatch.from_pydict({group_col: gs, col: its})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(gs, type=arrow_g),
+                    pa.array(its, type=arrow_item),
+                ],
+                names=[group_col, col],
+            )
 
     return (
         df.select(group_col, col)

@@ -23,10 +23,12 @@ from pyspark.sql import Window as W, functions as F
 from .functions import text as TX
 from .functions.exactmath import (
     guard_den,
+    guard_den_mul,
     guard_mul,
     round6_dec6_over_int,
     round6_int_ratio,
     sql_guard_den,
+    sql_guard_den_mul,
     sql_guard_mul,
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
@@ -479,7 +481,7 @@ def q_bucketed_join(spark, sf_dir):
     SELECT c.lang, c.n_docs, c.n_chars,
            {sql_round6_int_ratio('c.n_docs', sql_guard_den('tot.total'))} AS actual_share,
            {sql_round6_int_ratio('1', 'tot.n_langs')} AS target_share,
-           {sql_round6_int_ratio('tot.total', sql_guard_den('tot.n_langs * c.n_docs'))}
+           {sql_round6_int_ratio('tot.total', sql_guard_den_mul('tot.n_langs', 'c.n_docs'))}
              AS sample_weight
     FROM c, tot
     """,
@@ -517,11 +519,12 @@ def q_mix_weights(spark, sf_dir):
         "n_chars",
         round6_int_ratio("n_docs", guard_den("total")).alias("actual_share"),
         round6_int_ratio("1", "n_langs").alias("target_share"),
-        # the only int-ratio site whose denominator is a PRODUCT of two
-        # data-derived counts: at 100 TB n_langs × n_docs can cross the
-        # int64 fixed-point envelope (~4.6e12), where Spark wraps
-        # silently and DuckDB raises — the guard makes both raise
-        round6_int_ratio("total", guard_den("n_langs * n_docs")).alias(
+        # product-of-counts denominator: at 100 TB n_langs × n_docs
+        # can cross the int64 fixed-point envelope (~4.6e12) — and a
+        # plain guard_den would let a PAST-int64 product wrap back
+        # inside the range before the compare, so the product guard
+        # checks in DECIMAL(38,0) first (guard_den_mul)
+        round6_int_ratio("total", guard_den_mul("n_langs", "n_docs")).alias(
             "sample_weight"
         ),
     )
@@ -776,10 +779,12 @@ def q_heavy_hitters_by_group(spark, sf_dir):
 # transform of PMI (PMI = ln lift) that needs no cross-engine ln —
 # rounded entirely in integers, with BOTH data-derived products
 # guarded at the int64 envelope (numerator via guard_mul, denominator
-# via guard_den) so the engines raise together instead of
-# wrap-vs-raise diverging at 100 TB counts.
+# via guard_den_mul — the product form checks in DECIMAL(38,0) before
+# multiplying, so a past-int64 cx*cy cannot wrap back in-range) and
+# the engines raise together instead of wrap-vs-raise diverging at
+# 100 TB counts.
 _LIFT_SQL = sql_round6_int_ratio(
-    sql_guard_mul("cxy", "n"), sql_guard_den("cx * cy")
+    sql_guard_mul("cxy", "n"), sql_guard_den_mul("cx", "cy")
 )
 
 
@@ -871,7 +876,7 @@ def q_bigram_lift_topk(spark, sf_dir):
             "bigram",
             "cxy",
             round6_int_ratio(
-                guard_mul("cxy", "n"), guard_den("cx * cy")
+                guard_mul("cxy", "n"), guard_den_mul("cx", "cy")
             ).alias("lift"),
         )
         .orderBy(F.desc("lift"), "bigram")

@@ -572,8 +572,16 @@ def q_incremental_agg_merge(spark, sf_dir):
         o.filter(F.col("o_orderdate") < F.lit(_IAM_CUTOFF)),
         "o_custkey", "o_totalprice", "o_orderdate",
     )
+    # the delta side is NULL-INCLUSIVE: a NULL watermark column fails
+    # both < cutoff and >= cutoff, so a plain two-sided split silently
+    # drops the row (the oracle's plain GROUP BY counts it) — such
+    # rows route to the delta batch, the side a maintenance job
+    # re-reads anyway
     delta = rollup_partial(
-        o.filter(F.col("o_orderdate") >= F.lit(_IAM_CUTOFF)),
+        o.filter(
+            F.col("o_orderdate").isNull()
+            | (F.col("o_orderdate") >= F.lit(_IAM_CUTOFF))
+        ),
         "o_custkey", "o_totalprice", "o_orderdate",
     )
     merged = merge_rollup_state(state, delta, "o_custkey")

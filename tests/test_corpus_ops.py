@@ -220,12 +220,12 @@ def test_topk_frequent_sketch_matches_brute_force_under_compression(spark):
     )
 
     # Zipf-ish: item i (1 <= i <= 40) appears 1200 // i times, plus
-    # 3000 cold singletons — distinct = 3040, sketch_k = 64 << that
+    # 3000 cold singletons — distinct = 3040, sketch_k = 128 << that
     rows = [(f"z_{i:02d}",) for i in range(1, 41) for _ in range(1200 // i)] + [
         (f"cold_{i}",) for i in range(3000)
     ]
-    # n ≈ 8134, so n/(sketch_k+1) = 63 < the 10th count (120): inside
-    # the provable regime, while sketch_k = 128 << 3040 distinct
+    # n ≈ 8134, so n/(sketch_k+1) = n/129 = 63 < the 10th count (120):
+    # inside the provable regime, while sketch_k = 128 << 3040 distinct
     df = spark.createDataFrame(rows, "item string")
     k, sketch_k = 10, 128
 
@@ -435,3 +435,31 @@ def test_topk_frequent_by_group_null_policy(spark):
         for r in topk_frequent_by_group(df, "grp", "item", 2, 8).collect()
     )
     assert got == [("g", "a", 30), ("g", "b", 10)]
+
+
+def test_misra_gries_sketch_narrow_int_item_columns(spark):
+    """The candidate sketch's yielded Arrow arrays must carry the
+    DECLARED column type, not Python-int inference (always int64):
+    an IntegerType item column previously failed mapInArrow's schema
+    check at runtime. Pins both the ungrouped and grouped phases end
+    to end through their top-k operators."""
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        heavy_hitters_exact,
+        topk_frequent_by_group,
+    )
+
+    rows = [(7, "g")] * 60 + [(8, "g")] * 20 + [(100 + i, "g") for i in range(30)]
+    df = spark.createDataFrame(rows, "item int, grp string").repartition(4)
+    assert df.schema["item"].dataType.simpleString() == "int"
+
+    got = sorted(
+        (r["item"], r["cnt"]) for r in heavy_hitters_exact(df, "item", 10).collect()
+    )
+    assert got == [(7, 60), (8, 20)]
+
+    by_g = topk_frequent_by_group(
+        df, "grp", "item", k=2, sketch_k=16, strict=False
+    ).collect()
+    assert sorted((r["grp"], r["item"], r["cnt"]) for r in by_g) == [
+        ("g", 7, 60), ("g", 8, 20)
+    ]

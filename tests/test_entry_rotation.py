@@ -13,47 +13,39 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round (round 9): the 3
-# evidence-gapped keys named by VERDICT r8 (heavy-hitters has never
-# faced the driver; vocab-stats and dedup-rate-report changed rounding
-# code after the r8 cap filled), the 14 r5-stale scalar keys rolled
-# from round 8 by explicit plan, and the keys added or code-changed
-# this round.
-MUST_RUN_R9 = {
-    # evidence-gapped
-    "heavy-hitters", "vocab-stats", "dedup-rate-report",
-    # r5-evidenced cohort, rolled from the r8 cap by explicit plan
-    "bool-normalize", "identifier-canon", "email-normalize",
-    "phi-redact", "epoch-millis", "eastern-date", "json-payload",
-    "natural-key", "next-birthday", "patient-projection",
-    "roi-projection", "remote-search", "remote-get",
-    "retry-threshold",
-    # added / code changed this round: the two-phase sketch path, the
-    # two keys whose product denominator gained guard_den, and the two
-    # KNOWN-RESIDUAL keys moved onto exact integer rounding
-    "ngram-topk-sketch", "bigram-lift-topk", "mix-weights",
-    "bucketed-join", "ewma-smooth", "trigram-lm-score",
-    "markov-transitions",
-    # added in the round-9 continuation: the IVM merge, the z-order
-    # layout, and the grouped sketch operators — new keys must face
-    # the driver the round they ship (the heavy-hitters lesson
-    # from r8)
-    "incremental-agg-merge", "zorder-layout", "heavy-hitters-by-group",
+# Keys that MUST be inside the cap this round (round 10): the 18
+# r6-evidenced keys rolled from round 9 by explicit plan (VERDICT r9
+# item 1 — the ROLLED_TO_R10 pin), plus every key whose code changed
+# this round: the guard_den_mul product-denominator guard
+# (mix-weights, bigram-lift-topk), the guard_dec_units IS-NOT-TRUE
+# overflow comparison (ewma-smooth, trigram-lm-score,
+# incremental-agg-merge — the last also gained the null-inclusive
+# delta split), and the explicitly-typed Arrow emission in the
+# Misra-Gries sketch phases (heavy-hitters, ngram-topk-sketch,
+# heavy-hitters-by-group).
+MUST_RUN_R10 = {
+    # r6-evidenced cohort, rolled from the r9 cap by explicit plan
+    "patient-sync-pipeline", "protected-drop", "quota-sample",
+    "range-join", "repetition-metrics", "roi-patient-anti-join",
+    "roi-sync-pipeline", "rollup-agg", "simhash-dedup-md5",
+    "skew-salted-join", "split-assign", "stratified-sample",
+    "threetier-composite", "topk-similarity", "topk-similarity-ivf",
+    "topk-similarity-pandas", "video-frame-index", "watermark-filter",
+    # code changed this round
+    "mix-weights", "bigram-lift-topk", "incremental-agg-merge",
+    "ewma-smooth", "trigram-lm-score", "heavy-hitters",
+    "ngram-topk-sketch", "heavy-hitters-by-group",
 }
 
-# The r6-evidenced keys deliberately rolled past the cap to round 10 —
+# The r7-evidenced keys deliberately rolled past the cap to round 11 —
 # pinned so the roll stays EXPLICIT, not an accident of ordering.
-# These must lead the round-10 rotation (together with any key whose
-# code changes in round 10). patient-sync-pipeline, protected-drop
-# and quota-sample rolled when the three new r9-continuation
-# operators took their cap slots.
-ROLLED_TO_R10 = {
-    "patient-sync-pipeline", "protected-drop", "quota-sample",
-    "range-join", "repetition-metrics", "roi-patient-anti-join", "roi-sync-pipeline",
-    "rollup-agg", "simhash-dedup-md5", "skew-salted-join",
-    "split-assign", "stratified-sample", "threetier-composite",
-    "topk-similarity", "topk-similarity-ivf", "topk-similarity-pandas",
-    "video-frame-index", "watermark-filter",
+# These must lead the round-11 rotation (together with any key whose
+# code changes in round 11).
+ROLLED_TO_R11 = {
+    "quantiles", "rank-funcs", "retention-cohorts", "running-window",
+    "scd2-history", "shard-assign", "stats-agg", "string-funcs",
+    "struct-json-ops", "tfidf-topterms", "unpivot-melt",
+    "weighted-sample", "window-median",
 }
 
 
@@ -67,18 +59,18 @@ def test_priority_has_no_duplicates_and_resolves():
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R9 - set(head)
+    outside = MUST_RUN_R10 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_fifteen():
+def test_rolled_keys_are_exactly_the_named_thirteen():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
-    assert ROLLED_TO_R10 & head == set(), "a rolled key leaked into the cap"
-    assert ROLLED_TO_R10 <= set(tail)
-    # and they sit immediately after the boundary, so the r10 rotation
+    assert ROLLED_TO_R11 & head == set(), "a rolled key leaked into the cap"
+    assert ROLLED_TO_R11 <= set(tail)
+    # and they sit immediately after the boundary, so the r11 rotation
     # inherits them first
-    assert set(tail[: len(ROLLED_TO_R10)]) == ROLLED_TO_R10
+    assert set(tail[: len(ROLLED_TO_R11)]) == ROLLED_TO_R11
 
 
 def test_queries_and_oracle_emit_same_order():

@@ -240,3 +240,89 @@ def test_guard_mul_passthrough_and_raise(spark):
             "SELECT " + sql_guard_mul("3100000000", "3000000000")
         ).fetchone()
     con.close()
+
+
+def test_guard_den_mul_passthrough_and_raise(spark):
+    """Product denominators must be guarded in DECIMAL: guard_den
+    alone evaluates its argument in int64 first, so a past-int64
+    product wraps BEFORE the compare and can land back inside the
+    accepted range (2^32 * 2^32 wraps to 0) — failing open where
+    DuckDB raises. guard_den_mul checks the decimal product first."""
+    from reverse_etl_homebrew_spark.functions.exactmath import (
+        guard_den_mul,
+        sql_guard_den_mul,
+    )
+
+    # passthrough: in-envelope product
+    sdf = spark.createDataFrame([(100, 2_000_000, 2_000)], "a long, x long, y long")
+    got = sdf.select(
+        round6_int_ratio("a", guard_den_mul("x", "y")).alias("v")
+    ).collect()[0]["v"]
+    assert got == _ref_round6(100, 2_000_000 * 2_000)
+    con = duckdb.connect()
+    dgot = con.execute(
+        f"SELECT {sql_round6_int_ratio('a', sql_guard_den_mul('x', 'y'))} "
+        "FROM (VALUES (100, 2000000, 2000)) t(a, x, y)"
+    ).fetchone()[0]
+    assert dgot == _ref_round6(100, 2_000_000 * 2_000)
+
+    # the ADVICE wrap case: 2^32 * 2^32 wraps int64 to 0 — a plain
+    # guard_den would accept it (0 < envelope); the decimal-checked
+    # product raises in BOTH engines
+    w = 1 << 32
+    over = spark.createDataFrame([(1, w, w)], "a long, x long, y long")
+    with pytest.raises(Exception, match="exactmath"):
+        over.select(
+            round6_int_ratio("a", guard_den_mul("x", "y")).alias("v")
+        ).collect()
+    with pytest.raises(Exception, match="exactmath"):
+        con.execute(
+            f"SELECT {sql_round6_int_ratio('a', sql_guard_den_mul('x', 'y'))} "
+            f"FROM (VALUES (1, {w}, {w})) t(a, x, y)"
+        ).fetchall()
+
+    # past the 4.6e12 envelope but still inside int64: same raise
+    # (the cut point is INT_RATIO_DEN_MAX, identical to guard_den)
+    mid = spark.createDataFrame(
+        [(1, INT_RATIO_DEN_MAX + 1, 1)], "a long, x long, y long"
+    )
+    with pytest.raises(Exception, match="exactmath"):
+        mid.select(
+            round6_int_ratio("a", guard_den_mul("x", "y")).alias("v")
+        ).collect()
+    con.close()
+
+
+def test_guard_dec_units_null_regimes(spark):
+    """Two NULL regimes pinned: (a) a NULL decimal input stays
+    NULL-in -> NULL-out (no spurious raise); (b) a decimal so large
+    the guard COMPARISON itself overflows precision 38 to NULL raises
+    via IS NOT TRUE instead of falling through to a silent NULL
+    cast (the ADVICE residual)."""
+    from reverse_etl_homebrew_spark.functions.exactmath import (
+        guard_dec_units,
+    )
+
+    # (a) NULL input passes through as NULL
+    sdf = spark.createDataFrame([("x", 4)], "s string, b long").select(
+        F.lit(None).cast("decimal(38,6)").alias("a"), "b"
+    )
+    got = sdf.select(
+        F.expr(guard_dec_units("a", 1_000_000, "b")).alias("u")
+    ).collect()[0]["u"]
+    assert got is None
+
+    # (b) |a| ~ 1e31 at scale 6: a*1e6 needs precision > 38. Under
+    # ANSI (this session's mode) Spark raises on the decimal multiply
+    # itself; under non-ANSI the multiply NULLs and the IS NOT TRUE
+    # comparison fires the guard's raise. Either way the invariant
+    # holds: this regime RAISES, it never silently NULL-casts.
+    big = "1" + "0" * 31
+    sdf2 = spark.createDataFrame([(big, 4)], "a string, b long").select(
+        F.col("a").cast("decimal(38,6)").alias("a"), "b"
+    )
+    assert sdf2.collect()[0]["a"] is not None  # the cast itself fits
+    with pytest.raises(Exception):
+        sdf2.select(
+            F.expr(guard_dec_units("a", 1_000_000, "b")).alias("u")
+        ).collect()
