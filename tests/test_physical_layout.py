@@ -78,3 +78,77 @@ def test_partition_pruning(spark, tmp_path):
     # pruned scan reads strictly fewer files than the full table
     full = spark.read.parquet(path)
     assert n_1997 < full.count()
+
+
+def test_ivm_merge_state_side_is_shuffle_free_when_bucketed(spark, tmp_path):
+    """Pins the incremental-agg-merge co-partitioning claim
+    (operators/merge.py merge_rollup_state): with the stored rollup
+    state bucketed by the merge key, the full-outer merge join reads
+    state IN PLACE — the only Exchanges in the plan belong to the
+    delta side's partial aggregation. Measured as a DIFFERENTIAL:
+    the same merge against un-bucketed state pays exactly one more
+    Exchange (the state-side shuffle the bucketing removes)."""
+    from reverse_etl_homebrew_spark.operators.merge import (
+        merge_rollup_state,
+        rollup_partial,
+    )
+
+    o = load_table(spark, SF, "orders")
+    cutoff = "1997-01-01 00:00:00"
+    state = rollup_partial(
+        o.filter(F.col("o_orderdate") < cutoff),
+        "o_custkey", "o_totalprice", "o_orderdate",
+    )
+    suffix = uuid.uuid4().hex[:8]
+    tb, tp = f"ivm_state_b_{suffix}", str(tmp_path / "ivm_state_plain")
+    (
+        state.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", str(tmp_path / tb))
+        .saveAsTable(tb)
+    )
+    state.write.parquet(tp)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # a fact-scale delta would never broadcast at 100 TB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        def merged_plan(state_df):
+            delta = rollup_partial(
+                o.filter(F.col("o_orderdate") >= cutoff),
+                "o_custkey", "o_totalprice", "o_orderdate",
+            )
+            m = merge_rollup_state(state_df, delta, "o_custkey")
+            m.write.format("noop").mode("overwrite").save()
+            return m._jdf.queryExecution().executedPlan().toString()
+
+        bucketed = merged_plan(spark.table(tb))
+        plain = merged_plan(spark.read.parquet(tp))
+
+        assert "SortMergeJoin" in bucketed
+        assert "Bucketed: true" in bucketed
+        # the state side must NOT re-shuffle on the merge key: the
+        # bucketed plan has exactly one less Exchange than the plain
+        # plan (the delta side's shuffles are identical in both)
+        n_b, n_p = bucketed.count("Exchange"), plain.count("Exchange")
+        assert n_b == n_p - 1, (n_b, n_p)
+        # and no Exchange consumes the bucketed scan: within the SMJ's
+        # state branch the scan feeds a Sort, never a shuffle
+        assert "hashpartitioning(o_custkey" not in bucketed.split(
+            "SortMergeJoin"
+        )[1].split(":- ")[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
