@@ -229,3 +229,67 @@ def compact_small_files(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return len(glob.glob(os.path.join(path, "**/*.parquet"), recursive=True))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 6,
+) -> int:
+    """Write ``df`` as a z-ordered parquet layout clustered on two
+    nonnegative-integer ``cols`` — the writable form of the
+    ``zorder-layout`` stats query (queries_misc.py), i.e. what Delta
+    ``OPTIMIZE ZORDER BY`` / an Iceberg sort order produce: per-file
+    (min, max) footer stats that are ~√-tight on BOTH dimensions, so
+    a range predicate on EITHER column prunes most files. Returns the
+    output file count.
+
+    Plan shape (one data shuffle, no global sort, no driver rows):
+    grid bounds are a 1-row agg broadcast back; the z-value is pure
+    JVM integer arithmetic (functions/zcurve.py); the physical
+    placement is ``repartitionByRange(n_files, z, tiebreak)`` +
+    ``sortWithinPartitions`` — the form the stats query's docstring
+    names as the 100 TB deployment shape. The query's two-phase
+    global rank stays the ORACLE twin (deterministic file_id for the
+    cross-engine stats comparison); the sink uses range partitioning
+    because it reaches the same layout with one shuffle instead of
+    three (rank needs a per-cell window shuffle plus the placement
+    shuffle) and file-size evenness by sampling is sufficient for a
+    layout whose contract is pruning, not byte-exact file sizes.
+
+    The tiebreak inside equal z-values is ``xxhash64`` over every
+    column — a pure function of ROW CONTENT, the same retry-safety
+    device as ``write_partitioned``'s salt: an order-dependent
+    tiebreak would re-place rows when a fetch failure recomputes an
+    upstream partition (the SPARK-23207 loss/duplication class).
+    ``n_files`` is explicit so AQE cannot coalesce the layout."""
+    import glob as _glob
+    import os
+
+    from ..functions.zcurve import z_interleave_sql
+
+    if len(cols) != 2:
+        raise ValueError("write_zordered clusters on exactly two columns")
+    cx, cy = cols
+    mx = df.agg(
+        F.max(cx).alias("__mx"), F.max(cy).alias("__my")
+    )
+    z = (
+        df.join(F.broadcast(mx))
+        .withColumn("__gx", F.expr(f"({cx} * {1 << bits}) div (__mx + 1)"))
+        .withColumn("__gy", F.expr(f"({cy} * {1 << bits}) div (__my + 1)"))
+        .withColumn(
+            "__z", F.expr(z_interleave_sql("__gx", "__gy", bits, "div"))
+        )
+        .withColumn("__tb", F.xxhash64(*df.columns))
+    )
+    (
+        z.repartitionByRange(n_files, "__z", "__tb")
+        .sortWithinPartitions("__z", "__tb")
+        .drop("__mx", "__my", "__gx", "__gy", "__z", "__tb")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return len(_glob.glob(os.path.join(path, "*.parquet")))
