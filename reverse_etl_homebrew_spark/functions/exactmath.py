@@ -43,11 +43,16 @@ tests/test_round_boundary_margin.py. percent_rank/cume_dist
 (`rank-funcs`) divide by n-1/n whose values at every test SF are
 coprime to the 2·10⁶ scale (exact cuts impossible there —
 parity-safe, left as builtins). Guard family: ``guard_den`` (ratio
-denominators), ``guard_mul`` (int64 products of data-derived
-counts), ``guard_dec_units`` (decimal→units numerators) — each with
-a ``sql_`` DuckDB twin raising at the identical cut, so every
-envelope exit is a crash in BOTH engines, never a silent wrap/NULL
-in one of them.
+denominators already in int64), ``guard_den_mul`` (denominators that
+are PRODUCTS of two counts — the envelope check runs in
+DECIMAL(38,0) before any int64 multiply, because guard_den over a
+product would let a past-int64 wrap land back in-range and fail
+open), ``guard_mul`` (int64 products of data-derived counts),
+``guard_dec_units`` (decimal→units numerators; its comparison is
+``IS NOT TRUE`` so even a comparison that overflows precision 38 to
+NULL raises instead of silently NULL-casting) — each with a ``sql_``
+DuckDB twin raising at the identical cut, so every envelope exit is
+a crash in BOTH engines, never a silent wrap/NULL in one of them.
 """
 
 from __future__ import annotations
