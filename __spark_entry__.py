@@ -43,9 +43,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # comparison (ewma-smooth, trigram-lm-score, incremental-agg-merge),
 # the IAM delta split became null-inclusive (incremental-agg-merge),
 # and the Misra-Gries sketch phases now emit explicitly-typed Arrow
-# arrays (heavy-hitters, ngram-topk-sketch, heavy-hitters-by-group);
-# (c) 24 of the 37 r7-evidenced keys (alphabetical) fill the cap.
-# Keys not listed keep registry order after these; the 13 r7 keys
+# arrays (heavy-hitters, ngram-topk-sketch, heavy-hitters-by-group) —
+# plus the two keys NEW this round (dup-span-detect, dup-span-rate),
+# which have no driver evidence at all yet; (c) 22 of the 37
+# r7-evidenced keys (alphabetical) fill the cap.
+# Keys not listed keep registry order after these; the 15 r7 keys
 # below the boundary roll to round 11 and must lead it.
 _PRIORITY = [
     # -- (a) r6-evidenced cohort (stalest driver evidence) --
@@ -55,11 +57,12 @@ _PRIORITY = [
     "skew-salted-join", "split-assign", "stratified-sample",
     "threetier-composite", "topk-similarity", "topk-similarity-ivf",
     "topk-similarity-pandas", "video-frame-index", "watermark-filter",
-    # -- (b) code changed this round --
+    # -- (b) code changed / new this round --
     "mix-weights", "bigram-lift-topk", "incremental-agg-merge",
     "ewma-smooth", "trigram-lm-score", "heavy-hitters",
     "ngram-topk-sketch", "heavy-hitters-by-group",
-    # -- (c) r7-evidenced cohort: 24 of 37 fit the cap --
+    "dup-span-detect", "dup-span-rate",
+    # -- (c) r7-evidenced cohort: 22 of 37 fit the cap --
     "anomaly-zscore", "array-ops", "audio-resample",
     "conditional-agg", "dedup-survivorship", "distinct-agg",
     "domain-stats", "entropy-quality", "explode-posexplode",
@@ -67,9 +70,11 @@ _PRIORITY = [
     "gap-fill", "image-resize", "kmeans-assign", "lag-lead",
     "length-histogram", "mad-outliers", "merge-intervals",
     "multimodal-decode", "ngram-topk", "null-safe-join",
+    # ---- 50-cap boundary: the 15 r7-evidenced keys below roll to
+    # round 11 and lead its rotation (pii-scrub and pivot-agg moved
+    # below the line to make room for the two NEW r10 keys, which
+    # have no driver evidence at all) ----
     "pii-scrub", "pivot-agg",
-    # ---- 50-cap boundary: the 13 r7-evidenced keys below roll to
-    # round 11 and lead its rotation ----
     "quantiles", "rank-funcs", "retention-cohorts", "running-window",
     "scd2-history", "shard-assign", "stats-agg", "string-funcs",
     "struct-json-ops", "tfidf-topterms", "unpivot-melt",

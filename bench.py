@@ -126,6 +126,11 @@ HEAVY_ADDITIONS = [
     "incremental-agg-merge",
     "zorder-layout",
     "heavy-hitters-by-group",
+    # r10: span-level exact dup detection — the window explode is the
+    # same O(total tokens) profiling-scan cost class as ngram-topk;
+    # the rate adds the window-key join back onto the stream
+    "dup-span-detect",
+    "dup-span-rate",
 ]
 
 

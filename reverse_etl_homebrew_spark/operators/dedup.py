@@ -528,6 +528,96 @@ def contamination_flags(
     )
 
 
+# ---------------------------------------------------------------------------
+# span-level exact duplication (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+def token_span_windows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """One row per length-``n`` whitespace-token window: ``(id_col,
+    win)``, every occurrence kept (overlaps and within-doc repeats
+    included). Docs with fewer than ``n`` tokens yield no windows —
+    strict, no padded partial window.
+
+    The token array is projected into a column BEFORE the window
+    transform: the transform lambda references the array per element,
+    and an inline split would re-evaluate the whole tokenize per
+    window (the trigram-lm-score r9 lesson; plan-verified — `split`
+    appears only in the Project/pushed Filter, never inside the
+    lambda)."""
+    toks = df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt")
+    ).where(F.size("__tt") >= n)
+    return toks.select(
+        id_col, F.explode(TX.word_ngrams_from(F.col("__tt"), n)).alias("win")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Cross-document duplicated spans: every length-``n`` token window
+    whose exact text occurs in MORE THAN ONE document → ``(win,
+    n_docs, n_spans)``.
+
+    Scale shape: one hash shuffle on the window key (the count-distinct
+    plans as a partial-agg expand over the same exchange — no second
+    data scan); shuffle volume is O(total tokens), the same cost class
+    as the n-gram profiling scans. At 100 TB the lever is shuffling
+    ``xxhash64(win)`` twice-hashed (16 bytes vs ~50+ of window text)
+    and recounting survivors — the heavy-hitters two-phase shape; the
+    string-keyed form here is the oracle-exact baseline."""
+    wins = token_span_windows(df, text_col, id_col, n)
+    return (
+        wins.groupBy("win")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dup_span_rate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a doc's
+    length-``n`` token windows whose text occurs at least twice
+    corpus-wide (any document, including elsewhere in the same doc) →
+    ``(id_col, n_spans, n_dup_spans, dup_rate)``. The span-level
+    quality signal filtering recipes threshold on.
+
+    Two shuffles on the window key (corpus-wide count, then the join
+    back onto the window stream — same key, so the exchange is reused)
+    and one on the doc key. ``dup_rate`` goes through the exact
+    integer 6-decimal path so engines agree at .5e-7 rounding cuts;
+    the denominator is envelope-guarded (a single doc's window count
+    can't realistically cross ~4.6e12 tokens, but the guard keeps the
+    raise-vs-wrap contract uniform)."""
+    from ..functions.exactmath import guard_den, round6_int_ratio
+
+    wins = token_span_windows(df, text_col, id_col, n)
+    wc = wins.groupBy("win").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        wins.join(wc, "win")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_spans",
+        "n_dup_spans",
+        round6_int_ratio("n_dup_spans", guard_den("n_spans")).alias("dup_rate"),
+    )
+
+
 def _pruned_grams(
     df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int
 ) -> DataFrame:

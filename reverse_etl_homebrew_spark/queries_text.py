@@ -456,6 +456,88 @@ def q_decontaminate(spark, sf_dir):
     return DD.contamination_flags(train, bench, n=8)
 
 
+# Span-level exact duplicate detection (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): repeated fixed-length
+# token windows ACROSS documents — the gap between whole-document exact
+# dedup (doc-fingerprint) and per-doc repetition (repetition-metrics).
+# Window length in whitespace tokens; the paper's 50-token spans shrink
+# to 8 here because the synthetic docs are short — semantics identical.
+_SPAN_L = 8
+
+# Both ops share the window stream: tokenize once behind a projection
+# boundary, explode every length-L window. At 100 TB the groupBy key
+# is the window STRING (needed for oracle-exact results); the
+# production lever is swapping the shuffle key for xxhash64(win) ×2
+# (16 bytes vs ~50+) and verifying survivors — same two-phase shape as
+# heavy-hitters. Shuffle volume is O(total tokens) either way, the
+# same cost class as ngram-topk's corpus profiling scan.
+_SPAN_WINS_SQL = rf"""
+    toks AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, array_to_string(tt[i:i+{_SPAN_L - 1}], ' ') AS win
+      FROM toks, unnest(generate_series(1, len(tt) - {_SPAN_L - 1})) AS u(i)
+      WHERE len(tt) >= {_SPAN_L}
+    )
+"""
+
+
+@register(
+    "dup-span-detect",
+    sql=rf"""
+    WITH {_SPAN_WINS_SQL}
+    SELECT win,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM wins
+    GROUP BY win
+    HAVING count(DISTINCT doc_id) > 1
+    """,
+)
+def q_dup_span_detect(spark, sf_dir):
+    """Cross-document duplicated spans: every length-_SPAN_L token
+    window whose exact text occurs in more than one document, with its
+    document and span frequencies. One hash shuffle on the window key
+    (count-distinct planned as a partial-agg expand, no second data
+    scan); no all-pairs anywhere."""
+    return DD.duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _SPAN_L
+    )
+
+
+_DUP_SPAN_RATE_SQL = sql_round6_int_ratio("n_dup_spans", sql_guard_den("n_spans"))
+
+
+@register(
+    "dup-span-rate",
+    sql=rf"""
+    WITH {_SPAN_WINS_SQL}, wc AS (
+      SELECT win, count(*) AS c FROM wins GROUP BY win
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM wins JOIN wc USING (win)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_spans, n_dup_spans, {_DUP_SPAN_RATE_SQL} AS dup_rate
+    FROM per_doc
+    """,
+)
+def q_dup_span_rate(spark, sf_dir):
+    """Per-document duplicated-span fraction: share of a doc's token
+    windows whose text occurs ≥2 times corpus-wide (any document,
+    including elsewhere in the same doc) — the span-level quality
+    signal the filtering recipes threshold on. Two shuffles on the
+    window key (count + join back) then one on doc_id; the join reuses
+    the window-key partitioning. Exact integer 6-decimal rounding so
+    both engines agree at .5e-7 cuts."""
+    return DD.dup_span_rate(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", _SPAN_L
+    )
+
+
 @register(
     "repetition-metrics",
     sql=r"""

@@ -1,0 +1,119 @@
+"""Span-level exact duplicate detection (operators/dedup.py
+``duplicate_spans`` / ``dup_span_rate``): Spark vs a pure-Python
+brute-force reference on a planted corpus, plus the edge semantics the
+operators promise (strict short-doc exclusion, within-doc repeats
+counting for the rate but not for cross-doc detection, whitespace-form
+insensitivity of the window text).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark.operators.dedup import (
+    dup_span_rate,
+    duplicate_spans,
+    token_span_windows,
+)
+
+L = 8
+
+# Planted corpus (doc_id, text):
+# - 1 and 2 share the window "a b c d e f g h" (cross-doc dup)
+# - 3 is one token short of a window (strict exclusion)
+# - 4 repeats its own 8-token window WITHIN the doc (rate counts it,
+#   detect must not: n_docs == 1)
+# - 5 carries doc 1's window spelled with tabs/newlines — the window
+#   TEXT is identical after tokenization, so it joins the cross-doc
+#   group
+DOCS = [
+    (1, "a b c d e f g h i"),
+    (2, "x a b c d e f g h y z"),
+    (3, "one two three four five six seven"),
+    (4, "p q r s t u v w Z p q r s t u v w"),
+    (5, "a\tb c d\ne f g  h"),
+]
+
+
+def _windows(text: str) -> list[str]:
+    toks = text.split()  # any whitespace, empties dropped — tokens() twin
+    if len(toks) < L:
+        return []
+    return [" ".join(toks[i : i + L]) for i in range(len(toks) - L + 1)]
+
+
+def _round6_half_away(fr: Fraction) -> float:
+    units = (2 * fr.numerator * 10**6 + fr.denominator) // (2 * fr.denominator)
+    return units / 1e6
+
+
+def _brute():
+    wins = [(i, w) for i, t in DOCS for w in _windows(t)]
+    by_win_docs = {}
+    by_win_count = Counter(w for _, w in wins)
+    for i, w in wins:
+        by_win_docs.setdefault(w, set()).add(i)
+    detect = {
+        w: (len(by_win_docs[w]), by_win_count[w])
+        for w in by_win_count
+        if len(by_win_docs[w]) > 1
+    }
+    rate = {}
+    for i, _t in DOCS:
+        mine = _windows(_t)
+        if not mine:
+            continue
+        dup = sum(1 for w in mine if by_win_count[w] > 1)
+        rate[i] = (
+            len(mine),
+            dup,
+            _round6_half_away(Fraction(dup, len(mine))),
+        )
+    return detect, rate
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_short_doc_yields_no_windows(spark):
+    wins = token_span_windows(_df(spark), "text", "doc_id", L)
+    assert wins.where(F.col("doc_id") == 3).count() == 0
+
+
+def test_duplicate_spans_matches_brute_force(spark):
+    expected_detect, _ = _brute()
+    got = {
+        r["win"]: (r["n_docs"], r["n_spans"])
+        for r in duplicate_spans(_df(spark), "text", "doc_id", L).collect()
+    }
+    assert got == expected_detect
+    # the planted cross-doc window is present and the within-doc-only
+    # repeat (doc 4) is NOT — the corpus actually exercises both arms
+    assert "a b c d e f g h" in got and got["a b c d e f g h"][0] == 3
+    assert all("p q r s t u v w" != w for w in got)
+
+
+def test_dup_span_rate_matches_brute_force(spark):
+    _, expected_rate = _brute()
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_rate"])
+        for r in dup_span_rate(_df(spark), "text", "doc_id", L).collect()
+    }
+    assert got == expected_rate
+    # doc 4's self-repeat counts toward ITS rate (both spans dup) even
+    # though it never appears in cross-doc detection
+    assert got[4][1] == 2
+    # doc 3 (no windows) has no row rather than a 0/0 division
+    assert 3 not in got
+
+
+def test_span_ops_partition_invariant(spark):
+    base = _df(spark)
+    for op in (duplicate_spans, dup_span_rate):
+        a = sorted(map(tuple, op(base.repartition(1), "text", "doc_id", L).collect()))
+        b = sorted(map(tuple, op(base.repartition(7), "text", "doc_id", L).collect()))
+        assert a == b

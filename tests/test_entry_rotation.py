@@ -22,7 +22,8 @@ CAP = 50
 # incremental-agg-merge — the last also gained the null-inclusive
 # delta split), and the explicitly-typed Arrow emission in the
 # Misra-Gries sketch phases (heavy-hitters, ngram-topk-sketch,
-# heavy-hitters-by-group).
+# heavy-hitters-by-group) — and the two keys NEW this round
+# (dup-span-detect, dup-span-rate), which have no driver evidence yet.
 MUST_RUN_R10 = {
     # r6-evidenced cohort, rolled from the r9 cap by explicit plan
     "patient-sync-pipeline", "protected-drop", "quota-sample",
@@ -35,6 +36,8 @@ MUST_RUN_R10 = {
     "mix-weights", "bigram-lift-topk", "incremental-agg-merge",
     "ewma-smooth", "trigram-lm-score", "heavy-hitters",
     "ngram-topk-sketch", "heavy-hitters-by-group",
+    # new this round — a key with zero driver history must never wait
+    "dup-span-detect", "dup-span-rate",
 }
 
 # The r7-evidenced keys deliberately rolled past the cap to round 11 —
@@ -42,6 +45,10 @@ MUST_RUN_R10 = {
 # These must lead the round-11 rotation (together with any key whose
 # code changes in round 11).
 ROLLED_TO_R11 = {
+    # pii-scrub / pivot-agg: displaced mid-round by the two NEW r10
+    # keys (dup-span-detect / dup-span-rate), which have no driver
+    # evidence at all and therefore outrank an r7-evidenced re-check
+    "pii-scrub", "pivot-agg",
     "quantiles", "rank-funcs", "retention-cohorts", "running-window",
     "scd2-history", "shard-assign", "stats-agg", "string-funcs",
     "struct-json-ops", "tfidf-topterms", "unpivot-melt",
@@ -63,7 +70,7 @@ def test_must_run_keys_inside_cap():
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_thirteen():
+def test_rolled_keys_are_exactly_the_named_fifteen():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
     assert ROLLED_TO_R11 & head == set(), "a rolled key leaked into the cap"

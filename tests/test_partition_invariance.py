@@ -50,6 +50,9 @@ KEYS = [
     # per-group sketch: candidate sets are partition-dependent per
     # group; the per-group recount must erase that
     "heavy-hitters-by-group",
+    # r10: span-level dup fraction — the exact integer ratio must be
+    # width-independent like every other round6 site
+    "dup-span-rate",
 ]
 
 
