@@ -35,6 +35,9 @@ DOCS = [
     (3, "one two three four five six seven"),
     (4, "p q r s t u v w Z p q r s t u v w"),
     (5, "a\tb c d\ne f g  h"),
+    # 6: windows exist but none duplicated — must still get a rate row
+    # (n_dup_spans = 0), pinning the left-join/coalesce arm
+    (6, "k l m n o aa bb cc dd"),
 ]
 
 
@@ -109,6 +112,8 @@ def test_dup_span_rate_matches_brute_force(spark):
     assert got[4][1] == 2
     # doc 3 (no windows) has no row rather than a 0/0 division
     assert 3 not in got
+    # doc 6 has windows but zero duplicated ones — present with rate 0
+    assert got[6] == (2, 0, 0.0)
 
 
 def test_span_ops_partition_invariant(spark):

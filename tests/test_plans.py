@@ -120,6 +120,43 @@ def test_repetition_metrics_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_dup_span_window_lambda_never_retokenizes(spark):
+    """The span-window transform must reference a PROJECTED token-array
+    attribute: an inline split inside the window lambda re-tokenizes
+    the document once per window — the r9 trigram-lm-score quadratic
+    (19.6 s -> 0.35 s for the gram explode). Pin it in the optimized
+    plan: no lambda that slices windows may also contain split()."""
+    for key in ("dup-span-detect", "dup-span-rate"):
+        plan = (
+            Q.QUERIES[key](spark, SF)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        for line in plan.split("\n"):
+            if "lambdafunction" in line and "slice(" in line:
+                assert "split(" not in line, (
+                    f"{key}: tokenize inlined into the window lambda"
+                )
+
+
+def test_dup_span_rate_denominator_is_map_side(spark):
+    """dup-span-rate's totals side computes n_spans as size(tokens)-7
+    arithmetically — the window explode feeds only the numerator. The
+    optimized plan must contain a size(...)-based projection of
+    n_spans, not a third Generate."""
+    plan = (
+        Q.QUERIES["dup-span-rate"](spark, SF)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Generate explode") <= 2, "denominator re-explodes"
+    assert any(
+        "size(" in line and "AS n_spans" in line for line in plan.split("\n")
+    ), "map-side span total missing"
+
+
 def test_decontaminate_is_equi_join_not_cross(spark):
     """Contamination check joins train grams to the benchmark gram set
     on the gram key — never a cartesian shape."""
