@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections import Counter
 from fractions import Fraction
 
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from reverse_etl_homebrew_spark.operators.dedup import (
@@ -122,3 +123,69 @@ def test_span_ops_partition_invariant(spark):
         a = sorted(map(tuple, op(base.repartition(1), "text", "doc_id", L).collect()))
         b = sorted(map(tuple, op(base.repartition(7), "text", "doc_id", L).collect()))
         assert a == b
+
+
+# --- property: random small-alphabet corpora vs the Python model ---
+# A 4-symbol token alphabet at window length 3 makes duplicate windows
+# genuinely common, exercising every arm (cross-doc groups, within-doc
+# repeats, dup-free docs, short docs). ASCII-only tokens: Java's \s /
+# split are ASCII while Python's are unicode-aware — a documented
+# engine difference, not an operator property.
+CORPORA = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=10),
+    min_size=1,
+    max_size=8,
+)
+
+PROP = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@PROP
+@given(CORPORA)
+def test_span_ops_match_model_on_random_corpora(spark, corpora):
+    n = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+
+    def wins_of(text):
+        t = text.split()
+        return (
+            [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+            if len(t) >= n
+            else []
+        )
+
+    all_wins = [(i, w) for i, txt in docs for w in wins_of(txt)]
+    counts = Counter(w for _, w in all_wins)
+    docs_of = {}
+    for i, w in all_wins:
+        docs_of.setdefault(w, set()).add(i)
+
+    expected_detect = {
+        w: (len(docs_of[w]), counts[w]) for w in counts if len(docs_of[w]) > 1
+    }
+    expected_rate = {}
+    for i, txt in docs:
+        mine = wins_of(txt)
+        if mine:
+            dup = sum(1 for w in mine if counts[w] > 1)
+            expected_rate[i] = (
+                len(mine),
+                dup,
+                _round6_half_away(Fraction(dup, len(mine))),
+            )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_detect = {
+        r["win"]: (r["n_docs"], r["n_spans"])
+        for r in duplicate_spans(df, "text", "doc_id", n).collect()
+    }
+    got_rate = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_rate"])
+        for r in dup_span_rate(df, "text", "doc_id", n).collect()
+    }
+    assert got_detect == expected_detect
+    assert got_rate == expected_rate
