@@ -555,23 +555,79 @@ def token_span_windows(
     )
 
 
+def _with_span_hashes(wins: DataFrame) -> DataFrame:
+    """Two independent 64-bit xxhash64 lanes over the window text —
+    the 16-byte shuffle key of the ``carry="hash"`` paths. Collisions
+    only ever create FALSE candidates (different windows sharing both
+    lanes); the exact recount phase re-groups by the true string, so
+    the hashed paths stay EXACT, never probabilistic."""
+    return wins.select(
+        "*",
+        F.xxhash64("win").alias("__h1"),
+        F.xxhash64("win", F.lit(1)).alias("__h2"),
+    )
+
+
 def duplicate_spans(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    carry: str = "win",
 ) -> DataFrame:
     """Cross-document duplicated spans: every length-``n`` token window
     whose exact text occurs in MORE THAN ONE document → ``(win,
     n_docs, n_spans)``.
 
-    Scale shape: one hash shuffle on the window key (the count-distinct
-    plans as a partial-agg expand over the same exchange — no second
-    data scan); shuffle volume is O(total tokens), the same cost class
-    as the n-gram profiling scans. At 100 TB the lever is shuffling
-    ``xxhash64(win)`` twice-hashed (16 bytes vs ~50+ of window text)
-    and recounting survivors — the heavy-hitters two-phase shape; the
-    string-keyed form here is the oracle-exact baseline."""
+    ``carry="win"`` (default, the oracle twin): one hash shuffle on
+    the window STRING (the count-distinct plans as a partial-agg
+    expand over the same exchange); shuffle volume is O(total tokens)
+    of window text — the n-gram profiling cost class.
+
+    ``carry="hash"`` (same exact result, different bottleneck): the
+    full-stream shuffle carries two xxhash64 lanes + the doc id
+    (~24 B/row vs the ~50-120 B window text), candidates = hash pairs
+    seen in >1 doc, then an exact string-keyed recount over CANDIDATE
+    OCCURRENCES ONLY — the heavy-hitters two-phase shape. A hash
+    collision can only ADD a false candidate, and the recount's
+    ``n_docs > 1`` filter on the true string erases it, so the hashed
+    path is exact by construction (pinned by equality tests).
+
+    WHEN TO USE WHICH — measured, not assumed
+    (fixtures/tenx_dup_spans.py): on local[32], where shuffles are
+    memory-bandwidth and bytes are nearly free, the hash carry LOSES
+    (1.40 → 2.63 s at 1×; 3.21 → 7.37 s at 10×) because it pays the
+    window explode twice. It pays only where shuffle BYTES are the
+    binding constraint — network-bound clusters with long windows
+    (this corpus' ~45 B windows cut only ~2× for 2× scan cost; a
+    50-token window cuts ~15×). Default stays ``carry="win"``."""
     wins = token_span_windows(df, text_col, id_col, n)
+    if carry == "win":
+        return (
+            wins.groupBy("win")
+            .agg(
+                F.countDistinct(id_col).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_spans"),
+            )
+            .where(F.col("n_docs") > 1)
+        )
+    if carry != "hash":
+        raise ValueError(f"carry must be 'win' or 'hash', got {carry!r}")
+    hashed = _with_span_hashes(wins)
+    cands = (
+        hashed.groupBy("__h1", "__h2")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > 1)
+        .select("__h1", "__h2")
+    )
+    # NOT a forced broadcast: the duplicated-hash set is data-
+    # proportional (unlike heavy-hitters' ≤ partitions×k candidates),
+    # so AQE picks broadcast only when it is actually small — the
+    # same gated-broadcast discipline as the dim joins.
     return (
-        wins.groupBy("win")
+        _with_span_hashes(wins)
+        .join(cands, ["__h1", "__h2"])
+        .groupBy("win")
         .agg(
             F.countDistinct(id_col).alias("n_docs"),
             F.count(F.lit(1)).alias("n_spans"),
@@ -581,7 +637,11 @@ def duplicate_spans(
 
 
 def dup_span_rate(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    carry: str = "win",
 ) -> DataFrame:
     """Per-document duplicated-span fraction: the share of a doc's
     length-``n`` token windows whose text occurs at least twice
@@ -605,20 +665,50 @@ def dup_span_rate(
     engines agree at .5e-7 rounding cuts; the denominator is
     envelope-guarded (a single doc's window count can't realistically
     cross ~4.6e12 tokens, but the guard keeps the raise-vs-wrap
-    contract uniform)."""
+    contract uniform).
+
+    ``carry="hash"`` moves the full-stream shuffles onto the 16-byte
+    double-xxhash64 key: candidates = hash pairs occurring ≥2 times,
+    an exact string recount over candidate occurrences erases hash-
+    collision false positives, and only then does the doc-key count
+    run — identical output (pinned by equality tests). Same trade as
+    ``duplicate_spans``: it halves shuffle bytes per window but scans
+    the window stream twice, so it LOSES on memory-bound local
+    shuffles (measured 2.89 → 3.75 s at 1×) and pays only on
+    network-bound clusters with long windows — see the WHEN TO USE
+    WHICH note on ``duplicate_spans``."""
     from ..functions.exactmath import guard_den, round6_int_ratio
 
+    if carry not in ("win", "hash"):
+        raise ValueError(f"carry must be 'win' or 'hash', got {carry!r}")
     wins = token_span_windows(df, text_col, id_col, n)
-    dup_wins = (
-        wins.groupBy("win")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .where(F.col("__c") > 1)
-        .select("win")
-    )
-    dup_counts = (
-        wins.join(dup_wins, "win")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    if carry == "win":
+        dup_wins = (
+            wins.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .select("win")
+        )
+        dup_occ = wins.join(dup_wins, "win")
+    else:
+        hashed = _with_span_hashes(wins)
+        cand_hashes = (
+            hashed.groupBy("__h1", "__h2")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .select("__h1", "__h2")
+        )
+        cand_occ = _with_span_hashes(wins).join(cand_hashes, ["__h1", "__h2"])
+        # exact recount on the true string, candidate occurrences only
+        true_dups = (
+            cand_occ.groupBy("win")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > 1)
+            .select("win")
+        )
+        dup_occ = cand_occ.select(id_col, "win").join(true_dups, "win")
+    dup_counts = dup_occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans")
     )
     totals = (
         df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt"))

@@ -465,12 +465,13 @@ def q_decontaminate(spark, sf_dir):
 _SPAN_L = 8
 
 # Both ops share the window stream: tokenize once behind a projection
-# boundary, explode every length-L window. At 100 TB the groupBy key
-# is the window STRING (needed for oracle-exact results); the
-# production lever is swapping the shuffle key for xxhash64(win) ×2
-# (16 bytes vs ~50+) and verifying survivors — same two-phase shape as
-# heavy-hitters. Shuffle volume is O(total tokens) either way, the
-# same cost class as ngram-topk's corpus profiling scan.
+# boundary, explode every length-L window. The registered queries use
+# the window-STRING shuffle key (oracle-exact and the faster local
+# plan); operators/dedup.py also ships carry="hash" — a 16-byte
+# double-xxhash64 key + exact string recount, identical output — as a
+# measured CONDITIONAL trade for network-bound clusters with long
+# windows (it loses locally; see SCALE.md). Shuffle volume is
+# O(total tokens) either way, the ngram-topk profiling cost class.
 _SPAN_WINS_SQL = rf"""
     toks AS (
       SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt
