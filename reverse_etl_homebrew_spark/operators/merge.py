@@ -76,10 +76,20 @@ def merge_rollup_state(state: DataFrame, delta: DataFrame, key: str) -> DataFram
                 F.coalesce(F.col("s.n"), F.lit(0))
                 + F.coalesce(F.col("d.n"), F.lit(0))
             ).alias("n"),
-            (
+            # NULL is the sum's identity, not 0: a side whose every
+            # value was NULL carries s6 = NULL (SQL SUM semantics),
+            # and the single-pass recompute keeps NULL for such keys —
+            # coalescing BOTH NULLs to 0 would break merge ≡ recompute
+            # exactly there (found by the randomized fold property).
+            F.when(
+                F.col("s.s6").isNull() & F.col("d.s6").isNull(),
+                F.lit(None).cast("decimal(38,6)"),
+            )
+            .otherwise(
                 F.coalesce(F.col("s.s6"), zero6)
                 + F.coalesce(F.col("d.s6"), zero6)
-            ).alias("s6"),
+            )
+            .alias("s6"),
             F.least(F.col("s.lo"), F.col("d.lo")).alias("lo"),
             F.greatest(F.col("s.hi"), F.col("d.hi")).alias("hi"),
         )

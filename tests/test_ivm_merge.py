@@ -8,7 +8,10 @@ merge_rollup_state), plus the null-inclusive watermark split.
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from reverse_etl_homebrew_spark.operators.merge import (
@@ -127,3 +130,75 @@ def test_iam_query_keeps_null_watermark_rows(spark, tmp_path):
     merged = Q.QUERIES["incremental-agg-merge"](spark, sf_dir)
     total = merged.agg(F.sum("n_orders")).collect()[0][0]
     assert total == 20  # every row counted, NULL dates included
+
+
+# --- randomized fold property: merge(partials) ≡ partial(union) ---
+# Random keys, NULL-able values and timestamps, random batch
+# assignment (empty batches included), checked against a plain Python
+# model AND the single-pass recompute. This property found a real
+# algebra hole on first run: coalescing both NULL sums to 0 made
+# merge(NULL ⊕ NULL) = 0.000000 where the recompute keeps SUM = NULL
+# for a key whose every value is NULL — fixed by making NULL the sum's
+# identity in merge_rollup_state.
+ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 4),  # key
+        st.one_of(st.none(), st.integers(-10**9, 10**9)),  # value, 1e-2 units
+        st.one_of(st.none(), st.integers(1, 28)),  # day of 2020-01 or NULL
+        st.integers(0, 3),  # batch assignment
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ROWS)
+def test_random_fold_matches_recompute_and_model(spark, rows):
+    data = [
+        (
+            k,
+            None if v is None else str(Decimal(v).scaleb(-2)),
+            None if d is None else f"2020-01-{d:02d}",
+            b,
+        )
+        for k, v, d, b in rows
+    ]
+    df = spark.createDataFrame(
+        data, "k long, v string, ts string, batch long"
+    ).cache()
+
+    # Python model
+    exp = {}
+    for k, v, d, b in rows:
+        n, s, lo, hi = exp.get(k, (0, None, None, None))
+        n += 1
+        if v is not None:
+            s = (Decimal(0) if s is None else s) + Decimal(v).scaleb(-2)
+        if d is not None:
+            ts = f"2020-01-{d:02d}"
+            lo = ts if lo is None or ts < lo else lo
+            hi = ts if hi is None or ts > hi else hi
+        exp[k] = (n, s, lo, hi)
+    expected = {
+        k: (n, None if s is None else s.quantize(Decimal("0.000001")), lo, hi)
+        for k, (n, s, lo, hi) in exp.items()
+    }
+
+    def rowmap(state):
+        return {
+            r["k"]: (r["n"], r["s6"], r["lo"], r["hi"]) for r in state.collect()
+        }
+
+    recompute = rowmap(rollup_partial(df, "k", "v", "ts"))
+    assert recompute == expected
+
+    acc = None
+    for b in range(4):
+        part = rollup_partial(df.filter(F.col("batch") == b), "k", "v", "ts")
+        acc = part if acc is None else merge_rollup_state(acc, part, "k")
+    assert rowmap(acc) == expected
