@@ -31,24 +31,38 @@ def asof_join(
     no right row precedes. Right side should be unique per (key, ts) —
     pre-aggregate upstream for deterministic results.
 
+    Exact ASOF semantics (matches DuckDB's native ASOF JOIN, the
+    oracle twin): a NULL timestamp never matches on EITHER side (SQL
+    comparison with NULL is not true) — NULL-ts right rows are
+    filtered out, NULL-ts left rows sort before every surviving right
+    row and get NULL payloads; and the MATCHED row's payload is
+    returned verbatim, NULL included. The payloads therefore travel as
+    ONE struct column (non-NULL for every right row), so the running
+    ``last(ignorenulls)`` tracks row PRESENCE, never payload nullness
+    — a per-column last() would skip a matched-but-NULL payload and
+    resurrect an older row's value (found by the r10 randomized
+    property, tests/test_temporal_joins.py).
+
     Implementation: union-merge with a running last-non-null window.
     """
     lcols = left.columns
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    p_type = right.select(payload.alias("__p")).schema["__p"].dataType
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
         F.struct(*lcols).alias("__left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
+        F.lit(None).cast(p_type).alias("__p"),
     )
-    r_tagged = right.select(
+    r_tagged = right.where(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
         F.lit(None).cast(
             l_tagged.schema["__left"].dataType
         ).alias("__left"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        payload.alias("__p"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal ts ⇔ inclusive match
@@ -61,14 +75,11 @@ def asof_join(
     carried = unioned.select(
         "__is_right",
         "__left",
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in payload_cols
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__v"),
     )
     out = carried.filter(F.col("__is_right") == 0).select(
         *[F.col(f"__left.{c}").alias(c) for c in lcols],
-        *[F.col(f"__v_{c}").alias(f"asof_{c}") for c in payload_cols],
+        *[F.col(f"__v.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
     return out
 
