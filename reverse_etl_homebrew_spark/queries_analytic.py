@@ -26,7 +26,7 @@ def _t(spark, sf_dir, name):
       SELECT user_id, ts,
              MAX(event_id) AS prev_purchase_id,
              arg_max(value, event_id) AS prev_purchase_value
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
       GROUP BY user_id, ts
     )
     SELECT e.event_id, e.user_id, e.ts,
@@ -34,13 +34,24 @@ def _t(spark, sf_dir, name):
            p.prev_purchase_value AS asof_prev_purchase_value
     FROM events e
     ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    WHERE e.ts IS NOT NULL
+    UNION ALL
+    SELECT event_id, user_id, ts, NULL, NULL
+    FROM events WHERE ts IS NULL
     """,
 )
 def q_asof_join(spark, sf_dir):
     """As-of join: for every event, the user's latest preceding
     purchase (inclusive). Spark side is the union-merge single-shuffle
     implementation; DuckDB side is its native ASOF JOIN — two
-    completely independent algorithms, same rows."""
+    completely independent algorithms, same rows.
+
+    Exact ASOF NULL semantics made explicit in the oracle (r10 NULL-
+    robustness probe): a NULL timestamp never matches on either side.
+    DuckDB's native ASOF treats NULL ts as a sortable value and DID
+    match such rows, so the oracle filters NULL-ts build rows and
+    routes NULL-ts probe rows through an explicit NULL-payload leg —
+    mirroring what operators/temporal_joins.asof_join guarantees."""
     ev = _t(spark, sf_dir, "events")
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -183,18 +194,25 @@ def q_pivot_agg(spark, sf_dir):
     sql="""
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
-                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate NULLS FIRST, o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
            row_number() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+                              ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS order_seq
     FROM orders
     """,
 )
 def q_running_window(spark, sf_dir):
     """Running (cumulative) aggregate per key — frame-bounded window,
-    exact decimal accumulation."""
+    exact decimal accumulation. NULL order dates sort FIRST, written
+    explicitly on BOTH sides: Spark's ASC default is NULLS FIRST but
+    DuckDB's is NULLS LAST, so an implicit ORDER BY over a nullable
+    column silently diverges the engines (found by the r10 NULL-
+    robustness probe, fixtures/null_robustness_probe.py)."""
     o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -211,15 +229,18 @@ def q_running_window(spark, sf_dir):
     sql="""
     SELECT o_custkey, o_orderkey,
            lag(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                                   ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev_price,
            lead(o_totalprice) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS next_price
+                                    ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS next_price
     FROM orders
     """,
 )
 def q_lag_lead(spark, sf_dir):
+    """NULLS FIRST made explicit on both sides — see q_running_window."""
     o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",

@@ -333,7 +333,7 @@ def q_anomaly_zscore(spark, sf_dir):
              LAG(event_type) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
-      WHERE user_id IS NOT NULL
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     ch AS (
       SELECT user_id, event_type, ts, event_id
@@ -357,8 +357,14 @@ def q_scd2_history(spark, sf_dir):
     (reference keeps only latest-state, main.py:539-560; SCD2 is its
     auditable generalization). One shuffle on user_id; both window
     passes reuse that partitioning, and the (ts, event_id) tie-break
-    makes LAG/LEAD deterministic under duplicate timestamps."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    makes LAG/LEAD deterministic under duplicate timestamps.
+    Event-time policy (r10 NULL-robustness probe): an unstamped event
+    can't open or close a validity interval — ts IS NOT NULL on both
+    sides (a NULL-ts row would also fake is_current, since valid_to
+    NULL is the current-row marker)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     ch = (
         ev.select(
@@ -538,7 +544,7 @@ def q_mix_weights(spark, sf_dir):
              LAG(event_type) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
       FROM events
-      WHERE user_id IS NOT NULL
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     ch AS (
       SELECT user_id, event_type, ts, event_id
@@ -560,7 +566,7 @@ def q_mix_weights(spark, sf_dir):
       ON p.user_id = h.user_id
      AND p.ts >= h.valid_from
      AND (h.valid_to IS NULL OR p.ts < h.valid_to)
-    WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL
+    WHERE p.event_type = 'purchase' AND p.user_id IS NOT NULL AND p.ts IS NOT NULL
     """,
 )
 def q_scd2_lookup(spark, sf_dir):
@@ -576,8 +582,12 @@ def q_scd2_lookup(spark, sf_dir):
     reuses one exchange. Every probe matches exactly ONE interval —
     the intervals partition the user's timeline from their first
     event — so output cardinality equals probe cardinality (asserted
-    in tests). Timestamp-and-integer output: exact by construction."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    in tests). Timestamp-and-integer output: exact by construction.
+    Event-time policy: ts IS NOT NULL on both sides (an unstamped
+    probe has no point-in-time; see q_scd2_history)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     hist = (
         ev.select(

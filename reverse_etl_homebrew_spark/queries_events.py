@@ -50,7 +50,7 @@ _EWMA_COEFF_SQL = "[" + ", ".join(str(c) for c in _EWMA_COEFFS) + "]"
       SELECT user_id, event_id, ts, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     ), terms AS (
       SELECT a.user_id, a.event_id, a.ts,
              CAST(b.value AS DECIMAL(38,6))
@@ -83,8 +83,15 @@ def q_ewma_smooth(spark, sf_dir):
     (see _EWMA_COEFFS), so the per-event sum is order-independent and
     engine-independent down to one final double division. At 100 TB
     both legs reuse the same user_id hash partitioning — one shuffle
-    total."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    total.
+
+    Event-time policy (r10 NULL-robustness probe): an unstamped event
+    has no position in a decay series — ts IS NOT NULL on both sides
+    (implicit NULL ordering would otherwise diverge the engines:
+    Spark sorts NULLS FIRST, DuckDB NULLS LAST)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     v = ev.select(
         "user_id", "event_id", "ts", "value",
@@ -140,7 +147,7 @@ def q_ewma_smooth(spark, sf_dir):
              quantile_cont(value, 0.5) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
-      FROM events WHERE value IS NOT NULL
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     )
     SELECT user_id, event_id, ts, value, med
     FROM v WHERE rn >= 5
@@ -157,8 +164,11 @@ def q_window_median(spark, sf_dir):
     Plan: ONE window shuffle on user_id computes rn and the frame
     median together; at 100 TB this is the same single-shuffle shape
     as any ranked window (`running-window`), with O(frame) state per
-    row."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    row. Event-time policy: ts IS NOT NULL on both sides (see
+    q_ewma_smooth)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     v = ev.select(
         "user_id", "event_id", "ts", "value",
@@ -174,7 +184,7 @@ def q_window_median(spark, sf_dir):
     WITH iv AS (
       SELECT user_id, event_id, ts,
              ts + INTERVAL 5 MINUTE AS te
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, event_id, ts, te,
              CASE WHEN ts > MAX(te) OVER (
@@ -213,8 +223,10 @@ def q_merge_intervals(spark, sf_dir):
     user_id sort-shuffle — Catalyst collapses the window pair into a
     single Window node, so 100 TB cost = one shuffle + per-user linear
     scan. Timestamp comparisons are exact (microsecond integers), so
-    both engines agree on every island boundary."""
-    ev = _t(spark, sf_dir, "events")
+    both engines agree on every island boundary. Event-time policy:
+    an unstamped event opens no interval — ts IS NOT NULL on both
+    sides (see q_ewma_smooth)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     iv = ev.select(
         "user_id", "event_id", "ts",
         (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("te"),
@@ -371,7 +383,7 @@ def q_retention_cohorts(spark, sf_dir):
       SELECT user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ), t AS (
       SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
       FROM o WHERE prev IS NOT NULL
@@ -398,8 +410,13 @@ def q_markov_transitions(spark, sf_dir):
     probability uses exact integer half-away division ((2n·1e6 +
     n_from) // (2·n_from), then one exact /1e6): integer/integer
     ratios can land on .5e-7 boundaries where the two engines' double
-    ROUND disagree by 1 ulp (the embedding-centroid sf0.1 lesson)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ROUND disagree by 1 ulp (the embedding-centroid sf0.1 lesson).
+    Event-time policy: an unstamped event has no position in a
+    transition sequence — ts IS NOT NULL on both sides (see
+    q_ewma_smooth)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     o = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev")
@@ -431,7 +448,7 @@ def q_markov_transitions(spark, sf_dir):
              last_value(CASE WHEN event_type IN ('view', 'click')
                              THEN event_type END IGNORE NULLS) OVER w
                AS touch_type
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
@@ -451,8 +468,17 @@ def q_attribution_last_touch(spark, sf_dir):
     (no self-join, no as-of merge). The three carried columns are
     null on exactly the same rows, so one total (ts, event_id) order
     makes them provably consistent. Single shuffle; timestamps and
-    integers only — exact by construction."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    integers only — exact by construction.
+
+    Event-time policy: ts IS NOT NULL on both sides. Besides the
+    engine NULL-ordering divergence (see q_ewma_smooth), a NULL-ts
+    touch would DESYNCHRONIZE the three per-column carries — its
+    touch_ts is NULL (skipped by IGNORE NULLS) while its event_id/type
+    are not — breaking the consistency claim above; the probe caught
+    exactly that triple."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")

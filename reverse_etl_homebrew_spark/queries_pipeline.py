@@ -66,7 +66,13 @@ def q_patient_sync_pipeline(spark, sf_dir):
     "roi-sync-pipeline",
     sql="""
     SELECT outcome, COUNT(*) AS n FROM (
-      SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'skip_processed'
+      -- processed-skip needs BOTH the status AND the completion stamp
+      -- (the plan's processing_datetime is o_orderdate for % 11 keys;
+      -- reference main.py:736-742 checks both) — a NULL stamp falls
+      -- through to the next branch, which the simplified one-condition
+      -- CASE missed (r10 NULL-robustness probe)
+      SELECT CASE WHEN o_orderkey % 11 = 0 AND o_orderdate IS NOT NULL
+                    THEN 'skip_processed'
                   WHEN o_orderkey % 13 = 0 THEN 'skip_override'
                   WHEN o_orderkey % 7 = 0 THEN 'update'
                   ELSE 'create' END AS outcome

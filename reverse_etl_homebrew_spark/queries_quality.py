@@ -115,7 +115,7 @@ _CONTAINMENT_SCORE_SQL = sql_round6_int_ratio(
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams AS (
@@ -158,8 +158,10 @@ def q_containment_dedup(spark, sf_dir):
     boilerplate grams flood it (measured 13.5× superlinear under
     df-inflating 10× growth, SCALE.md); `containment-dedup-capped`
     below APPLIES that df-frequency lever; this key stays uncapped as
-    the exact-algebra form."""
-    d = _t(spark, sf_dir, "documents")
+    the exact-algebra form. NULL-text docs are out of dedup scope on
+    both sides (r10 NULL-robustness probe: the gram floor otherwise
+    makes every NULL doc a containment-1.0 pair of every other)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         F.col("doc_id").alias("id"),
         F.split(TX.normalized_text(F.col("text")), " ").alias("w"),
@@ -214,7 +216,7 @@ def _directed_containment(grams, threshold: float):
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text),
                '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams0 AS (
@@ -226,7 +228,7 @@ def _directed_containment(grams, threshold: float):
       SELECT g0.id, g0.g
       FROM grams0 g0 JOIN dfs USING (g)
       WHERE dfs.df <= GREATEST(5, CAST(FLOOR(
-              0.002 * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+              0.002 * (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL)) AS BIGINT))
     ), sizes AS (
       SELECT id, COUNT(*) AS ng FROM grams GROUP BY id
     ), pairs AS (
@@ -271,7 +273,7 @@ def q_containment_dedup_capped(spark, sf_dir, df_cap: "int | None" = None):
     normalize/shingle/df-cap."""
     from .operators.dedup import _pruned_grams
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     if df_cap is None:
         df_cap = max(5, int(0.002 * _corpus_doc_count(spark, sf_dir)))
     pruned = _pruned_grams(d, "doc_id", "text", 3, df_cap).localCheckpoint(
@@ -293,7 +295,13 @@ def _corpus_doc_count(spark, sf_dir) -> int:
     st = os.stat(path)
     key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     if key not in _DOC_COUNT_CACHE:
-        _DOC_COUNT_CACHE[key] = _t(spark, sf_dir, "documents").count()
+        # the dedup universe excludes NULL-text docs (see the capped
+        # key's oracle: its df threshold counts the same universe)
+        _DOC_COUNT_CACHE[key] = (
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .count()
+        )
     return _DOC_COUNT_CACHE[key]
 
 

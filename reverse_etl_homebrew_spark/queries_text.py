@@ -348,7 +348,7 @@ def q_knn_join_lsh(spark, sf_dir):
 _JACCARD_CTES = r"""norm AS (
   SELECT doc_id AS id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), toks AS (
   SELECT id, string_split(t, ' ') AS w FROM norm
 ), grams AS (
@@ -390,7 +390,8 @@ _CLUSTER_SURVIVORS_SQL = f"""WITH RECURSIVE {_JACCARD_CTES}, edges AS (
   SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
 )
 SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+WHERE text IS NOT NULL
+  AND doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
 """
 
 
@@ -406,7 +407,7 @@ def q_fuzzy_dedup(spark, sf_dir):
     check passes only while LSH recall is 100% on j ≥ 0.5 (an
     adversarial quality gate, not just a shape check — VERDICT r2 #7);
     precision is 1.0 by construction."""
-    d = _corpus(spark, sf_dir)
+    d = _corpus_nn(spark, sf_dir)
     return DD.minhash_verified_pairs(d, num_hashes=32, bands=4)
 
 
@@ -420,13 +421,24 @@ def _corpus(spark, sf_dir):
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
+def _corpus_nn(spark, sf_dir):
+    """The DEDUP universe: _corpus minus NULL-text docs, explicit on
+    both engines (r10 NULL-robustness probe). A NULL text can't be
+    shingled or fingerprinted; worse, Spark's gram floor mapped every
+    NULL doc to the same degenerate shingle set, so all NULL docs
+    became mutual jaccard-1.0 pairs — an O(NULL-docs²) pair explosion
+    at corpus scale. Upstream quality filters own NULL docs; dedup
+    never sees them."""
+    return _corpus(spark, sf_dir).filter(F.col("text").isNotNull())
+
+
 @register(
     "decontaminate",
     sql=r"""
     WITH norm AS (
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams AS (
@@ -450,7 +462,7 @@ def q_decontaminate(spark, sf_dir):
     no all-pairs; the planted near-dup structure of the corpus makes
     the hit set non-trivial. Oracle: the same gram algebra brute-forced
     in SQL."""
-    d = _corpus(spark, sf_dir)
+    d = _corpus_nn(spark, sf_dir)
     train = d.filter(F.col("doc_id") % 10 != 0)
     bench = d.filter(F.col("doc_id") % 10 == 0)
     return DD.contamination_flags(train, bench, n=8)
@@ -545,7 +557,7 @@ def q_dup_span_rate(spark, sf_dir):
     WITH norm AS (
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams AS (
@@ -565,8 +577,10 @@ def q_repetition_metrics(spark, sf_dir):
     duplicate word-bigram fraction à la web-corpus filtering recipes.
     Pure map-side column math — tokens materialize once, grams once,
     zero shuffle before the (already doc-keyed) projection; at 100 TB
-    this runs at scan speed."""
-    d = _t(spark, sf_dir, "documents")
+    this runs at scan speed. NULL-text docs are out of scope on both
+    sides (r10 NULL-robustness probe — the gram floor otherwise gives
+    the two engines different degenerate rows for them)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", F.split(TX.normalized_text(F.col("text")), " ").alias("__toks")
     )
@@ -587,18 +601,19 @@ def q_repetition_metrics(spark, sf_dir):
     "incremental-dedup",
     sql=r"""
     WITH batch AS (
-      SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50 AND text IS NOT NULL
       UNION ALL
-      SELECT doc_id + 20000, text FROM documents WHERE doc_id BETWEEN 400 AND 409
+      SELECT doc_id + 20000, text FROM documents
+      WHERE doc_id BETWEEN 400 AND 409 AND text IS NOT NULL
     ), fp AS (
       SELECT doc_id,
              sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
       FROM batch
     ), seen AS (
       SELECT DISTINCT sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS f
-      FROM documents WHERE doc_id < 400
+      FROM documents WHERE doc_id < 400 AND text IS NOT NULL
     ), fresh AS (
       SELECT doc_id, f FROM fp WHERE f NOT IN (SELECT f FROM seen)
     )
@@ -615,8 +630,11 @@ def q_incremental_dedup(spark, sf_dir):
     by the anti-join) and re-submissions of 10 batch docs under higher
     ids (must lose within-batch survivor selection). Anti-join on a
     sha256 fingerprint — the seen side reduces to one narrow string
-    per historical doc; no full-corpus re-dedup per ingest."""
-    d = _t(spark, sf_dir, "documents")
+    per historical doc; no full-corpus re-dedup per ingest. NULL-text
+    docs are out of dedup scope on both sides (r10 probe — a NULL
+    fingerprint is neither equal nor unequal to anything, so the two
+    engines disagreed on its fate)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     batch = (
         d.filter(F.col("doc_id") >= 400)
         .select("doc_id", "text")
@@ -691,7 +709,7 @@ def q_ngram_jaccard(spark, sf_dir):
     prefix-filter pruning — oracle-checked pair-for-pair (and
     value-for-value: identical integer inter/union sizes divide to
     bit-identical doubles) against the brute-force SQL Jaccard."""
-    return DD.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+    return DD.ngram_jaccard_pairs(_corpus_nn(spark, sf_dir), threshold=0.5)
 
 
 def _planted_embeddings(spark, sf_dir, n=100):
@@ -764,7 +782,7 @@ def q_fuzzy_dedup_clusters(spark, sf_dir):
     labeling are checked row-for-row."""
     from .operators.components import dedup_survivors
 
-    d = _corpus(spark, sf_dir).select("doc_id", "text")
+    d = _corpus_nn(spark, sf_dir).select("doc_id", "text")
     pairs = DD.minhash_verified_pairs(d, num_hashes=32, bands=4)
     return dedup_survivors(d, pairs).select("doc_id")
 
@@ -1091,6 +1109,7 @@ _XENT_SQL = sql_round6_dec6_over_int(
     sql=f"""
     WITH norm AS (
       SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS t FROM documents
+      WHERE text IS NOT NULL
     ), grams AS (
       SELECT id, substr(t, i, 3) AS g
       FROM norm, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
@@ -1115,8 +1134,11 @@ def q_trigram_lm_score(spark, sf_dir):
     """Char-trigram LM cross-entropy per document (add-one smoothing,
     corpus-trained) — the cheap perplexity-style quality filter;
     DECIMAL-exact in-doc sum makes the float result accumulation-order
-    independent (operators/similarity.py trigram_lm_score)."""
-    d = _t(spark, sf_dir, "documents")
+    independent (operators/similarity.py trigram_lm_score). NULL-text
+    docs are excluded on both sides (r10 probe: Spark's gram floor
+    scored them AND let them shift the corpus model; the model must
+    train on text that exists)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return SIM.trigram_lm_score(d)
 
 
@@ -1331,7 +1353,7 @@ _SURVIVORSHIP_SQL = f"""WITH RECURSIVE {_JACCARD_CTES}, edges AS (
               THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g'))
                         AS DOUBLE) / CAST(length(text) AS DOUBLE)
               ELSE 0.0 END AS punct_ratio
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), q AS (
   SELECT doc_id,
          0.4::DOUBLE * (CASE WHEN n_chars >= 50 AND n_chars <= 20000
@@ -1380,7 +1402,7 @@ def q_dedup_survivorship(spark, sf_dir):
     quality score, and the same ranking policy."""
     from .operators.components import connected_components
 
-    d = _corpus(spark, sf_dir).select("doc_id", "text")
+    d = _corpus_nn(spark, sf_dir).select("doc_id", "text")
     pairs = DD.minhash_verified_pairs(d, num_hashes=32, bands=4)
     comps = connected_components(pairs)
     scored = d.select(

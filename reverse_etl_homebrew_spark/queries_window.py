@@ -22,14 +22,17 @@ def _t(spark, sf_dir, name):
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )
 def q_tumbling_window(spark, sf_dir):
     """Fixed 1-hour event-time windows per event type; windows align
-    to the epoch hour in both engines."""
-    ev = _t(spark, sf_dir, "events")
+    to the epoch hour in both engines. Event-time policy (r10 NULL-
+    robustness probe): an unstamped event belongs to no time bucket —
+    Spark's window() already drops NULL ts, the filter makes the same
+    rule explicit on both sides."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return WIN.tumbling(
         ev,
         "ts",
@@ -50,6 +53,7 @@ def q_tumbling_window(spark, sf_dir):
                - j * INTERVAL '30 minutes' AS window_start,
              event_type, value
       FROM events, (VALUES (0), (1)) t(j)
+      WHERE ts IS NOT NULL
     )
     SELECT window_start,
            window_start + INTERVAL 1 HOUR AS window_end,
@@ -63,8 +67,9 @@ def q_tumbling_window(spark, sf_dir):
 def q_sliding_window(spark, sf_dir):
     """1-hour windows sliding every 30 minutes: each event expands
     into exactly two windows (duration/slide), map-side, then one
-    group-by shuffle."""
-    ev = _t(spark, sf_dir, "events")
+    group-by shuffle. Event-time policy: ts IS NOT NULL on both sides
+    (see q_tumbling_window)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return WIN.sliding(
         ev,
         "ts",
@@ -84,7 +89,7 @@ def q_sliding_window(spark, sf_dir):
     WITH lagged AS (
       SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts,
              CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 10 MINUTE
@@ -108,8 +113,10 @@ def q_session_window(spark, sf_dir):
     """Per-user session windows with a 10-minute inactivity gap
     (F.session_window); the oracle derives identical sessions via the
     gaps-and-islands construction. A new session starts when the gap
-    is >= 10 minutes (Spark sessions are half-open [start, last+gap))."""
-    ev = _t(spark, sf_dir, "events")
+    is >= 10 minutes (Spark sessions are half-open [start, last+gap)).
+    Event-time policy: ts IS NOT NULL on both sides (see
+    q_tumbling_window)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return WIN.session(
         ev, "ts", "10 minutes", keys=["user_id"], aggs=[F.count(F.lit(1)).alias("n")]
     )
