@@ -12,10 +12,19 @@ ONLY under planted NULLs is a latent 100 TB wrong answer (real
 corpora have NULLs everywhere).
 
 Poisoning (deterministic):
-- events.ts        -> NULL where event_id  % 11 == 0
-- events.value     -> NULL where event_id  % 23 == 0
+- events.ts          -> NULL where event_id   % 11 == 0
+- events.value       -> NULL where event_id   % 23 == 0
+- events.event_type  -> NULL where event_id   % 29 == 0
 - orders.o_orderdate -> NULL where o_orderkey % 13 == 0
-- documents.text   -> NULL where doc_id    % 17 == 0
+- orders.o_totalprice-> NULL where o_orderkey % 31 == 0
+- documents.text     -> NULL where doc_id     % 17 == 0
+- customer.c_acctbal -> NULL where c_custkey  % 19 == 0
+- customer.c_mktsegment -> NULL where c_custkey % 23 == 0
+- lineitem.l_quantity -> NULL where l_orderkey % 37 == 0
+- embeddings.label   -> NULL where vec_id     % 41 == 0
+(embedding vectors themselves stay non-NULL: a NULL vector is a
+schema-contract violation for the ANN tier, not a data condition —
+kernels may assume presence; label NULL exercises the grouping arm)
 
 Usage:
     python fixtures/null_robustness_probe.py [sf_dir] [key ...]
@@ -36,13 +45,24 @@ import duckdb
 
 POISON = {
     "events": "SELECT event_id, CASE WHEN event_id % 11 = 0 THEN NULL ELSE ts END AS ts, "
-    "user_id, event_type, CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value, props "
+    "user_id, CASE WHEN event_id % 29 = 0 THEN NULL ELSE event_type END AS event_type, "
+    "CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value, props "
     "FROM read_parquet('{src}')",
-    "orders": "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    "orders": "SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, "
     "CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate, "
     "o_orderpriority FROM read_parquet('{src}')",
     "documents": "SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text, "
     "lang, source, n_chars FROM read_parquet('{src}')",
+    "customer": "SELECT c_custkey, c_name, c_nationkey, "
+    "CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal, "
+    "CASE WHEN c_custkey % 23 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment "
+    "FROM read_parquet('{src}')",
+    "lineitem": "SELECT * REPLACE (CASE WHEN l_orderkey % 37 = 0 THEN NULL "
+    "ELSE l_quantity END AS l_quantity) FROM read_parquet('{src}')",
+    "embeddings": "SELECT vec_id, embedding, "
+    "CASE WHEN vec_id % 41 = 0 THEN NULL ELSE label END AS label "
+    "FROM read_parquet('{src}')",
 }
 
 TABLES = (

@@ -182,12 +182,21 @@ def q_array_ops(spark, sf_dir):
 )
 def q_struct_json_ops(spark, sf_dir):
     """Struct packing → JSON and JSON-string field extraction (the
-    props column of the events stream)."""
+    props column of the events stream).
+
+    ignoreNullFields=false: Spark's to_json silently DROPS null struct
+    fields by default while DuckDB serializes them as explicit nulls
+    (r10 NULL-robustness probe) — the lossless field-present form is
+    also what a schema-stable JSON consumer wants. The reference's
+    drop-null-props semantics live in their own key, unchanged."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select(
         "event_id",
-        F.to_json(F.struct("event_id", "event_type")).alias("packed"),
+        F.to_json(
+            F.struct("event_id", "event_type"),
+            {"ignoreNullFields": "false"},
+        ).alias("packed"),
         k.alias("k_value"),
         F.when(k > 50, "high").otherwise("low").alias("k_band"),
     )

@@ -42,6 +42,8 @@ KEYS = [
     "repetition-metrics", "trigram-lm-score",
     # branch ladder: completion stamp condition in the oracle
     "roi-sync-pipeline",
+    # to_json must keep null struct fields (ignoreNullFields=false)
+    "struct-json-ops",
     # naturally consistent under NULLs — pinned so that stays true
     "dup-span-detect", "dup-span-rate", "exact-dedup",
 ]
