@@ -32,7 +32,14 @@ def tumbling(
     aggs: Optional[Sequence[Column]] = None,
 ) -> DataFrame:
     """Fixed non-overlapping windows: F.window(ts, duration), emitted
-    as plain window_start/window_end columns."""
+    as plain window_start/window_end columns.
+
+    NULL ``ts`` rows are dropped by Spark's window() itself (batch AND
+    streaming twins — same engine primitive), which matches the
+    event-time policy: an unstamped event belongs to no time bucket.
+    SQL oracles must state the equivalent WHERE ts IS NOT NULL, since
+    a portable GROUP BY would otherwise keep a NULL bucket (r10
+    NULL-robustness probe)."""
     aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("n")]
     return _finish(df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys), aggs)
 
