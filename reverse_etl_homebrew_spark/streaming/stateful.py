@@ -22,7 +22,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = T.StructType(
@@ -117,9 +117,18 @@ def streaming_sessionize(
     """events (user_id, ts TIMESTAMP, value) stream → closed-session
     summaries, one state machine per user. Sessions close either when
     a same-user event arrives past the gap, or when the event-time
-    watermark passes session_end (EventTimeTimeout)."""
+    watermark passes session_end (EventTimeTimeout).
+
+    Event-time policy (r10 NULL-robustness probe): an unstamped event
+    belongs to no session, so NULL ts rows are dropped BEFORE the
+    watermark — Spark's watermark does NOT filter them, they reach the
+    pandas state function as NaT, and ``NaT.timestamp()`` KILLS the
+    whole streaming query on the first such event. The batch twin
+    (operators/windows.session) drops them inside F.session_window;
+    this filter keeps stream ≡ batch on dirty streams too."""
     return (
         events.select("user_id", "ts", "value")
+        .where(F.col("ts").isNotNull())
         .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(

@@ -197,6 +197,58 @@ def test_streaming_sessionize_closes_sessions(spark, tmp_path):
     assert out.count() >= batch.count() - n_users
 
 
+def test_streaming_sessionize_survives_null_event_times(spark, tmp_path):
+    """r10 NULL-robustness: Spark's watermark does NOT filter NULL
+    event times — they used to reach the pandas state function as NaT
+    and NaT.timestamp() killed the whole streaming query on the first
+    unstamped event. The operator now drops them pre-watermark (the
+    batch twin's event-time policy); the query must complete and its
+    closed sessions must still be a subset of the batch sessions over
+    the same (non-null) events."""
+    import datetime as dt
+
+    from reverse_etl_homebrew_spark.operators import windows as WIN
+    from reverse_etl_homebrew_spark.streaming.stateful import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(3):
+        for i in range(6):
+            rows.append((u * 100 + i, base + dt.timedelta(minutes=25 * i), u, "view", 1.0, "{}"))
+        rows.append((u * 100 + 50, None, u, "view", 1.0, "{}"))  # unstamped
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    ev_dir = str(tmp_path / "ev")
+    df.write.parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(df.schema).parquet(ev_dir)
+    )
+    q = (
+        streaming_sessionize(stream, gap_seconds=600.0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # would raise the NaT PythonException pre-fix
+    out = spark.read.parquet(str(tmp_path / "out"))
+    batch = WIN.session(df, "ts", "10 minutes", keys=["user_id"])
+    batch_keys = {
+        (r["user_id"], str(r["window_start"]), r["n"]) for r in batch.collect()
+    }
+    stream_keys = {
+        (r["user_id"], str(r["session_start"]), r["n_events"]) for r in out.collect()
+    }
+    assert stream_keys, "no sessions closed"
+    assert stream_keys <= batch_keys, stream_keys - batch_keys
+    # unstamped events never enter any session on either side
+    assert all(n == 1 for (_, _, n) in batch_keys)
+
+
 def test_arrow_bucketer_matches_codegen_sign_fold(spark):
     """The LSH operators compute buckets in the Arrow hybrid kernel
     (BLAS projection + rigorous error bound + exact-fold fallback for
