@@ -32,10 +32,15 @@ def asof_join(
     pre-aggregate upstream for deterministic results.
 
     Exact ASOF semantics (matches DuckDB's native ASOF JOIN, the
-    oracle twin): a NULL timestamp never matches on EITHER side (SQL
-    comparison with NULL is not true) — NULL-ts right rows are
-    filtered out, NULL-ts left rows sort before every surviving right
-    row and get NULL payloads; and the MATCHED row's payload is
+    oracle twin): a NULL timestamp OR a NULL join key never matches on
+    EITHER side (SQL comparison with NULL is not true) — NULL-ts and
+    NULL-key right rows are filtered out, NULL-ts left rows sort
+    before every surviving right row and get NULL payloads, and a
+    NULL-key left row lands in a partition with no right rows at all
+    (Window.partitionBy groups NULL keys together, so an unfiltered
+    NULL-key right row would otherwise hand its payload to NULL-key
+    left rows — a divergence from SQL equality, which never matches
+    NULL = NULL); and the MATCHED row's payload is
     returned verbatim, NULL included. The payloads therefore travel as
     ONE struct column (non-NULL for every right row), so the running
     ``last(ignorenulls)`` tracks row PRESENCE, never payload nullness
@@ -55,7 +60,9 @@ def asof_join(
         F.struct(*lcols).alias("__left"),
         F.lit(None).cast(p_type).alias("__p"),
     )
-    r_tagged = right.where(F.col(right_ts).isNotNull()).select(
+    r_tagged = right.where(
+        F.col(right_ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),

@@ -1,11 +1,13 @@
 """asof_join edge semantics (operators/temporal_joins.py) against a
 plain Python model of exact ASOF JOIN semantics (DuckDB's native form,
-the oracle twin): NULL timestamps never match on either side, and the
-MATCHED row's payload is returned verbatim — NULL included. Both arms
-were real holes found by the randomized property here (a NULL-ts right
-row used to sort first and match everything; a matched-but-NULL
-payload used to be skipped by the per-column last(ignorenulls),
-resurrecting an older row's value).
+the oracle twin): NULL timestamps never match on either side, NULL
+join keys never match (SQL equality is never true on NULL — but
+Window.partitionBy groups NULL keys into ONE partition, so an
+unfiltered NULL-key right row would hand its payload to NULL-key left
+rows), and the MATCHED row's payload is returned verbatim — NULL
+included. All three arms were real holes: the first two found by the
+randomized property here, the NULL-key one by the round-11 advisor
+(a NULL-key left row inherited a NULL-key right row's payload).
 """
 
 from __future__ import annotations
@@ -21,9 +23,9 @@ def _model(left, right, inclusive):
     out = {}
     for k, lts, tag in left:
         best = None
-        if lts is not None:
+        if lts is not None and k is not None:
             for rk, rts, p in right:
-                if rk != k or rts is None:
+                if rk is None or rk != k or rts is None:
                     continue
                 if (rts <= lts) if inclusive else (rts < lts):
                     if best is None or rts > best[0]:
@@ -59,6 +61,14 @@ def test_null_ts_left_row_gets_null_payload(spark):
     assert _run(spark, left, right, True) == {"L3": None}
 
 
+def test_null_key_rows_never_match_each_other(spark):
+    # SQL equality never matches NULL = NULL; Window.partitionBy
+    # would group them together without the right-side key filter.
+    left = [(None, "2020-01-05", "LN"), (5, "2020-01-05", "L5")]
+    right = [(None, "2020-01-01", "NULL-KEY-PAYLOAD"), (5, "2020-01-01", "P")]
+    assert _run(spark, left, right, True) == {"LN": None, "L5": "P"}
+
+
 def test_inclusive_flag_controls_equal_ts_match(spark):
     left = [(4, "2020-01-02", "L4")]
     right = [(4, "2020-01-02", "SAME")]
@@ -66,11 +76,12 @@ def test_inclusive_flag_controls_equal_ts_match(spark):
     assert _run(spark, left, right, False) == {"L4": None}
 
 
-# keys 0-2, days 1-6 (or NULL), payload small token (or NULL); right
-# side unique per (key, ts) by construction (dict-dedup)
+# keys 0-2 (or NULL), days 1-6 (or NULL), payload small token (or
+# NULL); right side unique per (key, ts) by construction (dict-dedup)
+KEYS = st.one_of(st.none(), st.integers(0, 2))
 LEFTS = st.lists(
     st.tuples(
-        st.integers(0, 2),
+        KEYS,
         st.one_of(st.none(), st.integers(1, 6)),
     ),
     min_size=1,
@@ -78,7 +89,7 @@ LEFTS = st.lists(
 )
 RIGHTS = st.lists(
     st.tuples(
-        st.integers(0, 2),
+        KEYS,
         st.one_of(st.none(), st.integers(1, 6)),
         st.one_of(st.none(), st.integers(0, 9)),
     ),
