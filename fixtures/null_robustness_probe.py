@@ -15,16 +15,26 @@ Poisoning (deterministic):
 - events.ts          -> NULL where event_id   % 11 == 0
 - events.value       -> NULL where event_id   % 23 == 0
 - events.event_type  -> NULL where event_id   % 29 == 0
+- events.user_id     -> NULL where event_id   % 43 == 0
 - orders.o_orderdate -> NULL where o_orderkey % 13 == 0
 - orders.o_totalprice-> NULL where o_orderkey % 31 == 0
+- orders.o_custkey   -> NULL where o_orderkey % 47 == 0
 - documents.text     -> NULL where doc_id     % 17 == 0
+- documents.doc_id   -> NULL where doc_id     % 53 == 0
 - customer.c_acctbal -> NULL where c_custkey  % 19 == 0
 - customer.c_mktsegment -> NULL where c_custkey % 23 == 0
 - lineitem.l_quantity -> NULL where l_orderkey % 37 == 0
 - embeddings.label   -> NULL where vec_id     % 41 == 0
 (embedding vectors themselves stay non-NULL: a NULL vector is a
 schema-contract violation for the ANN tier, not a data condition —
-kernels may assume presence; label NULL exercises the grouping arm)
+kernels may assume presence; label NULL exercises the grouping arm.
+The join/grouping-key arms — user_id, o_custkey, doc_id — exist
+because the r11 advisor showed the divergence class they expose is
+structurally invisible to value-column poison: Spark window
+partitionBy groups NULL keys into ONE partition while SQL equality
+never matches NULL keys, so any operator implemented as a window on
+one engine and a join on the other can silently hand a NULL-key row
+another NULL-key row's payload, exactly as asof_join did.)
 
 Usage:
     python fixtures/null_robustness_probe.py [sf_dir] [key ...]
@@ -45,14 +55,18 @@ import duckdb
 
 POISON = {
     "events": "SELECT event_id, CASE WHEN event_id % 11 = 0 THEN NULL ELSE ts END AS ts, "
-    "user_id, CASE WHEN event_id % 29 = 0 THEN NULL ELSE event_type END AS event_type, "
+    "CASE WHEN event_id % 43 = 0 THEN NULL ELSE user_id END AS user_id, "
+    "CASE WHEN event_id % 29 = 0 THEN NULL ELSE event_type END AS event_type, "
     "CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value, props "
     "FROM read_parquet('{src}')",
-    "orders": "SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "orders": "SELECT o_orderkey, "
+    "CASE WHEN o_orderkey % 47 = 0 THEN NULL ELSE o_custkey END AS o_custkey, "
+    "o_orderstatus, "
     "CASE WHEN o_orderkey % 31 = 0 THEN NULL ELSE o_totalprice END AS o_totalprice, "
     "CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderdate END AS o_orderdate, "
     "o_orderpriority FROM read_parquet('{src}')",
-    "documents": "SELECT doc_id, CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text, "
+    "documents": "SELECT CASE WHEN doc_id % 53 = 0 THEN NULL ELSE doc_id END AS doc_id, "
+    "CASE WHEN doc_id % 17 = 0 THEN NULL ELSE text END AS text, "
     "lang, source, n_chars FROM read_parquet('{src}')",
     "customer": "SELECT c_custkey, c_name, c_nationkey, "
     "CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal, "

@@ -38,10 +38,16 @@ def content_dedup(
     deterministic. ``id_col`` must be unique per row; it defaults to
     the frame's first column only for backward compatibility — pass it
     explicitly (a non-unique first column would make the survivor
-    partition-order dependent)."""
+    partition-order dependent).
+
+    NULL-id policy (r11 NULL-key probe): NULLS LAST, explicit on both
+    engines — the survivor should be an identifiable row, so a
+    NULL-id duplicate only survives when no non-NULL twin exists
+    (Spark ASC would otherwise sort NULLS FIRST and elect the NULL-id
+    row, while SQL ASC defaults NULLS LAST)."""
     order_col = id_col if id_col is not None else df.columns[0]
     fp = df.withColumn("__fp", TX.sha_fingerprint(text_col))
-    w = W.partitionBy("__fp").orderBy(F.col(order_col))
+    w = W.partitionBy("__fp").orderBy(F.col(order_col).asc_nulls_last())
     return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
         "__rn", "__fp"
     )
@@ -676,7 +682,15 @@ def dup_span_rate(
     the window stream twice, so it LOSES on memory-bound local
     shuffles (measured 2.89 → 3.75 s at 1×) and pays only on
     network-bound clusters with long windows — see the WHEN TO USE
-    WHICH note on ``duplicate_spans``."""
+    WHICH note on ``duplicate_spans``.
+
+    NULL-id policy (r11 NULL-key probe): windows of NULL-``id_col``
+    docs still count toward the corpus-wide window frequencies (the
+    duplication signal is real regardless of labeling), but the
+    per-doc REPORT covers identified docs only — the doc-keyed
+    group-and-join-back otherwise collapses every NULL-id doc into
+    one group whose counts then vanish in the equality join, silently
+    reporting 0 dup spans for each of them."""
     from ..functions.exactmath import guard_den, round6_int_ratio
 
     if carry not in ("win", "hash"):
@@ -707,12 +721,15 @@ def dup_span_rate(
             .select("win")
         )
         dup_occ = cand_occ.select(id_col, "win").join(true_dups, "win")
-    dup_counts = dup_occ.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_spans")
+    dup_counts = (
+        dup_occ.where(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
     totals = (
         df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt"))
         .where(F.size("__tt") >= n)
+        .where(F.col(id_col).isNotNull())
         .select(
             id_col,
             (F.size("__tt") - F.lit(n - 1)).cast("long").alias("n_spans"),
@@ -731,6 +748,72 @@ def dup_span_rate(
         "n_dup_spans",
         round6_int_ratio("n_dup_spans", guard_den("n_spans")).alias("dup_rate"),
     )
+
+
+def build_span_index(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """The accepted-corpus span index: the DISTINCT length-``n`` token
+    windows of the corpus, one narrow string column ``win``. In
+    production this is a persisted bucketed table on ``win`` (the same
+    layout discipline as the IVM state table): the nightly
+    ``incremental_dup_spans`` probe then joins batch windows against
+    it WITHOUT shuffling the index — only the (small) new batch's
+    windows move. Append-only maintenance: union the accepted batch's
+    windows and re-distinct within buckets."""
+    return token_span_windows(corpus, text_col, id_col, n).select("win").distinct()
+
+
+def incremental_dup_spans(
+    new_batch: DataFrame,
+    span_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    index_win_col: str = "win",
+) -> DataFrame:
+    """Span-level incremental dedup — the nightly-ingest twin of
+    ``duplicate_spans``, completing the ``exact-dedup →
+    incremental-dedup`` pattern at span granularity: every length-``n``
+    token window of a NEW batch that is already duplicated, either
+    against the accepted corpus' span index (cross-batch) or across
+    more than one document of the batch itself (within-batch) →
+    ``(win, n_docs, n_spans, in_index)``. ``n_docs``/``n_spans`` are
+    batch-side frequencies; ``in_index`` marks the cross-batch arm.
+
+    Scale shape (the ``incremental_dedup`` anti-join discipline lifted
+    to spans): the batch's windows take ONE hash shuffle on the window
+    key (count-distinct as a partial-agg expand over the same
+    exchange), then the per-window rows — already distinct, so
+    batch-vocabulary-sized, far smaller than the occurrence stream —
+    left-join the index on ``win``. With the index bucketed on ``win``
+    (see ``build_span_index``) that join co-locates without moving the
+    index; cost per ingest is O(batch tokens), never a full-corpus
+    re-scan. A NULL-text or short doc contributes no windows (strict
+    ``token_span_windows`` semantics), so poisoned batches cannot
+    inject degenerate windows."""
+    wins = token_span_windows(new_batch, text_col, id_col, n)
+    idx = (
+        span_index.select(F.col(index_win_col).alias("win"))
+        .where(F.col("win").isNotNull())
+        .distinct()
+    )
+    counted = wins.groupBy("win").agg(
+        F.countDistinct(id_col).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    flagged = counted.join(
+        idx.select("win", F.lit(True).alias("__in_index")), ["win"], "left"
+    ).select(
+        "win",
+        "n_docs",
+        "n_spans",
+        F.coalesce(F.col("__in_index"), F.lit(False)).alias("in_index"),
+    )
+    return flagged.where(F.col("in_index") | (F.col("n_docs") > 1))
 
 
 def _pruned_grams(

@@ -65,11 +65,30 @@ def merge_rollup_state(state: DataFrame, delta: DataFrame, key: str) -> DataFram
     side keeps that side's bound). Full-outer on the rollup key; with
     the state table bucketed by ``key`` the join co-partitions and
     only the delta side shuffles. Output has the same shape as the
-    inputs — the merge is closed, so batches fold in indefinitely."""
+    inputs — the merge is closed, so batches fold in indefinitely.
+
+    NULL-group handling (r11 NULL-key probe): GROUP BY treats NULL as
+    a real group on both engines, but an equality join never matches
+    NULL keys — a NULL-key state row and a NULL-key delta row would
+    stay permanently unmerged (two output rows where the recompute
+    has one). An eqNullSafe join would fix that but wraps the join
+    key in coalesce/isnull expressions, which defeats the bucketed
+    state scan (measured: 'Bucketed: true' disappears from the plan).
+    Instead the NULL group — AT MOST ONE ROW PER SIDE, since inputs
+    are post-group-by states — takes a separate union + re-aggregate
+    branch whose fold algebra is identical (SQL SUM/MIN/MAX skip
+    NULLs, and SUM of an all-NULL set stays NULL — the s6 identity);
+    the non-NULL bulk keeps the plain equality join and its zero-
+    state-shuffle bucketed plan."""
     zero6 = F.lit(0).cast("decimal(38,6)")
-    return (
-        state.alias("s")
-        .join(delta.alias("d"), [key], "full_outer")
+    merged_nn = (
+        state.where(F.col(key).isNotNull())
+        .alias("s")
+        .join(
+            delta.where(F.col(key).isNotNull()).alias("d"),
+            [key],
+            "full_outer",
+        )
         .select(
             key,
             (
@@ -94,3 +113,15 @@ def merge_rollup_state(state: DataFrame, delta: DataFrame, key: str) -> DataFram
             F.greatest(F.col("s.hi"), F.col("d.hi")).alias("hi"),
         )
     )
+    null_group = (
+        state.where(F.col(key).isNull())
+        .unionByName(delta.where(F.col(key).isNull()))
+        .groupBy(key)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s6").alias("s6"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    return merged_nn.unionByName(null_group)

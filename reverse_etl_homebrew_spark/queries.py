@@ -379,13 +379,20 @@ def q_tiered_match_join(spark, sf_dir):
 @register(
     "anti-join",
     sql="""
-    SELECT o_orderkey, o_custkey FROM orders
-    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
     """,
 )
 def q_anti_join(spark, sf_dir):
     """Unresolved-parent quarantine branch (roi-patient anti-join,
-    main.py:743-774)."""
+    main.py:743-774).
+
+    Oracle is NOT EXISTS, not NOT IN: Spark's left_anti has NOT
+    EXISTS semantics (a NULL-key probe row matches nothing, so it is
+    KEPT — an unresolvable row belongs in the quarantine), while SQL
+    NOT IN silently drops NULL probe rows and empties the whole
+    result if the subquery yields a NULL (r11 NULL-key probe)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     resolved = (
         _t(spark, sf_dir, "customer")

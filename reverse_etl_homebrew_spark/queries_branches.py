@@ -357,13 +357,18 @@ def q_ambiguity_multi(spark, sf_dir):
 @register(
     "roi-patient-anti-join",
     sql="""
-    SELECT o_orderkey, o_custkey FROM orders
-    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
     """,
 )
 def q_roi_patient_anti_join(spark, sf_dir):
     """ROIs whose patient cannot be resolved → DLQ branch
-    (main.py:743-774): left-anti against the resolvable-patient set."""
+    (main.py:743-774): left-anti against the resolvable-patient set.
+
+    Oracle is NOT EXISTS (= Spark left_anti): a NULL-key ROI cannot
+    resolve and belongs in the DLQ; SQL NOT IN would silently drop it
+    (r11 NULL-key probe)."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     resolvable = (
         _t(spark, sf_dir, "customer")

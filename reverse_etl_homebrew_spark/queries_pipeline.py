@@ -74,11 +74,13 @@ def q_patient_sync_pipeline(spark, sf_dir):
       SELECT CASE WHEN o_orderkey % 11 = 0 AND o_orderdate IS NOT NULL
                     THEN 'skip_processed'
                   WHEN o_orderkey % 13 = 0 THEN 'skip_override'
+                  -- a NULL parent key cannot resolve through the
+                  -- equality tier cascade -> DLQ (r11 NULL-key probe;
+                  -- every NON-NULL o_custkey resolves by FK integrity)
+                  WHEN o_custkey IS NULL THEN 'dlq_unresolved'
                   WHEN o_orderkey % 7 = 0 THEN 'update'
                   ELSE 'create' END AS outcome
       FROM orders
-      -- every o_custkey resolves via the tier cascade (FK integrity),
-      -- so the dlq_unresolved branch is empty on this mapping
     ) GROUP BY outcome
     """,
 )

@@ -135,14 +135,16 @@ def q_doc_fingerprint(spark, sf_dir):
     SELECT doc_id, lang, source FROM (
       SELECT doc_id, lang, source,
              row_number() OVER (PARTITION BY sha256({_NORM_SQL.format(c='text')})
-                                ORDER BY doc_id) AS rn
+                                ORDER BY doc_id NULLS LAST) AS rn
       FROM documents
     ) WHERE rn = 1
     """,
 )
 def q_exact_dedup(spark, sf_dir):
     """Exact-content dedup: one survivor (lowest doc_id) per
-    normalized-text fingerprint."""
+    normalized-text fingerprint. NULLS LAST explicit on both sides: a
+    NULL-id duplicate survives only when no identifiable twin exists
+    (r11 NULL-key probe)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     return DD.content_dedup(d, "text").select("doc_id", "lang", "source")
 
@@ -161,21 +163,27 @@ def q_exact_dedup(spark, sf_dir):
              len(list_filter(tt, t -> t IN ('el','la','los','y','es','no','por','que','las','una'))) AS h_es,
              len(list_filter(tt, t -> t IN ('le','la','les','et','est','pas','pour','que','des','une'))) AS h_fr
       FROM toks
-    ), unpivoted AS (
-      SELECT doc_id, 'de' AS lang, h_de AS hits FROM hits
-      UNION ALL SELECT doc_id, 'en', h_en FROM hits
-      UNION ALL SELECT doc_id, 'es', h_es FROM hits
-      UNION ALL SELECT doc_id, 'fr', h_fr FROM hits
     )
-    SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
-    FROM unpivoted
-    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) = 1
+    SELECT doc_id,
+           CASE WHEN coalesce(greatest(h_de, h_en, h_es, h_fr), 0) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM hits
     """,
 )
 def q_lang_id(spark, sf_dir):
     """Stopword-marker language identification (deterministic n-gram
     heuristic; the production swap-in is a model UDF with the same
-    column signature)."""
+    column signature).
+
+    The oracle is a per-row argmax CASE (ties break toward the
+    lexicographically LAST language, matching the engine), not an
+    unpivot + QUALIFY-over-doc_id: partitioning by doc_id silently
+    assumes id uniqueness, and the r11 NULL-key probe showed all
+    NULL-id docs collapsing into one partition — the Spark side is
+    per-row map-side and never grouped."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
@@ -389,10 +397,15 @@ _CLUSTER_SURVIVORS_SQL = f"""WITH RECURSIVE {_JACCARD_CTES}, edges AS (
 ), comp AS (
   SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
 )
-SELECT doc_id FROM documents
+SELECT doc_id FROM documents d
 WHERE text IS NOT NULL
-  AND doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+  AND NOT EXISTS (SELECT 1 FROM comp
+                  WHERE comp.id = d.doc_id AND comp.id <> comp.component)
 """
+# ^ NOT EXISTS, not NOT IN: the engine's survivor filter is a
+# left_anti join, and SQL NOT IN silently drops NULL-id docs (which
+# are singletons — no pair edge can reach a NULL id — and therefore
+# survive on the engine side). r11 NULL-key probe.
 
 
 @register("fuzzy-dedup", sql=_EXACT_JACCARD_SQL)
@@ -532,6 +545,7 @@ _DUP_SPAN_RATE_SQL = sql_round6_int_ratio("n_dup_spans", sql_guard_den("n_spans"
              CAST(count(*) AS BIGINT) AS n_spans,
              CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
       FROM wins JOIN wc USING (win)
+      WHERE doc_id IS NOT NULL
       GROUP BY doc_id
     )
     SELECT doc_id, n_spans, n_dup_spans, {_DUP_SPAN_RATE_SQL} AS dup_rate
@@ -545,9 +559,51 @@ def q_dup_span_rate(spark, sf_dir):
     signal the filtering recipes threshold on. Two shuffles on the
     window key (count + join back) then one on doc_id; the join reuses
     the window-key partitioning. Exact integer 6-decimal rounding so
-    both engines agree at .5e-7 cuts."""
+    both engines agree at .5e-7 cuts. NULL-id docs' windows still feed
+    the corpus frequencies (wc) but the per-doc report is identified
+    docs only — explicit on both sides (r11 NULL-key probe)."""
     return DD.dup_span_rate(
         _t(spark, sf_dir, "documents"), "text", "doc_id", _SPAN_L
+    )
+
+
+@register(
+    "incremental-dup-spans",
+    sql=rf"""
+    WITH {_SPAN_WINS_SQL}, batch AS (
+      SELECT * FROM wins WHERE doc_id % 10 = 0
+    ), idx AS (
+      SELECT DISTINCT win FROM wins WHERE doc_id % 10 <> 0
+    ), counted AS (
+      SELECT win,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM batch GROUP BY win
+    )
+    SELECT c.win, c.n_docs, c.n_spans, (i.win IS NOT NULL) AS in_index
+    FROM counted c LEFT JOIN idx i ON c.win = i.win
+    WHERE i.win IS NOT NULL OR c.n_docs > 1
+    """,
+)
+def q_incremental_dup_spans(spark, sf_dir):
+    """Span-level incremental dedup: the doc_id % 10 = 0 slice plays
+    the NEW ingest batch, the rest of the corpus the accepted history
+    whose distinct windows form the span index. Flags every batch
+    window already present in the index (cross-batch) or occurring in
+    >1 batch document (within-batch). One window-key shuffle over the
+    BATCH only plus a batch-vocabulary-sized left join against the
+    (bucketed, in production) index — per-ingest cost O(batch tokens),
+    never a corpus re-scan. Oracle: the same split brute-forced in
+    SQL."""
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    accepted = d.filter(F.col("doc_id") % 10 != 0)
+    return DD.incremental_dup_spans(
+        batch,
+        DD.build_span_index(accepted, "text", "doc_id", _SPAN_L),
+        "text",
+        "doc_id",
+        _SPAN_L,
     )
 
 
@@ -560,16 +616,16 @@ def q_dup_span_rate(spark, sf_dir):
       FROM documents WHERE text IS NOT NULL
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
-    ), grams AS (
-      SELECT id, array_to_string(w[i:i+1], ' ') AS g
-      FROM toks, unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
+    ), g AS (
+      SELECT id, list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                i -> array_to_string(w[i:i+1], ' ')) AS grams
+      FROM toks
     )
     SELECT id AS doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams,
-           1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
-    FROM grams
-    GROUP BY id
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_bigrams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS dup_frac
+    FROM g
     """,
 )
 def q_repetition_metrics(spark, sf_dir):
@@ -579,7 +635,13 @@ def q_repetition_metrics(spark, sf_dir):
     zero shuffle before the (already doc-keyed) projection; at 100 TB
     this runs at scan speed. NULL-text docs are out of scope on both
     sides (r10 NULL-robustness probe — the gram floor otherwise gives
-    the two engines different degenerate rows for them)."""
+    the two engines different degenerate rows for them).
+
+    The oracle is per-row list math (len/list_distinct over the gram
+    LIST), not unnest + GROUP BY id: grouping silently assumes doc_id
+    uniqueness, and the r11 NULL-key probe showed all NULL-id docs
+    collapsing into one oracle row while the engine — correctly —
+    stays per-row map-side."""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", F.split(TX.normalized_text(F.col("text")), " ").alias("__toks")
@@ -843,7 +905,7 @@ def q_topk_similarity_lsh(spark, sf_dir):
     WITH t AS (
       SELECT lang, doc_id,
              len(regexp_extract_all(trim(text), '\S+')) AS tokens
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ), c AS (
       SELECT lang, doc_id, tokens,
              SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -861,9 +923,17 @@ def q_pack_sequences(spark, sf_dir):
     training sequences, per language shard: running token cumsum →
     bin id. The window partitions by lang (bounded state per key) —
     never a global single-partition ordering; at corpus scale the
-    partition key becomes (lang, shard)."""
-    t = _t(spark, sf_dir, "documents").select(
-        "lang", "doc_id", TX.token_count(F.col("text")).alias("tokens")
+    partition key becomes (lang, shard).
+
+    Packing is an ORDERED layout keyed by doc identity, so NULL-id
+    docs are out of scope on both sides (r11 NULL-key probe): they
+    have no position in the doc_id total order — several of them tie,
+    making the cumsum (and thus every later bin boundary) engine- and
+    partition-order-dependent. Upstream identity repair owns them."""
+    t = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("lang", "doc_id", TX.token_count(F.col("text")).alias("tokens"))
     )
     w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     c = t.withColumn("cum", F.sum("tokens").over(w))
@@ -929,7 +999,8 @@ def q_split_assign(spark, sf_dir):
     SELECT lang, doc_id FROM (
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
-                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)) NULLS LAST,
+                                         doc_id NULLS LAST) AS rn
       FROM documents
     ) WHERE rn <= 50
     """,
@@ -937,9 +1008,18 @@ def q_split_assign(spark, sf_dir):
 def q_quota_sample(spark, sf_dir):
     """Class-balanced quota sampling: at most N documents per class,
     chosen by hash order (deterministic shuffle) — the standard
-    rebalancing step before training-mix assembly."""
+    rebalancing step before training-mix assembly.
+
+    NULLS LAST explicit on both sides (r11 NULL-key probe): md5(NULL)
+    is NULL, and Spark's ASC default would put every NULL-id doc at
+    the head of its class quota while SQL's puts them last — an
+    unidentifiable doc should only be sampled when the quota is
+    otherwise unfilled."""
     d = _t(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
+    )
     return (
         d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 50)

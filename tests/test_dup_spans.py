@@ -15,8 +15,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from reverse_etl_homebrew_spark.operators.dedup import (
+    build_span_index,
     dup_span_rate,
     duplicate_spans,
+    incremental_dup_spans,
     token_span_windows,
 )
 
@@ -137,6 +139,84 @@ def test_hash_carry_equals_string_carry(spark):
             map(tuple, op(df, "text", "doc_id", L, carry="hash").collect())
         )
         assert a == b
+
+
+# --- incremental span dedup: new batch vs accepted-corpus index ---
+# Accepted corpus: docs 1/2/5 (they share "a b c d e f g h").
+# New batch plants every arm:
+# - 10 carries the accepted window                  -> cross-batch dup
+# - 11 and 12 share "m1 m2 m3 m4 m5 m6 m7 m8",
+#   absent from the corpus                          -> within-batch dup
+# - 13 repeats its own window WITHIN one doc only   -> NOT flagged
+#   (n_docs == 1, not in index — same standard as duplicate_spans)
+# - 14 is all-fresh single-doc text                 -> NOT flagged
+# - 15 is one token short of a window               -> no windows
+ACCEPTED = [d for d in DOCS if d[0] in (1, 2, 5)]
+BATCH = [
+    (10, "zz a b c d e f g h qq"),
+    (11, "m1 m2 m3 m4 m5 m6 m7 m8 tail1"),
+    (12, "head m1 m2 m3 m4 m5 m6 m7 m8"),
+    (13, "s1 s2 s3 s4 s5 s6 s7 s8 X s1 s2 s3 s4 s5 s6 s7 s8"),
+    (14, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+    (15, "only seven tokens live in here now"),
+]
+
+
+def _brute_incremental():
+    idx = {w for _, t in ACCEPTED for w in _windows(t)}
+    wins = [(i, w) for i, t in BATCH for w in _windows(t)]
+    by_docs, counts = {}, Counter(w for _, w in wins)
+    for i, w in wins:
+        by_docs.setdefault(w, set()).add(i)
+    return {
+        w: (len(by_docs[w]), counts[w], w in idx)
+        for w in counts
+        if w in idx or len(by_docs[w]) > 1
+    }
+
+
+def test_incremental_dup_spans_matches_brute_force(spark):
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    accepted = spark.createDataFrame(ACCEPTED, "doc_id long, text string")
+    idx = build_span_index(accepted, "text", "doc_id", L)
+    got = {
+        r["win"]: (r["n_docs"], r["n_spans"], r["in_index"])
+        for r in incremental_dup_spans(batch, idx, "text", "doc_id", L).collect()
+    }
+    expected = _brute_incremental()
+    assert got == expected
+    # each planted arm actually fired
+    assert got["a b c d e f g h"] == (1, 1, True)          # cross-batch
+    assert got["m1 m2 m3 m4 m5 m6 m7 m8"] == (2, 2, False)  # within-batch
+    assert all(not w.startswith("s1 ") for w in got)        # self-repeat only
+    assert all(not w.startswith("f1 ") for w in got)        # fresh text
+
+
+def test_incremental_dup_spans_partition_invariant(spark):
+    batch = spark.createDataFrame(BATCH, "doc_id long, text string")
+    idx = build_span_index(
+        spark.createDataFrame(ACCEPTED, "doc_id long, text string"),
+        "text",
+        "doc_id",
+        L,
+    )
+    a = sorted(
+        map(
+            tuple,
+            incremental_dup_spans(
+                batch.repartition(1), idx, "text", "doc_id", L
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            incremental_dup_spans(
+                batch.repartition(7), idx.repartition(3), "text", "doc_id", L
+            ).collect(),
+        )
+    )
+    assert a == b
 
 
 def test_bad_carry_rejected(spark):

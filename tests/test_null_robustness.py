@@ -12,6 +12,22 @@ the same poisoned data so the class can't regress.
 
 The full-registry probe stays available as the fixture script; this
 gate runs the affected subset to keep suite time bounded.
+
+Round 11 added the NULL-JOIN-KEY poison arms (events.user_id,
+orders.o_custkey, documents.doc_id — the advisor's blind spot:
+value-column poison can never expose divergences in how the two
+engines treat NULL *keys*) and caught 11 more silent wrong-answer
+keys: the NOT IN NULL trap in anti-join oracles (engine left_anti is
+NOT EXISTS), window partitionBy grouping NULL keys where the oracle
+joins on equality (asof-join), oracles that GROUP BY a non-unique
+doc_id where the engine is per-row map-side (lang-id,
+repetition-metrics), NULL-id survivor election (exact-dedup NULLS
+LAST), NULL-id docs at every quota head (quota-sample md5(NULL)),
+per-doc report scope (dup-span-rate), packing-order determinism
+(pack-sequences), the IVM merge's equality join never merging the
+NULL group (incremental-agg-merge), and the resolution ladder's
+NULL-parent DLQ branch (roi-sync-pipeline). All fixed with explicit
+two-sided policies; their keys are pinned below.
 """
 
 from __future__ import annotations
@@ -46,6 +62,18 @@ KEYS = [
     "struct-json-ops",
     # naturally consistent under NULLs — pinned so that stays true
     "dup-span-detect", "dup-span-rate", "exact-dedup",
+    # --- r11 NULL-key arms (user_id / o_custkey / doc_id) ---
+    # NOT IN -> NOT EXISTS oracle fixes (engine left_anti semantics)
+    "anti-join", "roi-patient-anti-join",
+    # oracle assumed doc_id uniqueness (GROUP BY / QUALIFY collapse)
+    "lang-id",
+    # NULL-id policies: survivor NULLS LAST / quota NULLS LAST /
+    # report scope / packing scope
+    "quota-sample", "pack-sequences",
+    # NULL group must merge like GROUP BY groups it
+    "incremental-agg-merge",
+    # new span op, NULL-key-consistent from birth
+    "incremental-dup-spans",
 ]
 
 

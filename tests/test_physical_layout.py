@@ -86,8 +86,11 @@ def test_ivm_merge_state_side_is_shuffle_free_when_bucketed(spark, tmp_path):
     state bucketed by the merge key, the full-outer merge join reads
     state IN PLACE — the only Exchanges in the plan belong to the
     delta side's partial aggregation. Measured as a DIFFERENTIAL:
-    the same merge against un-bucketed state pays exactly one more
-    Exchange (the state-side shuffle the bucketing removes)."""
+    the same merge against un-bucketed state pays exactly two more
+    Exchanges — the state side of the full-outer join AND the
+    NULL-group branch's re-aggregate (r11: the NULL group merges via
+    a separate union+agg branch, which also reads bucketed state
+    pre-distributed on the key)."""
     from reverse_etl_homebrew_spark.operators.merge import (
         merge_rollup_state,
         rollup_partial,
@@ -136,10 +139,11 @@ def test_ivm_merge_state_side_is_shuffle_free_when_bucketed(spark, tmp_path):
         assert "SortMergeJoin" in bucketed
         assert "Bucketed: true" in bucketed
         # the state side must NOT re-shuffle on the merge key: the
-        # bucketed plan has exactly one less Exchange than the plain
-        # plan (the delta side's shuffles are identical in both)
+        # bucketed plan has exactly two less Exchanges than the plain
+        # plan (join state side + NULL-group agg; the delta side's
+        # shuffles are identical in both)
         n_b, n_p = bucketed.count("Exchange"), plain.count("Exchange")
-        assert n_b == n_p - 1, (n_b, n_p)
+        assert n_b == n_p - 2, (n_b, n_p)
         # and no Exchange consumes the bucketed scan: within the SMJ's
         # state branch the scan feeds a Sort, never a shuffle
         assert "hashpartitioning(o_custkey" not in bucketed.split(
