@@ -989,6 +989,21 @@ def _mp4_features(payload: bytes) -> Tuple[list, Optional[int], str]:
         n_samples = len(tab["samples"])
     except ValueError:
         n_samples = 0  # mvhd-only container: duration but no trak
+    # corruption gates (r11 media poison probe): bytes that parse as
+    # NO container at all (no mvhd, no trak — e.g. garbage under a
+    # lying mime) and sample tables whose declared byte ranges extend
+    # past the payload (truncation) must fail LOUD into the per-row
+    # DLQ — the silent path previously fell back to stub features,
+    # masking real corruption as a decode success.
+    if duration_ms is None and tab is None:
+        raise ValueError("not an mp4 container (no mvhd/trak parsed)")
+    if tab is not None:
+        end = len(payload)
+        for _idx, _ts, off, size in tab["samples"]:
+            if off + size > end:
+                raise ValueError(
+                    "corrupt mp4: sample data extends past payload end"
+                )
     content = None
     source = "stub-hash"
     if tab is not None and tab["codec"] == "raw ":

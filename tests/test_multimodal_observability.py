@@ -63,6 +63,87 @@ def test_frame_sampling_counts(media):
         assert r["count"] == expected
 
 
+# --- media-tier poison (fixtures/media_poison_probe.py, VERDICT r10
+# #5): truncated IDAT, empty/NULL payloads, garbage bytes, mime lies,
+# lying dimensions, NULL metadata — every failure must land as a
+# decode_ok=false ROW (the per-row media DLQ), never a task failure,
+# and metadata must never be trusted for content ---
+
+
+@pytest.fixture(scope="module")
+def poisoned_media(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "fixtures"))
+    from media_poison_probe import BROKEN_ARMS, poisoned_media_table
+
+    df, arms = poisoned_media_table(spark, 120)
+    rows = {r["media_id"]: r for r in decode_and_featurize(df).collect()}
+    return rows, arms, BROKEN_ARMS
+
+
+def test_media_poison_no_task_failure_and_row_counts(poisoned_media):
+    rows, arms, _ = poisoned_media
+    # the collect above succeeding IS the no-task-failure assertion;
+    # every input row must come back exactly once
+    assert sorted(rows) == sorted(arms)
+
+
+def test_media_poison_every_corrupt_row_is_dlq(poisoned_media):
+    rows, arms, broken = poisoned_media
+    for mid, arm in arms.items():
+        r = rows[mid]
+        if arm in broken:
+            assert r["decode_ok"] is False, (mid, arm)
+            assert r["feature"] is None and r["dec_width"] is None
+        else:
+            assert r["decode_ok"] is True, (mid, arm)
+
+
+def test_media_poison_dimensions_come_from_bytes_not_metadata(spark, poisoned_media):
+    """Arm 6 inflates metadata width/height/duration 10x with the
+    payload untouched: the decode must succeed and report the BYTE-
+    derived dimensions, proving lying metadata can't poison content."""
+    rows, arms, _ = poisoned_media
+    from reverse_etl_homebrew_spark.multimodal.binary import _fake_media_rows
+
+    truth = {mid: meta for mid, _p, meta in _fake_media_rows(120)}
+    checked = 0
+    for mid, arm in arms.items():
+        if arm != 6:
+            continue
+        r = rows[mid]
+        kind, _mime, w, h, dur, _size = truth[mid]
+        assert r["decode_ok"] is True
+        if kind == "image":
+            assert (r["dec_width"], r["dec_height"]) == (w, h), mid
+            checked += 1
+        elif kind == "audio":
+            assert r["dec_duration_ms"] == dur, mid
+            checked += 1
+    assert checked > 0
+
+
+def test_media_poison_decode_is_deterministic(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "fixtures"))
+    from media_poison_probe import poisoned_media_table
+
+    df, _ = poisoned_media_table(spark, 60)
+    a = sorted(
+        (r["media_id"], r["decode_ok"], tuple(r["feature"] or []))
+        for r in decode_and_featurize(df).collect()
+    )
+    b = sorted(
+        (r["media_id"], r["decode_ok"], tuple(r["feature"] or []))
+        for r in decode_and_featurize(df.repartition(7)).collect()
+    )
+    assert a == b
+
+
 def test_redact_columns(spark):
     df = spark.createDataFrame(
         [(1, "Jane", "j@x.com", "F", 10.5)],
