@@ -32,65 +32,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registry emission order. The driver evaluates queries in dict order
-# and caps CORRECTNESS at ~50 entries per round, so rounds rotate which
-# keys lead. Round 10 (cap counted, asserted by
-# tests/test_entry_rotation.py): (a) the 18 keys whose driver evidence
-# is r6 — rolled past the r9 cap by explicit plan and committed (by
-# VERDICT r9 #1 and the r9 ROLLED_TO_R10 pin) to lead this round;
-# (b) the keys whose CODE changed this round — guard_den_mul replaced
-# guard_den on the two product denominators (mix-weights,
-# bigram-lift-topk), guard_dec_units gained the IS-NOT-TRUE overflow
-# comparison (ewma-smooth, trigram-lm-score, incremental-agg-merge),
-# the IAM delta split became null-inclusive (incremental-agg-merge),
-# and the Misra-Gries sketch phases now emit explicitly-typed Arrow
-# arrays (heavy-hitters, ngram-topk-sketch, heavy-hitters-by-group) —
-# plus the two keys NEW this round (dup-span-detect, dup-span-rate),
-# which have no driver evidence at all yet; (c) 22 of the 37
-# r7-evidenced keys (alphabetical) fill the cap.
-# Keys not listed keep registry order after these; the 15 r7 keys
-# below the boundary roll to round 11 and must lead it.
-#
-# NULL-policy exception (late r10): ~24 more keys' code changed for
-# the NULL-robustness fixes (SCALE.md), many sitting below the cap.
-# They do NOT displace the pinned rotation because every one of those
-# changes is a PROVEN clean-data no-op: the policies only touch rows
-# (NULL ts/text/dates) that do not exist in the driver's testdata,
-# and the full registry re-ran bit-identical at sf0.001/sf0.01/sf0.1
-# after each change (multiple 155/155 sweeps + hostile-session
-# drives, recorded in SCALE.md). That is the opposite of the r5
-# incident, where changed code shipped with NO re-verification — the
-# principle is "changed results must face the driver", and these
-# results are proven unchanged.
+# and caps CORRECTNESS at ~50 entries per round, so rounds rotate
+# which keys lead. Round 11 (cap counted, asserted by
+# tests/test_entry_rotation.py):
+# (a) the 15 ROLLED_TO_R11 keys (r7 evidence — the stalest in the
+#     registry), the four whose code changed in the r10 NULL pass
+#     first (VERDICT r10 #1);
+# (b) every other key the r10 NULL-policy pass touched whose latest
+#     driver evidence predates the change (VERDICT r10 #2) — the
+#     event-time/window/dedup-universe cohort at r8–r9;
+# (c) every key whose code or oracle changed THIS round — the r11
+#     NULL-KEY probe fixes (NOT IN → NOT EXISTS oracles, NULL-id
+#     policies, the IVM NULL-group merge branch, the asof NULL-key
+#     filter, the per-row lang-id/repetition-metrics oracles) — plus
+#     the NEW key incremental-dup-spans, which has no driver
+#     evidence at all;
+# (d) the stalest untouched r8-evidenced keys (alphabetical) fill
+#     the cap. The 27 r8 keys below the boundary roll to round 12
+#     and must lead it.
 _PRIORITY = [
-    # -- (a) r6-evidenced cohort (stalest driver evidence) --
-    "patient-sync-pipeline", "protected-drop", "quota-sample",
-    "range-join", "repetition-metrics", "roi-patient-anti-join",
-    "roi-sync-pipeline", "rollup-agg", "simhash-dedup-md5",
-    "skew-salted-join", "split-assign", "stratified-sample",
-    "threetier-composite", "topk-similarity", "topk-similarity-ivf",
-    "topk-similarity-pandas", "video-frame-index", "watermark-filter",
-    # -- (b) code changed / new this round --
-    "mix-weights", "bigram-lift-topk", "incremental-agg-merge",
-    "ewma-smooth", "trigram-lm-score", "heavy-hitters",
-    "ngram-topk-sketch", "heavy-hitters-by-group",
-    "dup-span-detect", "dup-span-rate",
-    # -- (c) r7-evidenced cohort: 22 of 37 fit the cap --
-    "anomaly-zscore", "array-ops", "audio-resample",
-    "conditional-agg", "dedup-survivorship", "distinct-agg",
-    "domain-stats", "entropy-quality", "explode-posexplode",
-    "funnel-steps", "fuzzy-dedup", "fuzzy-dedup-clusters",
-    "gap-fill", "image-resize", "kmeans-assign", "lag-lead",
-    "length-histogram", "mad-outliers", "merge-intervals",
-    "multimodal-decode", "ngram-topk", "null-safe-join",
-    # ---- 50-cap boundary: the 15 r7-evidenced keys below roll to
-    # round 11 and lead its rotation (pii-scrub and pivot-agg moved
-    # below the line to make room for the two NEW r10 keys, which
-    # have no driver evidence at all) ----
-    "pii-scrub", "pivot-agg",
-    "quantiles", "rank-funcs", "retention-cohorts", "running-window",
-    "scd2-history", "shard-assign", "stats-agg", "string-funcs",
-    "struct-json-ops", "tfidf-topterms", "unpivot-melt",
-    "weighted-sample", "window-median",
+    # -- (a) ROLLED_TO_R11, NULL-policy-changed four first --
+    "struct-json-ops", "running-window", "scd2-history",
+    "window-median",
+    "pii-scrub", "pivot-agg", "quantiles", "rank-funcs",
+    "retention-cohorts", "shard-assign", "stats-agg", "string-funcs",
+    "tfidf-topterms", "unpivot-melt", "weighted-sample",
+    # -- (b) r10 NULL-policy-touched, evidence predates the change --
+    "tumbling-window", "sliding-window", "session-window",
+    "markov-transitions", "attribution-last-touch", "scd2-lookup",
+    "ngram-jaccard", "decontaminate", "incremental-dedup",
+    "containment-dedup", "containment-dedup-capped", "asof-join",
+    # -- (c) code/oracle changed this round (r11 NULL-key probe) --
+    "anti-join", "roi-patient-anti-join", "exact-dedup", "lang-id",
+    "quota-sample", "dup-span-rate", "repetition-metrics",
+    "fuzzy-dedup-clusters", "pack-sequences", "roi-sync-pipeline",
+    "incremental-agg-merge",
+    # new this round — zero driver history must never wait
+    "incremental-dup-spans",
+    # multimodal-decode: its mp4 path gained the truncation/garbage
+    # corruption gates this round (clean-data no-op, but changed code
+    # outranks a stale re-check)
+    "multimodal-decode",
+    # -- (d) stalest untouched r8 keys fill the cap --
+    "ambiguity-count", "approx-distinct", "dedup-lastwin",
+    "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
+    "doc-fingerprint", "email-match-join", "embedding-centroid",
+    "embedding-near-dup",
+    # ---- 50-cap boundary: the 28 remaining r8-evidenced keys below
+    # roll to round 12 and lead its rotation ----
+    "equi-inner-join",
+    "full-scan", "groupby-agg", "idmap-join", "kmeans-iterate",
+    "knn-join", "knn-join-lsh", "knn-join-tables",
+    "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
+    "point-lookup", "processed-skip", "quality-score",
+    "run-counters", "semi-join", "set-except", "set-intersect",
+    "simhash-dedup", "similarity-join", "sqlite-scan-pushdown",
+    "text-analysis", "tiered-match-join", "token-count",
+    "topk-similarity-lsh", "topk-sort", "union-all", "window-rank",
 ]
 
 

@@ -13,46 +13,51 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round (round 10): the 18
-# r6-evidenced keys rolled from round 9 by explicit plan (VERDICT r9
-# item 1 — the ROLLED_TO_R10 pin), plus every key whose code changed
-# this round: the guard_den_mul product-denominator guard
-# (mix-weights, bigram-lift-topk), the guard_dec_units IS-NOT-TRUE
-# overflow comparison (ewma-smooth, trigram-lm-score,
-# incremental-agg-merge — the last also gained the null-inclusive
-# delta split), and the explicitly-typed Arrow emission in the
-# Misra-Gries sketch phases (heavy-hitters, ngram-topk-sketch,
-# heavy-hitters-by-group) — and the two keys NEW this round
-# (dup-span-detect, dup-span-rate), which have no driver evidence yet.
-MUST_RUN_R10 = {
-    # r6-evidenced cohort, rolled from the r9 cap by explicit plan
-    "patient-sync-pipeline", "protected-drop", "quota-sample",
-    "range-join", "repetition-metrics", "roi-patient-anti-join",
-    "roi-sync-pipeline", "rollup-agg", "simhash-dedup-md5",
-    "skew-salted-join", "split-assign", "stratified-sample",
-    "threetier-composite", "topk-similarity", "topk-similarity-ivf",
-    "topk-similarity-pandas", "video-frame-index", "watermark-filter",
-    # code changed this round
-    "mix-weights", "bigram-lift-topk", "incremental-agg-merge",
-    "ewma-smooth", "trigram-lm-score", "heavy-hitters",
-    "ngram-topk-sketch", "heavy-hitters-by-group",
+# Keys that MUST be inside the cap this round (round 11):
+# (a) the 15 ROLLED_TO_R11 keys from the r10 pin (VERDICT r10 #1 —
+# the stalest evidence in the registry, r7; four of them had their
+# code changed by the r10 NULL pass);
+# (b) every other r10 NULL-policy-touched key whose latest driver
+# evidence predates the change (VERDICT r10 #2);
+# (c) every key whose code or oracle changed THIS round — the r11
+# NULL-KEY probe fixes — plus the new key incremental-dup-spans.
+MUST_RUN_R11 = {
+    # (a) ROLLED_TO_R11 (r7 evidence; first four NULL-policy-changed)
+    "struct-json-ops", "running-window", "scd2-history",
+    "window-median",
+    "pii-scrub", "pivot-agg", "quantiles", "rank-funcs",
+    "retention-cohorts", "shard-assign", "stats-agg", "string-funcs",
+    "tfidf-topterms", "unpivot-melt", "weighted-sample",
+    # (b) r10 NULL-policy-touched, evidence predates the change
+    "tumbling-window", "sliding-window", "session-window",
+    "markov-transitions", "attribution-last-touch", "scd2-lookup",
+    "ngram-jaccard", "decontaminate", "incremental-dedup",
+    "containment-dedup", "containment-dedup-capped", "asof-join",
+    # (c) changed this round (r11 NULL-key probe fixes)
+    "anti-join", "roi-patient-anti-join", "exact-dedup", "lang-id",
+    "quota-sample", "dup-span-rate", "repetition-metrics",
+    "fuzzy-dedup-clusters", "pack-sequences", "roi-sync-pipeline",
+    "incremental-agg-merge",
     # new this round — a key with zero driver history must never wait
-    "dup-span-detect", "dup-span-rate",
+    "incremental-dup-spans",
+    # mp4 corruption gates changed its decode path this round
+    "multimodal-decode",
 }
 
-# The r7-evidenced keys deliberately rolled past the cap to round 11 —
+# The r8-evidenced keys deliberately rolled past the cap to round 12 —
 # pinned so the roll stays EXPLICIT, not an accident of ordering.
-# These must lead the round-11 rotation (together with any key whose
-# code changes in round 11).
-ROLLED_TO_R11 = {
-    # pii-scrub / pivot-agg: displaced mid-round by the two NEW r10
-    # keys (dup-span-detect / dup-span-rate), which have no driver
-    # evidence at all and therefore outrank an r7-evidenced re-check
-    "pii-scrub", "pivot-agg",
-    "quantiles", "rank-funcs", "retention-cohorts", "running-window",
-    "scd2-history", "shard-assign", "stats-agg", "string-funcs",
-    "struct-json-ops", "tfidf-topterms", "unpivot-melt",
-    "weighted-sample", "window-median",
+# These must lead the round-12 rotation (together with any key whose
+# code changes in round 12).
+ROLLED_TO_R12 = {
+    "equi-inner-join",
+    "full-scan", "groupby-agg", "idmap-join", "kmeans-iterate",
+    "knn-join", "knn-join-lsh", "knn-join-tables",
+    "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
+    "point-lookup", "processed-skip", "quality-score",
+    "run-counters", "semi-join", "set-except", "set-intersect",
+    "simhash-dedup", "similarity-join", "sqlite-scan-pushdown",
+    "text-analysis", "tiered-match-join", "token-count",
+    "topk-similarity-lsh", "topk-sort", "union-all", "window-rank",
 }
 
 
@@ -66,18 +71,18 @@ def test_priority_has_no_duplicates_and_resolves():
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R10 - set(head)
+    outside = MUST_RUN_R11 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_fifteen():
+def test_rolled_keys_are_exactly_the_named_cohort():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
-    assert ROLLED_TO_R11 & head == set(), "a rolled key leaked into the cap"
-    assert ROLLED_TO_R11 <= set(tail)
-    # and they sit immediately after the boundary, so the r11 rotation
+    assert ROLLED_TO_R12 & head == set(), "a rolled key leaked into the cap"
+    assert ROLLED_TO_R12 <= set(tail)
+    # and they sit immediately after the boundary, so the r12 rotation
     # inherits them first
-    assert set(tail[: len(ROLLED_TO_R11)]) == ROLLED_TO_R11
+    assert set(tail[: len(ROLLED_TO_R12)]) == ROLLED_TO_R12
 
 
 def test_queries_and_oracle_emit_same_order():
