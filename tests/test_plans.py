@@ -157,6 +157,30 @@ def test_dup_span_rate_denominator_is_map_side(spark):
     ), "map-side span total missing"
 
 
+def test_incremental_dup_spans_plan_shape(spark):
+    """The nightly span probe must (a) push the identity/split filters
+    to both scans, (b) window-explode from a PROJECTED token array
+    (the no-retokenize property, like the other span ops), and (c)
+    join the batch's AGGREGATED window vocabulary against the distinct
+    index — never the raw occurrence stream, and never a cartesian
+    shape."""
+    df = Q.QUERIES["incremental-dup-spans"](spark, SF)
+    plan = explain(spark, df)
+    assert "PushedFilters: [IsNotNull(doc_id)]" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt.split("\n"):
+        if "lambdafunction" in line and "slice(" in line:
+            assert "split(" not in line, "tokenize inlined into window lambda"
+    # the join input on the batch side is the (win -> counts) agg:
+    # n_docs/n_spans must be computed BELOW the join in the optimized
+    # plan (join of vocabulary-sized frames, not the window stream)
+    join_pos = opt.find("Join")
+    agg_pos = opt.find("count(1) AS n_spans")
+    assert join_pos != -1 and agg_pos != -1 and agg_pos > join_pos
+
+
 def test_decontaminate_is_equi_join_not_cross(spark):
     """Contamination check joins train grams to the benchmark gram set
     on the gram key — never a cartesian shape."""

@@ -249,6 +249,58 @@ def test_streaming_sessionize_survives_null_event_times(spark, tmp_path):
     assert all(n == 1 for (_, _, n) in batch_keys)
 
 
+def test_streaming_sessionize_survives_null_group_keys(spark, tmp_path):
+    """r11 NULL-key probe, streaming arm: Spark's groupBy routes NULL
+    user ids into ONE state group whose key arrives in the pandas
+    state function as (None,) — the grouping sibling of the r10 NaT
+    crash. The query must complete, the anonymous events must
+    sessionize together as one pseudo-user (matching the batch twin's
+    GROUP BY semantics, so stream ≡ batch holds on dirty streams),
+    and identified users must be unaffected. At 100 TB the NULL group
+    is a single state partition — a skew hotspot a producer should
+    filter upstream, but never a crash."""
+    import datetime as dt
+
+    from reverse_etl_homebrew_spark.operators import windows as WIN
+    from reverse_etl_homebrew_spark.streaming.stateful import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append((i, base + dt.timedelta(minutes=25 * i), 7, "view", 1.0, "{}"))
+        rows.append((100 + i, base + dt.timedelta(minutes=25 * i), None, "view", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    ev_dir = str(tmp_path / "ev")
+    df.write.parquet(ev_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(ev_dir)
+    q = (
+        streaming_sessionize(stream, gap_seconds=600.0)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # a None-key crash would raise here
+    out = spark.read.parquet(str(tmp_path / "out"))
+    batch = WIN.session(df, "ts", "10 minutes", keys=["user_id"])
+    batch_keys = {
+        (r["user_id"], str(r["window_start"]), r["n"]) for r in batch.collect()
+    }
+    stream_keys = {
+        (r["user_id"], str(r["session_start"]), r["n_events"]) for r in out.collect()
+    }
+    assert stream_keys, "no sessions closed"
+    assert stream_keys <= batch_keys, stream_keys - batch_keys
+    # the NULL pseudo-user's sessions exist on both sides
+    assert any(u is None for (u, _, _) in batch_keys)
+    assert any(u is None for (u, _, _) in stream_keys)
+
+
 def test_arrow_bucketer_matches_codegen_sign_fold(spark):
     """The LSH operators compute buckets in the Arrow hybrid kernel
     (BLAS projection + rigorous error bound + exact-fold fallback for
