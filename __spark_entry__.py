@@ -67,6 +67,10 @@ _PRIORITY = [
     "quota-sample", "dup-span-rate", "repetition-metrics",
     "fuzzy-dedup-clusters", "pack-sequences", "roi-sync-pipeline",
     "incremental-agg-merge",
+    # re-delivery probe fixes (late r11): _pruned_grams now collapses
+    # exact (id, text) re-deliveries, touching these two beyond the
+    # keys already listed above
+    "fuzzy-dedup", "dedup-survivorship",
     # new this round — zero driver history must never wait
     "incremental-dup-spans",
     # multimodal-decode: its mp4 path gained the truncation/garbage
@@ -76,10 +80,12 @@ _PRIORITY = [
     # -- (d) stalest untouched r8 keys fill the cap --
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
-    "doc-fingerprint", "email-match-join", "embedding-centroid",
-    "embedding-near-dup",
-    # ---- 50-cap boundary: the 28 remaining r8-evidenced keys below
-    # roll to round 12 and lead its rotation ----
+    "doc-fingerprint", "email-match-join",
+    # ---- 50-cap boundary: the 30 remaining r8/r9-evidenced keys
+    # below roll to round 12 and lead its rotation (embedding-centroid
+    # and embedding-near-dup displaced late by the two re-delivery-
+    # changed keys, which outrank stale re-checks) ----
+    "embedding-centroid", "embedding-near-dup",
     "equi-inner-join",
     "full-scan", "groupby-agg", "idmap-join", "kmeans-iterate",
     "knn-join", "knn-join-lsh", "knn-join-tables",

@@ -726,14 +726,24 @@ def dup_span_rate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
+    # totals aggregate PER IDENTITY, not per physical row (r11
+    # re-delivery probe): under at-least-once ingest a re-delivered
+    # doc arrives as two identical rows, and a per-row totals frame
+    # joined to the id-merged dup counts emitted two rows per doc
+    # with dup_rate 2.0 — internally inconsistent, not just an oracle
+    # mismatch. The span arithmetic stays map-side; the id-keyed
+    # partial-sum rides the SAME shuffle the dup-counts join already
+    # pays, so the aggregation costs no extra exchange.
     totals = (
         df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt"))
         .where(F.size("__tt") >= n)
         .where(F.col(id_col).isNotNull())
         .select(
             id_col,
-            (F.size("__tt") - F.lit(n - 1)).cast("long").alias("n_spans"),
+            (F.size("__tt") - F.lit(n - 1)).cast("long").alias("__row_spans"),
         )
+        .groupBy(id_col)
+        .agg(F.sum("__row_spans").alias("n_spans"))
     )
     per_doc = totals.join(dup_counts, id_col, "left").select(
         id_col,
@@ -821,7 +831,18 @@ def _pruned_grams(
 ) -> DataFrame:
     """One row per (doc, distinct word-n-gram), with grams whose
     document frequency exceeds ``df_cap`` pruned (prefix-filter) —
-    the shared gram space for exact Jaccard and LSH verification."""
+    the shared gram space for exact Jaccard and LSH verification.
+
+    Exact re-deliveries collapse FIRST (r11 re-delivery probe): under
+    at-least-once ingest the same (id, text) row arrives twice, and
+    without this the gram relation carries duplicate (id, g) rows —
+    doubling set sizes and intersection counts, which silently SHIFTS
+    every Jaccard/containment score involving the re-delivered doc
+    (2i/(2a+b−2i) ≠ i/(a+b−i)). The collapse is a narrow (id, text)
+    shuffle on the doc table — far cheaper than deduping the exploded
+    gram stream — and is exact: identical rows only; conflicting
+    same-id content is a different corruption owned upstream."""
+    df = df.dropDuplicates([id_col, text_col])
     grams = (
         df.select(
             F.col(id_col).alias("id"),

@@ -54,14 +54,27 @@ def roi_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def synthetic_roi_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remote ROI store: every % 7 key exists remotely (update path),
-    and % 13 keys carry the manual-override lock."""
+    and % 13 keys carry the manual-override lock.
+
+    A remote snapshot is KEYED by natural_key, so it deduplicates
+    before any join (r11 re-delivery probe): under at-least-once
+    ingest the source rows it derives from arrive twice, and an
+    un-deduped snapshot fans every matching ROI out 2× through the
+    left join — silently double-counting outcomes. All columns are
+    functions of the key, so distinct() is deterministic."""
     o = load_table(spark, sf_dir, "orders")
-    return o.filter((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0)).select(
-        SC.identifier_canon(F.col("o_orderkey")).alias("natural_key"),
-        F.concat(F.lit("ROI-"), F.col("o_orderkey").cast("string")).alias("hubspot_id"),
-        F.when(F.col("o_orderkey") % 13 == 0, F.lit("true"))
-        .otherwise(F.lit("false"))
-        .alias("roi_manual_override"),
+    return (
+        o.filter((F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 13 == 0))
+        .select(
+            SC.identifier_canon(F.col("o_orderkey")).alias("natural_key"),
+            F.concat(F.lit("ROI-"), F.col("o_orderkey").cast("string")).alias(
+                "hubspot_id"
+            ),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("true"))
+            .otherwise(F.lit("false"))
+            .alias("roi_manual_override"),
+        )
+        .distinct()
     )
 
 

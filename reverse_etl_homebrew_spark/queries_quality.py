@@ -160,8 +160,16 @@ def q_containment_dedup(spark, sf_dir):
     below APPLIES that df-frequency lever; this key stays uncapped as
     the exact-algebra form. NULL-text docs are out of dedup scope on
     both sides (r10 NULL-robustness probe: the gram floor otherwise
-    makes every NULL doc a containment-1.0 pair of every other)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    makes every NULL doc a containment-1.0 pair of every other).
+    Exact re-deliveries collapse before gram extraction (r11
+    re-delivery probe: duplicate (id, g) rows double sizes and
+    intersections, shifting every score; the oracle's gram CTE is
+    DISTINCT) — a narrow (id, text) shuffle on the doc table."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .dropDuplicates(["doc_id", "text"])
+    )
     toks = d.select(
         F.col("doc_id").alias("id"),
         F.split(TX.normalized_text(F.col("text")), " ").alias("w"),

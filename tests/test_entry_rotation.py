@@ -42,6 +42,10 @@ MUST_RUN_R11 = {
     "incremental-dup-spans",
     # mp4 corruption gates changed its decode path this round
     "multimodal-decode",
+    # re-delivery probe fixes: _pruned_grams collapses exact
+    # (id, text) re-deliveries — these two changed beyond the keys
+    # already listed in (c)
+    "fuzzy-dedup", "dedup-survivorship",
 }
 
 # The r8-evidenced keys deliberately rolled past the cap to round 12 —
@@ -49,6 +53,7 @@ MUST_RUN_R11 = {
 # These must lead the round-12 rotation (together with any key whose
 # code changes in round 12).
 ROLLED_TO_R12 = {
+    "embedding-centroid", "embedding-near-dup",
     "equi-inner-join",
     "full-scan", "groupby-agg", "idmap-join", "kmeans-iterate",
     "knn-join", "knn-join-lsh", "knn-join-tables",

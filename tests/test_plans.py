@@ -153,7 +153,7 @@ def test_dup_span_rate_denominator_is_map_side(spark):
     )
     assert plan.count("Generate explode") <= 2, "denominator re-explodes"
     assert any(
-        "size(" in line and "AS n_spans" in line for line in plan.split("\n")
+        "size(" in line and "AS __row_spans" in line for line in plan.split("\n")
     ), "map-side span total missing"
 
 
