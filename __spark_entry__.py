@@ -77,24 +77,32 @@ _PRIORITY = [
     # corruption gates this round (clean-data no-op, but changed code
     # outranks a stale re-check)
     "multimodal-decode",
-    # -- (d) stalest untouched r8 keys fill the cap --
+    # empty-input probe fixes (late r11): the seven keys whose QUERY
+    # code gained the missing-seed fence, plus one representative of
+    # the _sum_terms zero-term guard (the other guard-only keys —
+    # knn-join, knn-join-tables, similarity-join, embedding-near-dup
+    # — roll with the proven non-empty no-op defense + sweep
+    # evidence and must lead r12)
+    "topk-similarity", "topk-similarity-lsh", "topk-similarity-pandas",
+    "topk-similarity-ivf", "hybrid-rrf", "kmeans-assign",
+    "kmeans-iterate", "knn-join-lsh",
+    # ---- 50-cap boundary: the remaining r8/r9-evidenced keys below
+    # roll to round 12 and lead its rotation (the stale-recheck
+    # fillers were fully displaced by late-r11 changed-code keys,
+    # which outrank stale re-checks) ----
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
     "doc-fingerprint", "email-match-join",
-    # ---- 50-cap boundary: the 30 remaining r8/r9-evidenced keys
-    # below roll to round 12 and lead its rotation (embedding-centroid
-    # and embedding-near-dup displaced late by the two re-delivery-
-    # changed keys, which outrank stale re-checks) ----
     "embedding-centroid", "embedding-near-dup",
     "equi-inner-join",
-    "full-scan", "groupby-agg", "idmap-join", "kmeans-iterate",
-    "knn-join", "knn-join-lsh", "knn-join-tables",
+    "full-scan", "groupby-agg", "idmap-join",
+    "knn-join", "knn-join-tables",
     "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
     "point-lookup", "processed-skip", "quality-score",
     "run-counters", "semi-join", "set-except", "set-intersect",
     "simhash-dedup", "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
-    "topk-similarity-lsh", "topk-sort", "union-all", "window-rank",
+    "topk-sort", "union-all", "window-rank",
 ]
 
 

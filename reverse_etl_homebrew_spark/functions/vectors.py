@@ -33,7 +33,13 @@ def _c(col: ColumnOrName) -> Column:
 
 
 def _sum_terms(terms: Sequence[Column]) -> Column:
-    """Left-fold sum — fixed order for bit determinism."""
+    """Left-fold sum — fixed order for bit determinism. Zero terms
+    (an empty vector table makes infer_dim 0) folds to literal 0.0 so
+    the dot/bucket expressions stay well-formed and an empty input
+    flows through to an empty output instead of a driver-side
+    TypeError (r11 empty-input probe)."""
+    if not terms:
+        return F.lit(0.0)
     return reduce(lambda a, b: a + b, terms)
 
 
@@ -41,6 +47,24 @@ def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     """Embedding dimensionality from the first row (fixed per table)."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"]) if row else 0
+
+
+def query_vector(
+    df: DataFrame, vec_id: int = 0, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "tuple[list, bool]":
+    """The driver-side seed vector for similarity queries →
+    ``(vector, found)``, with the r11 empty-input contract: when the
+    seed row is absent (empty table, filtered-out id) the caller
+    builds its NORMAL plan around the returned all-zeros stand-in
+    (dimension inferred; 1 on a fully empty table) and fences the
+    result with ``.where(F.lit(False))`` — a schema-correct EMPTY
+    frame, matching the SQL oracle's empty-correlated-subquery
+    semantics, instead of the NoneType crash the probe caught."""
+    row = df.filter(F.col(id_col) == vec_id).select(vec_col).first()
+    if row is not None:
+        return [float(x) for x in row[vec_col]], True
+    return [0.0] * (infer_dim(df, vec_col) or 1), False
 
 
 def dot(a: ColumnOrName, b: ColumnOrName, dim: int) -> Column:

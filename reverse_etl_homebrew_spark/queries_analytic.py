@@ -264,11 +264,13 @@ def q_topk_similarity_pandas(spark, sf_dir):
     the oracle's strict left fold (relative gap ~1e-15, nine orders
     below the rounding quantum), so the shared brute-force SQL checks
     this physical path too."""
+    from .functions import vectors as VEC
     from .operators.vectorized import topk_pandas
 
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).first()
-    return topk_pandas(emb, [float(x) for x in qrow["embedding"]], k=10)
+    query, found = VEC.query_vector(emb)
+    out = topk_pandas(emb, query, k=10)
+    return out if found else out.where(F.lit(False))
 
 
 def _ivf_sql() -> str:
@@ -330,20 +332,28 @@ def q_topk_similarity_ivf(spark, sf_dir):
 
     import numpy as np
 
+    from .functions import vectors as VEC
+
     emb = _t(spark, sf_dir, "embeddings")
     cent_rows = (
         emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     )
     cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
-    qrow = emb.filter(F.col("vec_id") == 0).first()
-    query = [float(x) for x in qrow["embedding"]]
+    query, found = VEC.query_vector(emb)
+    # empty-input contract (r11 probe): no centroids/seed → the plan
+    # builds around a zero-vector stand-in and is fenced to EMPTY,
+    # matching the oracle's empty correlated subqueries
+    if not cents:
+        cents = [[0.0] * len(query)]
+        found = False
     C = np.asarray(cents)
     probe_cells = [int(i) for i in (C @ np.asarray(query)).argsort()[::-1][:3]]
     assigned = ivf_assign_pandas(emb, cents)
     cand = assigned.filter(F.col("ivf_cell").isin(probe_cells)).select(
         "vec_id", "embedding"
     )
-    return topk_brute(cand, query, k=10)
+    out = topk_brute(cand, query, k=10)
+    return out if found else out.where(F.lit(False))
 
 
 @register(

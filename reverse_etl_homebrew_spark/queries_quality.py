@@ -466,7 +466,10 @@ def q_kmeans_assign(spark, sf_dir):
     by array_min over (dist, cid) structs. Zero shuffle, zero join:
     at 100 TB this runs at scan speed, embarrassingly parallel."""
     e = _t(spark, sf_dir, "embeddings")
-    return _assign_embeddings(e, _seed_centroids(e))
+    seeds = _seed_centroids(e)
+    if not seeds:  # r11 empty-input contract: schema-correct empty
+        return _assign_embeddings(e, [(0, [0.0])]).where(F.lit(False))
+    return _assign_embeddings(e, seeds)
 
 
 def _seed_centroids(e):
@@ -571,6 +574,8 @@ def q_kmeans_iterate(spark, sf_dir):
     data)."""
     e = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(e)
+    if not seeds:  # r11 empty-input contract: schema-correct empty
+        return _assign_embeddings(e, [(0, [0.0])]).where(F.lit(False))
     dim = len(seeds[0][1])
     a1 = _assign_embeddings(e, seeds).select("vec_id", "centroid_id")
     ex = (

@@ -212,8 +212,7 @@ def q_topk_similarity(spark, sf_dir):
     TakeOrderedAndProject; zero shuffle (EDBT 2020 / ICDE 2021 anchors,
     PAPERS.md)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    query = [float(x) for x in qrow["embedding"]]
+    query, found = VEC.query_vector(emb)
     import math
 
     qn = math.sqrt(VEC._py_dot(query, query))
@@ -222,11 +221,12 @@ def q_topk_similarity(spark, sf_dir):
         norm * F.lit(qn) > 0,
         VEC.dot_literal(F.col("embedding"), query) / (norm * F.lit(qn)),
     )
-    return (
+    out = (
         emb.select("vec_id", F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(10)
     )
+    return out if found else out.where(F.lit(False))
 
 
 @register(
@@ -886,9 +886,9 @@ def q_topk_similarity_lsh(spark, sf_dir):
     expresses the probe set as bit_count(xor(bucket_e, bucket_q)) <= 2,
     so the candidate pruning itself is verified, not just the scores."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    query = [float(x) for x in qrow["embedding"]]
-    return SIM.topk_lsh(emb, query, k=10)
+    query, found = VEC.query_vector(emb)
+    out = SIM.topk_lsh(emb, query, k=10)
+    return out if found else out.where(F.lit(False))
 
 
 # --- training-data pipeline ops (deterministic, oracle-checked) ------------
@@ -1114,8 +1114,7 @@ def q_hybrid_rrf(spark, sf_dir):
     embeddings tables are treated as one entity space."""
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    query = [float(x) for x in qrow["embedding"]]
+    query, found = VEC.query_vector(emb)
 
     lex = SIM.bm25_topk(d, ["vector", "hash", "merge"], k=50).select(
         F.col("doc_id").alias("id"),
@@ -1123,7 +1122,13 @@ def q_hybrid_rrf(spark, sf_dir):
         .over(W.orderBy(F.desc("bm25"), F.col("doc_id")))
         .alias("lr"),
     )
-    vec = SIM.topk_brute(emb, query, k=50).select(
+    # missing query vector empties ONLY the vector leg (the oracle's
+    # correlated q-subquery does the same) — lexical retrieval still
+    # contributes its ranks through the full-outer fusion
+    vec_base = SIM.topk_brute(emb, query, k=50)
+    if not found:
+        vec_base = vec_base.where(F.lit(False))
+    vec = vec_base.select(
         F.col("vec_id").alias("id"),
         F.row_number().over(W.orderBy(F.desc("score"), F.col("vec_id"))).alias("vr"),
     )

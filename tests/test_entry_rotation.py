@@ -46,6 +46,11 @@ MUST_RUN_R11 = {
     # (id, text) re-deliveries — these two changed beyond the keys
     # already listed in (c)
     "fuzzy-dedup", "dedup-survivorship",
+    # empty-input probe fixes: missing-seed fences + the _sum_terms
+    # zero-term guard representative
+    "topk-similarity", "topk-similarity-lsh", "topk-similarity-pandas",
+    "topk-similarity-ivf", "hybrid-rrf", "kmeans-assign",
+    "kmeans-iterate", "knn-join-lsh",
 }
 
 # The r8-evidenced keys deliberately rolled past the cap to round 12 —
@@ -53,16 +58,19 @@ MUST_RUN_R11 = {
 # These must lead the round-12 rotation (together with any key whose
 # code changes in round 12).
 ROLLED_TO_R12 = {
+    "ambiguity-count", "approx-distinct", "dedup-lastwin",
+    "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
+    "doc-fingerprint", "email-match-join",
     "embedding-centroid", "embedding-near-dup",
     "equi-inner-join",
-    "full-scan", "groupby-agg", "idmap-join", "kmeans-iterate",
-    "knn-join", "knn-join-lsh", "knn-join-tables",
+    "full-scan", "groupby-agg", "idmap-join",
+    "knn-join", "knn-join-tables",
     "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
     "point-lookup", "processed-skip", "quality-score",
     "run-counters", "semi-join", "set-except", "set-intersect",
     "simhash-dedup", "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
-    "topk-similarity-lsh", "topk-sort", "union-all", "window-rank",
+    "topk-sort", "union-all", "window-rank",
 }
 
 
