@@ -50,9 +50,11 @@ def rollup_partial(df: DataFrame, key: str, value_col: str, ts_col: str) -> Data
     summary (Agarwal et al., PODS'12), so states fold associatively
     and a maintenance job never rescans history. Columns:
     (key, n, s6, lo, hi)."""
+    from .aggregates import finite_dec
+
     return df.groupBy(key).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("s6"),
+        F.sum(finite_dec(F.col(value_col))).alias("s6"),
         F.min(ts_col).alias("lo"),
         F.max(ts_col).alias("hi"),
     )

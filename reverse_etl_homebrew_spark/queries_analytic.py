@@ -153,12 +153,21 @@ def q_rollup_agg(spark, sf_dir):
     """,
 )
 def q_grouping_sets(spark, sf_dir):
+    # the SQL-text twin of AG.finite_dec (r11 non-finite probe): a
+    # NaN/Inf amount raises on both engines instead of silently
+    # NULLing out of Spark's non-ANSI decimal cast
     o = _t(spark, sf_dir, "orders")
     o.createOrReplaceTempView("__gs_orders")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               CAST(SUM(CASE WHEN isnan(o_totalprice)
+                               OR abs(o_totalprice) = double('Infinity')
+                             THEN CAST(raise_error(
+                               'exactmath: non-finite value in exact decimal aggregation'
+                             ) AS DECIMAL(38,6))
+                             ELSE CAST(o_totalprice AS DECIMAL(38,6))
+                        END) AS DOUBLE) AS revenue,
                COUNT(*) AS n
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -216,7 +225,7 @@ def q_running_window(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        F.sum(AG.finite_dec(F.col("o_totalprice")))
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("double")
         .alias("running_spend"),

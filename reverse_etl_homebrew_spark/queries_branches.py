@@ -138,10 +138,14 @@ def q_coalesce_chain(spark, sf_dir):
 def q_json_coerce(spark, sf_dir):
     """JSON-safe scalar coercion (clean_value, main.py:103-112):
     Decimal→float, naive-UTC timestamp→Eastern ISO string, date→ISO."""
+    from .operators.aggregates import finite_dec_typed
+
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_float"),
+        finite_dec_typed(F.col("o_totalprice"), "decimal(18,2)")
+        .cast("double")
+        .alias("price_float"),
         F.date_format(
             F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("o_orderdate")),
             "yyyy-MM-dd'T'HH:mm:ss",

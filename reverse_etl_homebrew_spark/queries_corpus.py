@@ -33,6 +33,7 @@ from .functions.exactmath import (
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
 )
+from .operators import aggregates as AG
 from .queries import register
 from .sources.catalog import load_table
 
@@ -278,14 +279,14 @@ def q_embedding_centroid(spark, sf_dir):
              CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE)
                / COUNT(*) AS msq
       FROM events
-      WHERE value IS NOT NULL
+      WHERE isfinite(value)
       GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - s.mean) / sqrt(s.msq - s.mean * s.mean), 4) AS z
     FROM events e
     JOIN s USING (event_type)
-    WHERE e.value IS NOT NULL
+    WHERE isfinite(e.value)
       AND s.msq - s.mean * s.mean > 0
       AND abs((e.value - s.mean) / sqrt(s.msq - s.mean * s.mean)) > 3
     """,
@@ -299,14 +300,14 @@ def q_anomaly_zscore(spark, sf_dir):
     big side is never shuffled. Both engines compute the identical
     (value - mean)/sqrt(var) double expression, so the filter boundary
     and the rounded z agree bit-for-bit."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _t(spark, sf_dir, "events").filter(AG.is_finite(F.col("value")))
     stats = ev.groupBy("event_type").agg(
         (
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            F.sum(AG.finite_dec(F.col("value"))).cast("double")
             / F.count(F.lit(1))
         ).alias("mean"),
         (
-            F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)")).cast(
+            F.sum(AG.finite_dec(F.col("value") * F.col("value"))).cast(
                 "double"
             )
             / F.count(F.lit(1))

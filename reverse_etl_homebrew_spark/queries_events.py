@@ -22,6 +22,7 @@ from .functions.exactmath import (
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
 )
+from .operators import aggregates as AG
 from .queries import register
 from .sources.catalog import load_table
 
@@ -50,7 +51,7 @@ _EWMA_COEFF_SQL = "[" + ", ".join(str(c) for c in _EWMA_COEFFS) + "]"
       SELECT user_id, event_id, ts, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
                                 ORDER BY ts, event_id) AS rn
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      FROM events WHERE isfinite(value) AND ts IS NOT NULL
     ), terms AS (
       SELECT a.user_id, a.event_id, a.ts,
              CAST(b.value AS DECIMAL(38,6))
@@ -90,7 +91,7 @@ def q_ewma_smooth(spark, sf_dir):
     (implicit NULL ordering would otherwise diverge the engines:
     Spark sorts NULLS FIRST, DuckDB NULLS LAST)."""
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        AG.is_finite(F.col("value")) & F.col("ts").isNotNull()
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     v = ev.select(
@@ -111,7 +112,7 @@ def q_ewma_smooth(spark, sf_dir):
         F.col("a.user_id").alias("user_id"),
         F.col("a.event_id").alias("event_id"),
         F.col("a.ts").alias("ts"),
-        (F.col("b.value").cast("decimal(38,6)") * coeff).alias("wx"),
+        (AG.finite_dec(F.col("b.value")) * coeff).alias("wx"),
         coeff.alias("w"),
     )
     # r9: exact-integer rounding replaced the double ROUND — the sf0.1
@@ -147,7 +148,7 @@ def q_ewma_smooth(spark, sf_dir):
              quantile_cont(value, 0.5) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      FROM events WHERE isfinite(value) AND ts IS NOT NULL
     )
     SELECT user_id, event_id, ts, value, med
     FROM v WHERE rn >= 5
@@ -165,9 +166,11 @@ def q_window_median(spark, sf_dir):
     median together; at 100 TB this is the same single-shuffle shape
     as any ranked window (`running-window`), with O(frame) state per
     row. Event-time policy: ts IS NOT NULL on both sides (see
-    q_ewma_smooth)."""
+    q_ewma_smooth); finite-measurement scope on value (r11 non-finite
+    probe — a NaN in the frame makes Spark's percentile and DuckDB's
+    quantile_cont silently disagree on every median it touches)."""
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
+        AG.is_finite(F.col("value")) & F.col("ts").isNotNull()
     )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     v = ev.select(

@@ -13,6 +13,7 @@ from .functions.exactmath import (
     sql_guard_dec_units,
     sql_round6_dec6_over_int,
 )
+from .operators import aggregates as AG
 from .sources.catalog import load_table
 from .queries import register
 
@@ -251,7 +252,7 @@ def q_conditional_agg(spark, sf_dir):
     )
     return j.groupBy("n_name").agg(
         F.sum(
-            F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice").cast("decimal(38,6)"))
+            F.when(F.col("o_totalprice") > 200000, AG.finite_dec(F.col("o_totalprice")))
         )
         .cast("double")
         .alias("big_revenue"),
@@ -501,7 +502,7 @@ def q_stats_agg(spark, sf_dir):
     anyway (Welford-style streaming merges trade determinism for one
     fewer pass; with exact sums the pass count is identical)."""
     li = _t(spark, sf_dir, "lineitem")
-    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    dec = lambda c: F.sum(AG.finite_dec(c)).cast("double")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

@@ -21,6 +21,7 @@ from .functions.exactmath import (
     sql_round6_dec6_over_int,
     sql_round6_int_ratio,
 )
+from .operators import aggregates as AGX
 from .queries import register
 from .sources.catalog import load_table
 
@@ -322,12 +323,12 @@ def _corpus_doc_count(spark, sf_dir) -> int:
     sql="""
     WITH med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
-      FROM events WHERE value IS NOT NULL GROUP BY event_type
+      FROM events WHERE isfinite(value) GROUP BY event_type
     ), dev AS (
       SELECT e.event_id, e.event_type, e.value, m.med,
              abs(e.value - m.med) AS d
       FROM events e JOIN med m USING (event_type)
-      WHERE e.value IS NOT NULL
+      WHERE isfinite(e.value)
     ), mad AS (
       SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
       GROUP BY event_type
@@ -351,7 +352,7 @@ def q_mad_outliers(spark, sf_dir):
     the big side never shuffles. At 100 TB swap the exact median for
     `percentile_approx` and re-derive the oracle with the same sketch
     — the plan shape is unchanged."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _t(spark, sf_dir, "events").filter(AGX.is_finite(F.col("value")))
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
     )

@@ -23,6 +23,8 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..operators.aggregates import finite_dec
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -113,7 +115,7 @@ def stream_events_tumbling(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+            F.sum(finite_dec(F.col("value"))).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -58,11 +58,16 @@ MUST_RUN_R11 = {
 # These must lead the round-12 rotation (together with any key whose
 # code changes in round 12).
 ROLLED_TO_R12 = {
+    # the seven late-r11 non-finite-policy keys that did not fit the
+    # saturated cap — proven clean-data no-ops (see __spark_entry__
+    # boundary comment), they MUST be discharged first in r12
+    "equi-inner-join", "json-coerce", "grouping-sets",
+    "skew-salted-join", "conditional-agg", "anomaly-zscore",
+    "mad-outliers",
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
     "doc-fingerprint", "email-match-join",
     "embedding-centroid", "embedding-near-dup",
-    "equi-inner-join",
     "full-scan", "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
     "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",

@@ -36,7 +36,9 @@ def _norm(v):
     """Canonical comparison form for one cell."""
     if isinstance(v, float):
         if math.isnan(v):
-            return ("f", "nan")
+            # own tag, not ("f", "nan"): a mixed NaN/finite column
+            # would otherwise compare str-vs-float inside sorted()
+            return ("fnan",)
         return ("f", v)
     if isinstance(v, dt.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
