@@ -108,7 +108,17 @@ def stream_events_tumbling(
 ) -> None:
     """Watermarked tumbling counts, AvailableNow (drain-and-stop).
     State is bounded by the watermark horizon — at 100 TB/day the
-    state store holds only ~watermark/window per-key windows."""
+    state store holds only ~watermark/window per-key windows.
+
+    Non-finite policy (r11, stream ≡ batch): the exact-decimal
+    revenue sum RAISES on NaN/Inf amounts — same as the batch twin's
+    accounting contract — so a corrupt-amount batch fails the
+    streaming query loudly rather than silently dropping money from
+    a total. Producers that cannot guarantee finite amounts must
+    pre-filter (is_finite) or route to a DLQ upstream; contrast the
+    NULL-ts policy, which DROPS rows, because an unstamped event has
+    defined semantics (no window position) while a NaN amount does
+    not."""
     ev = read_events_stream(spark, events_dir)
     agg = (
         ev.withWatermark("ts", watermark)

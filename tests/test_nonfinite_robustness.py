@@ -101,6 +101,27 @@ def test_exact_decimal_raises_on_both_engines(spark, name, duck, poisoned):
         duck.execute(Q.ORACLE[name]).fetchall()
 
 
+def test_streaming_tumbling_raises_on_nonfinite(spark, tmp_path, poisoned):
+    """stream ≡ batch for the accounting contract: a NaN amount must
+    fail the STREAMING tumbling query loudly too (the batch twin
+    raises), never silently drop money from a running total. Contrast
+    the NULL-ts streaming policy, which drops rows — an unstamped
+    event has defined semantics (no window), a NaN amount does not."""
+    import shutil
+
+    from reverse_etl_homebrew_spark.streaming.structured import (
+        stream_events_tumbling,
+    )
+
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    shutil.copy(os.path.join(poisoned, "events.parquet"), events_dir)
+    with pytest.raises(Exception, match="non-finite|USER_RAISED"):
+        stream_events_tumbling(
+            spark, events_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+
+
 @pytest.mark.parametrize("name", SCOPED + NATURAL)
 def test_nonfinite_parity(spark, name, duck, poisoned):
     sdf = Q.QUERIES[name](spark, poisoned)
