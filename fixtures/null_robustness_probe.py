@@ -25,9 +25,12 @@ Poisoning (deterministic):
 - customer.c_mktsegment -> NULL where c_custkey % 23 == 0
 - lineitem.l_quantity -> NULL where l_orderkey % 37 == 0
 - embeddings.label   -> NULL where vec_id     % 41 == 0
-(embedding vectors themselves stay non-NULL: a NULL vector is a
-schema-contract violation for the ANN tier, not a data condition —
-kernels may assume presence; label NULL exercises the grouping arm.
+(embedding vectors themselves stay non-NULL here: bulk NULL vectors
+are a schema-contract violation for the ANN tier. NULL vectors in the
+SEED positions — query vec_id 0, centroid ids < 8 — are separately
+covered by tests/test_advisor_r12.py, which pins the r12 degrade
+contract: seed readers skip NULL vectors and fence to empty exactly
+like a missing seed. Label NULL exercises the grouping arm.
 The join/grouping-key arms — user_id, o_custkey, doc_id — exist
 because the r11 advisor showed the divergence class they expose is
 structurally invisible to value-column poison: Spark window

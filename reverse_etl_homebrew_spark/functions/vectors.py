@@ -44,8 +44,16 @@ def _sum_terms(terms: Sequence[Column]) -> Column:
 
 
 def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
-    """Embedding dimensionality from the first row (fixed per table)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Embedding dimensionality from the first NON-NULL row (fixed per
+    table). NULL vectors carry no dimension and are skipped (r12 — the
+    advisor's NULL-embedding crash class: ``size(NULL)`` is NULL and
+    the int() cast threw); an all-NULL column infers 0 like an empty
+    table."""
+    row = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     return int(row["d"]) if row else 0
 
 
@@ -60,9 +68,16 @@ def query_vector(
     (dimension inferred; 1 on a fully empty table) and fences the
     result with ``.where(F.lit(False))`` — a schema-correct EMPTY
     frame, matching the SQL oracle's empty-correlated-subquery
-    semantics, instead of the NoneType crash the probe caught."""
+    semantics, instead of the NoneType crash the probe caught.
+
+    A present seed row whose embedding is NULL is the same contract
+    (r12, advisor finding): it carries no usable query vector, so it
+    degrades to the stand-in with ``found=False`` — matching the SQL
+    side, where a NULL embedding NULLs every score and the top-k over
+    NULL scores is as empty as a missing seed — rather than crashing
+    with an opaque ``TypeError: 'NoneType' is not iterable``."""
     row = df.filter(F.col(id_col) == vec_id).select(vec_col).first()
-    if row is not None:
+    if row is not None and row[vec_col] is not None:
         return [float(x) for x in row[vec_col]], True
     return [0.0] * (infer_dim(df, vec_col) or 1), False
 

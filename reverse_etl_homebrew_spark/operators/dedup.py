@@ -44,10 +44,23 @@ def content_dedup(
     engines — the survivor should be an identifiable row, so a
     NULL-id duplicate only survives when no non-NULL twin exists
     (Spark ASC would otherwise sort NULLS FIRST and elect the NULL-id
-    row, while SQL ASC defaults NULLS LAST)."""
+    row, while SQL ASC defaults NULLS LAST).
+
+    Tie policy (r12, advisor finding): rows that tie on ``id_col``
+    (two NULL-id twins of the same fingerprint, or a non-unique id)
+    used to leave the survivor's NON-key columns partition-order
+    dependent. The window now tie-breaks over EVERY remaining column
+    (NULLS LAST), so the survivor is a total-order choice: rows that
+    still tie are identical on all columns and any survivor is the
+    same row."""
     order_col = id_col if id_col is not None else df.columns[0]
     fp = df.withColumn("__fp", TX.sha_fingerprint(text_col))
-    w = W.partitionBy("__fp").orderBy(F.col(order_col).asc_nulls_last())
+    tiebreak = [
+        F.col(c).asc_nulls_last() for c in df.columns if c != order_col
+    ]
+    w = W.partitionBy("__fp").orderBy(
+        F.col(order_col).asc_nulls_last(), *tiebreak
+    )
     return fp.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop(
         "__rn", "__fp"
     )

@@ -258,6 +258,117 @@ def knn_join(
     )
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The accepted-corpus ANN index: every corpus vector with its
+    pre-computed L2 norm and single-table hyperplane bucket —
+    ``(r_id, r_v, r_nrm, bucket)``. In production this is a PERSISTED
+    table bucketed on ``bucket`` (the same layout discipline as the
+    IVM state table and ``build_span_index``): the nightly
+    ``incremental_knn`` probe then joins batch vectors against it
+    WITHOUT shuffling the index — only the (small) new batch's probe
+    rows move (asserted in tests/test_physical_layout.py). Append-only
+    maintenance: bucket the accepted batch with the SAME planes and
+    append.
+
+    NULL vectors carry no geometry and are excluded (the r12
+    NULL-embedding degrade contract — a NULL row would otherwise
+    poison the Arrow bucketer batch-wide)."""
+    from .vectorized import table_buckets_pandas
+
+    dim = VEC.infer_dim(corpus, vec_col)
+    hp = _deterministic_planes(planes, dim)
+    bucketer = table_buckets_pandas(hp, planes, tables=1)
+    return (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("r_id"),
+            F.col(vec_col).alias("r_v"),
+            VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
+        )
+        .withColumn("bucket", F.element_at(bucketer(F.col("r_v")), 1))
+    )
+
+
+def incremental_knn(
+    new_batch: DataFrame,
+    ann_index: DataFrame,
+    k: int = 3,
+    planes: int = 6,
+    probe_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector-tier incremental twin of ``incremental_dup_spans``: k
+    approximate nearest neighbors in the ACCEPTED corpus for every
+    vector of a NEW ingest batch, against the persisted bucketed ANN
+    index from ``build_ann_index`` → ``(l_id, r_id, score)``.
+
+    Scale shape (the nightly-ingest discipline lifted to embeddings):
+    the batch is bucketed with the same planes, exploded over its
+    Hamming-radius-``probe_radius`` probe buckets, and equi-joined on
+    the bucket key. With the index bucketed on ``bucket`` the join
+    co-locates WITHOUT moving the index — per-ingest shuffle is
+    O(batch × probes), independent of corpus size; the index side
+    contributes only its scan (flat at 10× corpus, measured —
+    SCALE.md). Candidate scoring reuses the Arrow pair-cosine kernel
+    and the per-vector pre-computed norms; ranking shuffles only the
+    (l_id, r_id, score) triple.
+
+    Same approximate-recall trade as ``knn_join``: a batch vector only
+    sees neighbors inside its probed buckets. ``planes`` must match
+    the index's construction planes — in production it is a property
+    of the index table, not a per-query knob."""
+    from pyspark.sql import Window as W
+
+    from .vectorized import pair_cosine_pandas, table_buckets_pandas
+
+    dim = VEC.infer_dim(new_batch, vec_col)
+    hp = _deterministic_planes(planes, dim)
+    bucketer = table_buckets_pandas(hp, planes, tables=1)
+    l = (
+        new_batch.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("l_id"),
+            F.col(vec_col).alias("l_v"),
+            VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
+        )
+        .withColumn("__b0", F.element_at(bucketer(F.col("l_v")), 1))
+    )
+    probes = [F.col("__b0")]
+    if probe_radius >= 1:
+        probes += [F.col("__b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)]
+    if probe_radius >= 2:
+        probes += [
+            F.col("__b0").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(planes)
+            for j in range(i)
+        ]
+    l = l.withColumn(
+        "bucket", F.explode(F.array_distinct(F.array(*probes)))
+    ).drop("__b0")
+    # each index row lives in exactly one bucket and probe buckets are
+    # distinct → a (l, r) pair matches at most once, no post-join dedup
+    _cos = pair_cosine_pandas()
+    scored = l.join(ann_index, "bucket").withColumn(
+        "score",
+        F.round(_cos(F.col("l_v"), F.col("r_v"), F.col("l_nrm"), F.col("r_nrm")), 6),
+    )
+    w = W.partitionBy("l_id").orderBy(F.desc("score"), F.col("r_id"))
+    return (
+        # project before the ranking window so the shuffle never
+        # carries the two dim-length vector columns (knn_join lesson)
+        scored.select("l_id", "r_id", "score")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("l_id", "r_id", "score")
+    )
+
+
 def knn_join_brute(
     left: DataFrame,
     right: DataFrame,

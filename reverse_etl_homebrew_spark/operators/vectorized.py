@@ -273,9 +273,12 @@ def hybrid_fold_signs(m, P):
 def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Cheap deterministic centroid picks: the vectors whose ids hash
     lowest (a seeded reservoir stand-in for k-means — the plumbing /
-    test path; use ``train_centroids`` when recall matters)."""
+    test path; use ``train_centroids`` when recall matters). Rows
+    with a NULL vector carry no usable centroid and are skipped (r12,
+    the advisor's query_vector NULL-embedding crash class)."""
     rows = (
         df.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .withColumn("__h", F.xxhash64(F.col(id_col)))
         .orderBy("__h")
         .limit(n)

@@ -292,9 +292,11 @@ def _ivf_sql() -> str:
     d_qq = _DOT_SQL.format(a="qv", b="qv")
     return f"""
     WITH q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+      SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL
     ), cents AS (
-      SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      WHERE vec_id < 8 AND embedding IS NOT NULL
     ), assign AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell,
@@ -344,8 +346,14 @@ def q_topk_similarity_ivf(spark, sf_dir):
     from .functions import vectors as VEC
 
     emb = _t(spark, sf_dir, "embeddings")
+    # NULL-embedding cell seeds are skipped on BOTH engines (r12, the
+    # advisor's query_vector NULL-embedding crash class — the oracle's
+    # cents CTE filters embedding IS NOT NULL identically)
     cent_rows = (
-        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        emb.filter(F.col("vec_id") < 8)
+        .filter(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .collect()
     )
     cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
     query, found = VEC.query_vector(emb)

@@ -437,7 +437,7 @@ _KM_DIST_SQL = (
     sql=f"""
     WITH c AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id < {_KMEANS_K}
+      WHERE vec_id < {_KMEANS_K} AND embedding IS NOT NULL
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROUND({_KM_DIST_SQL}, 6) AS dist
@@ -474,8 +474,13 @@ def q_kmeans_assign(spark, sf_dir):
 
 
 def _seed_centroids(e):
+    # NULL-embedding seed rows carry no usable centroid and would
+    # crash the float() unroll (r12, the advisor's query_vector crash
+    # class) — excluded on BOTH engines (the oracles' c CTEs filter
+    # embedding IS NOT NULL identically).
     seeds = (
         e.filter(F.col("vec_id") < _KMEANS_K)
+        .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .collect()
     )
@@ -518,7 +523,7 @@ _KM_DIST2_SQL = _KM_DIST_SQL.replace("c.cv", "c1.cv")
     sql=f"""
     WITH c AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id < {_KMEANS_K}
+      WHERE vec_id < {_KMEANS_K} AND embedding IS NOT NULL
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROUND({_KM_DIST_SQL}, 6) AS dist

@@ -15,7 +15,8 @@ _DOT_SQL = (
 # decimals, so one brute-force SQL oracle checks either physical path.
 _TOPK_SIM_SQL = f"""
     WITH q AS (
-      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+      SELECT embedding AS qv FROM embeddings
+      WHERE vec_id = 0 AND embedding IS NOT NULL
     ), scored AS (
       SELECT e.vec_id,
              {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dp,

@@ -1,0 +1,197 @@
+"""Pins for the two r12 advisor findings (ADVICE.md round 11).
+
+1. ``content_dedup`` survivor election is now a TOTAL order: rows that
+   tie on the id column (two NULL-id twins sharing a fingerprint)
+   tie-break over every remaining column, so the survivor's non-key
+   columns are deterministic and engine-agreed instead of
+   partition-order dependent.
+
+2. ``query_vector`` (and the centroid-seed collectors sharing its
+   contract) treat a PRESENT seed row whose embedding is NULL exactly
+   like a missing seed: zero-vector stand-in + ``found=False`` →
+   fenced schema-correct empty result, matching the oracles' seed
+   CTEs which now filter ``embedding IS NOT NULL`` — instead of the
+   opaque ``TypeError: 'NoneType' is not iterable`` the advisor
+   predicted.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark import queries as Q
+from reverse_etl_homebrew_spark.operators.dedup import content_dedup
+
+from test_oracle_parity import _duck, _rowset
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+# ---------------------------------------------------------------------------
+# 1. content_dedup total-order survivor election
+# ---------------------------------------------------------------------------
+
+_TWIN_ROWS = [
+    # two NULL-id twins of the same normalized text, differing only in
+    # the non-key columns — the advisor's exact nondeterminism case
+    (None, "zz", "site-b", "The Same   Text!"),
+    (None, "aa", "site-a", "the same text"),
+    # a non-NULL twin of another fingerprint plus its NULL shadow:
+    # NULLS LAST must still elect the identified row
+    (7, "en", "site-c", "other doc"),
+    (None, "de", "site-d", "Other Doc"),
+    # a singleton
+    (3, "fr", "site-e", "unique content"),
+]
+
+
+def _twin_df(spark, n_partitions: int):
+    df = spark.createDataFrame(
+        _TWIN_ROWS, "doc_id int, lang string, source string, text string"
+    )
+    return df.repartition(n_partitions)
+
+
+def test_content_dedup_null_id_ties_are_deterministic(spark):
+    """Survivor of two NULL-id twins is the total-order choice (lang
+    'aa' < 'zz'), identical across partition layouts."""
+    results = []
+    for parts in (1, 3, 8):
+        out = (
+            content_dedup(_twin_df(spark, parts), "text", id_col="doc_id")
+            .select("doc_id", "lang", "source")
+            .collect()
+        )
+        results.append(sorted((r["lang"], r["source"]) for r in out))
+    assert results[0] == results[1] == results[2]
+    flat = dict(results[0])
+    # NULL-id twins: 'aa' wins the tie-break; 'zz' is dropped
+    assert "aa" in flat and "zz" not in flat
+    # NULLS LAST: the identified row beats its NULL-id shadow
+    assert "en" in flat and "de" not in flat
+
+
+def test_exact_dedup_oracle_agrees_on_null_id_ties(spark, tmp_path):
+    """The registered exact-dedup key and its SQL oracle elect the SAME
+    survivor for NULL-id fingerprint twins (hash-level parity on the
+    advisor's case, not just engine-side determinism)."""
+    out = tempfile.mkdtemp(prefix="sg-tie-gate-")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "documents":
+            con.execute(
+                "CREATE TABLE twins (doc_id INT, lang VARCHAR, "
+                "source VARCHAR, text VARCHAR)"
+            )
+            con.executemany(
+                "INSERT INTO twins VALUES (?, ?, ?, ?)", _TWIN_ROWS
+            )
+            con.execute(
+                f"""COPY (
+                  SELECT doc_id, text, lang, source, length(text) AS n_chars
+                  FROM twins
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    duck = _duck(out)
+    sdf = Q.QUERIES["exact-dedup"](spark, out)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    cur = duck.execute(Q.ORACLE["exact-dedup"])
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
+
+
+# ---------------------------------------------------------------------------
+# 2. NULL-embedding seed rows degrade like missing seeds
+# ---------------------------------------------------------------------------
+
+# the vector keys whose plans consume a driver-side seed (query vector
+# at vec_id 0, k-means/IVF centroids at vec_id < 8)
+SEED_KEYS = [
+    "topk-similarity", "topk-similarity-lsh", "topk-similarity-pandas",
+    "topk-similarity-ivf", "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
+]
+
+
+@pytest.fixture(scope="module")
+def null_seed_dir():
+    """Copy of the testdata where every seed row (vec_id < 8, which
+    covers the query seed vec_id = 0) has a NULL embedding."""
+    out = tempfile.mkdtemp(prefix="sg-nullseed-")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  SELECT vec_id,
+                         CASE WHEN vec_id < 8 THEN NULL ELSE embedding END
+                           AS embedding,
+                         label
+                  FROM read_parquet('{src}')
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    return out
+
+
+@pytest.fixture(scope="module")
+def null_seed_duck(null_seed_dir):
+    return _duck(null_seed_dir)
+
+
+def test_query_vector_null_embedding_degrades(spark, null_seed_dir):
+    from reverse_etl_homebrew_spark.functions.vectors import query_vector
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    emb = load_table(spark, null_seed_dir, "embeddings")
+    vec, found = query_vector(emb)  # row EXISTS, embedding is NULL
+    assert found is False
+    assert all(v == 0.0 for v in vec)
+
+
+def test_deterministic_centroids_skip_null_vectors(spark, null_seed_dir):
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        deterministic_centroids,
+    )
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    emb = load_table(spark, null_seed_dir, "embeddings")
+    cents = deterministic_centroids(emb, 4)
+    assert len(cents) == 4
+    assert all(c is not None for row in cents for c in row)
+
+
+@pytest.mark.parametrize("name", SEED_KEYS)
+def test_null_embedding_seed_parity(spark, name, null_seed_duck, null_seed_dir):
+    """No crash, and the two engines agree (seed CTEs filter NULL
+    embeddings identically to the engine-side degrade)."""
+    sdf = Q.QUERIES[name](spark, null_seed_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    cur = null_seed_duck.execute(Q.ORACLE[name])
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)

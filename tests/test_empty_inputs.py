@@ -51,7 +51,7 @@ KEYS = [
     "similarity-join", "embedding-near-dup",
     "kmeans-assign", "kmeans-iterate",
     "groupby-agg", "window-rank", "fuzzy-dedup", "dup-span-rate",
-    "incremental-dup-spans", "patient-sync-pipeline",
+    "incremental-dup-spans", "incremental-knn", "patient-sync-pipeline",
     "heavy-hitters", "ngram-topk-sketch",
 ]
 

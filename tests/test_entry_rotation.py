@@ -13,57 +13,33 @@ import __spark_entry__ as entry
 
 CAP = 50
 
-# Keys that MUST be inside the cap this round (round 11):
-# (a) the 15 ROLLED_TO_R11 keys from the r10 pin (VERDICT r10 #1 —
-# the stalest evidence in the registry, r7; four of them had their
-# code changed by the r10 NULL pass);
-# (b) every other r10 NULL-policy-touched key whose latest driver
-# evidence predates the change (VERDICT r10 #2);
-# (c) every key whose code or oracle changed THIS round — the r11
-# NULL-KEY probe fixes — plus the new key incremental-dup-spans.
-MUST_RUN_R11 = {
-    # (a) ROLLED_TO_R11 (r7 evidence; first four NULL-policy-changed)
-    "struct-json-ops", "running-window", "scd2-history",
-    "window-median",
-    "pii-scrub", "pivot-agg", "quantiles", "rank-funcs",
-    "retention-cohorts", "shard-assign", "stats-agg", "string-funcs",
-    "tfidf-topterms", "unpivot-melt", "weighted-sample",
-    # (b) r10 NULL-policy-touched, evidence predates the change
-    "tumbling-window", "sliding-window", "session-window",
-    "markov-transitions", "attribution-last-touch", "scd2-lookup",
-    "ngram-jaccard", "decontaminate", "incremental-dedup",
-    "containment-dedup", "containment-dedup-capped", "asof-join",
-    # (c) changed this round (r11 NULL-key probe fixes)
-    "anti-join", "roi-patient-anti-join", "exact-dedup", "lang-id",
-    "quota-sample", "dup-span-rate", "repetition-metrics",
-    "fuzzy-dedup-clusters", "pack-sequences", "roi-sync-pipeline",
-    "incremental-agg-merge",
-    # new this round — a key with zero driver history must never wait
-    "incremental-dup-spans",
-    # mp4 corruption gates changed its decode path this round
-    "multimodal-decode",
-    # re-delivery probe fixes: _pruned_grams collapses exact
-    # (id, text) re-deliveries — these two changed beyond the keys
-    # already listed in (c)
-    "fuzzy-dedup", "dedup-survivorship",
-    # empty-input probe fixes: missing-seed fences + the _sum_terms
-    # zero-term guard representative
-    "topk-similarity", "topk-similarity-lsh", "topk-similarity-pandas",
-    "topk-similarity-ivf", "hybrid-rrf", "kmeans-assign",
-    "kmeans-iterate", "knn-join-lsh",
-}
-
-# The r8-evidenced keys deliberately rolled past the cap to round 12 —
-# pinned so the roll stays EXPLICIT, not an accident of ordering.
-# These must lead the round-12 rotation (together with any key whose
-# code changes in round 12).
-ROLLED_TO_R12 = {
-    # the seven late-r11 non-finite-policy keys that did not fit the
-    # saturated cap — proven clean-data no-ops (see __spark_entry__
-    # boundary comment), they MUST be discharged first in r12
+# Keys that MUST be inside the cap this round (round 12):
+# (a) the 7 late-r11 non-finite-policy keys pinned as ROLLED_TO_R12
+#     (VERDICT r11 #1 — discharge first);
+# (b) ewma-smooth, the r11 pin's one accounting slip (query+oracle
+#     changed in f5d280d, evidence r10 — VERDICT r11 #1 names it);
+# (c) every key whose code or oracle changed THIS round — the two
+#     advisor fixes (exact-dedup total-order survivor tie-break;
+#     the NULL-embedding-seed degrade contract across the vector
+#     seed keys) plus the NEW key incremental-knn;
+# (d) the r8-evidenced stale cohort of ROLLED_TO_R12.
+# dup-span-detect stays out by the judge's own condition: the r11
+# dedup.py edits do NOT reach token_span_windows/duplicate_spans
+# (verified against git diff f7a3334..HEAD), so its plan is unchanged
+# and its r10 evidence is current.
+MUST_RUN_R12 = {
+    # (a) non-finite-policy leads
     "equi-inner-join", "json-coerce", "grouping-sets",
     "skew-salted-join", "conditional-agg", "anomaly-zscore",
     "mad-outliers",
+    # (b) the pin slip
+    "ewma-smooth",
+    # (c) changed this round
+    "exact-dedup", "incremental-knn",
+    "topk-similarity", "topk-similarity-pandas",
+    "topk-similarity-lsh", "topk-similarity-ivf",
+    "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
+    # (d) r8-evidenced stale cohort
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
     "doc-fingerprint", "email-match-join",
@@ -73,9 +49,20 @@ ROLLED_TO_R12 = {
     "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
     "point-lookup", "processed-skip", "quality-score",
     "run-counters", "semi-join", "set-except", "set-intersect",
-    "simhash-dedup", "similarity-join", "sqlite-scan-pushdown",
+    "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
     "topk-sort", "union-all", "window-rank",
+}
+
+# The one key deliberately rolled past the saturated cap to round 13 —
+# pinned so the roll stays EXPLICIT, not an accident of ordering. The
+# candidate set was 51 keys for a 50-cap; simhash-dedup's slot buys
+# the weakest evidence in the registry (rows-only by declared design,
+# code unchanged since r8, oracle-exact twin simhash-dedup-md5
+# hash-green r10), so it is the roll. It must lead round 13 together
+# with any key whose code changes in round 13.
+ROLLED_TO_R13 = {
+    "simhash-dedup",
 }
 
 
@@ -86,21 +73,28 @@ def test_priority_has_no_duplicates_and_resolves():
     assert not missing, f"_PRIORITY names unknown keys: {missing}"
 
 
+def test_cap_is_exactly_saturated():
+    # the round-12 cap is exactly the must-run set — any key that
+    # gains a code/oracle change later in the round must DISPLACE a
+    # stale-cohort key here, never silently exceed the cap
+    assert len(MUST_RUN_R12) == CAP
+
+
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R11 - set(head)
+    outside = MUST_RUN_R12 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
 def test_rolled_keys_are_exactly_the_named_cohort():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
-    assert ROLLED_TO_R12 & head == set(), "a rolled key leaked into the cap"
-    assert ROLLED_TO_R12 <= set(tail)
-    # and they sit immediately after the boundary, so the r12 rotation
+    assert ROLLED_TO_R13 & head == set(), "a rolled key leaked into the cap"
+    assert ROLLED_TO_R13 <= set(tail)
+    # and they sit immediately after the boundary, so the r13 rotation
     # inherits them first
-    assert set(tail[: len(ROLLED_TO_R12)]) == ROLLED_TO_R12
+    assert set(tail[: len(ROLLED_TO_R13)]) == ROLLED_TO_R13
 
 
 def test_queries_and_oracle_emit_same_order():

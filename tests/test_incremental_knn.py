@@ -1,0 +1,137 @@
+"""incremental-knn (r12): the vector-tier nightly-ingest twin —
+new vector batch vs a PERSISTED bucketed ANN index.
+
+Pins the three claims the operator ships with:
+1. planted-neighbor recall: a near-duplicate planted in the accepted
+   corpus is retrieved as its batch twin's top neighbor (buckets
+   agree for near-identical vectors, so LSH pruning cannot lose it);
+2. the bucketed-index plan shape: with the index persisted bucketed
+   on the bucket key, the probe join reads the index IN PLACE — one
+   less Exchange than against plain parquet, and no hashpartitioning
+   of the index branch;
+3. NULL-vector rows are excluded from the index and the batch (the
+   r12 NULL-embedding degrade contract) instead of poisoning the
+   Arrow bucketer.
+
+Oracle parity is covered by the driver key + tests/test_oracle_parity;
+width-invariance by tests/test_partition_invariance.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from reverse_etl_homebrew_spark.operators.similarity import (
+    build_ann_index,
+    incremental_knn,
+)
+from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vec(seed: float, dim: int = 8):
+    return [float(seed + i * 0.1) for i in range(dim)]
+
+
+def test_planted_neighbor_recall(spark):
+    """A planted near-duplicate (same direction, tiny perturbation)
+    must be its batch twin's #1 neighbor: near-identical vectors share
+    every hyperplane sign, so the probe set always contains the twin's
+    bucket and exact scoring ranks it first."""
+    base = _vec(1.0)
+    near = [v * 1.001 for v in base]  # same direction -> cosine ~1
+    accepted_rows = [(100, near)] + [
+        (200 + i, _vec(-3.0 + 2.7 * i)) for i in range(40)
+    ]
+    accepted = spark.createDataFrame(
+        accepted_rows, "vec_id int, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(1, base)], "vec_id int, embedding array<float>"
+    )
+    idx = build_ann_index(accepted, planes=6)
+    out = incremental_knn(batch, idx, k=3, planes=6).collect()
+    assert out, "planted neighbor lost"
+    top = max(out, key=lambda r: (r["score"], -r["r_id"]))
+    assert top["r_id"] == 100
+    assert top["score"] > 0.999
+
+
+def test_null_vectors_excluded_both_sides(spark):
+    rows = [(1, _vec(1.0)), (2, None), (3, _vec(2.0))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    idx = build_ann_index(df, planes=4)
+    assert idx.where(F.col("r_id") == 2).count() == 0
+    out = incremental_knn(df, idx, k=2, planes=4)
+    assert out.where(F.col("l_id") == 2).count() == 0
+    # non-NULL batch rows still retrieve
+    assert out.where(F.col("l_id") == 1).count() >= 1
+
+
+def test_probe_join_reads_bucketed_index_in_place(spark, tmp_path):
+    """DIFFERENTIAL plan pin (the IVM-state pattern): the same probe
+    against the index persisted bucketed on `bucket` pays exactly one
+    less Exchange than against plain parquet, and the index branch of
+    the join contains no hashpartitioning — the per-ingest shuffle is
+    batch-side only, which is what makes probe cost independent of
+    corpus size."""
+    emb = load_table(spark, SF, "embeddings")
+    accepted = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = build_ann_index(accepted, planes=6)
+
+    suffix = uuid.uuid4().hex[:8]
+    tb = f"ann_idx_b_{suffix}"
+    tp = str(tmp_path / "ann_idx_plain")
+    (
+        idx.write.bucketBy(8, "bucket")
+        .sortBy("bucket")
+        .option("path", str(tmp_path / tb))
+        .saveAsTable(tb)
+    )
+    idx.write.parquet(tp)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # a 100 TB index would never broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        def probe_plan(index_df):
+            out = incremental_knn(batch, index_df, k=3, planes=6)
+            out.write.format("noop").mode("overwrite").save()
+            return out._jdf.queryExecution().executedPlan().toString()
+
+        bucketed = probe_plan(spark.table(tb))
+        plain = probe_plan(spark.read.parquet(tp))
+
+        assert "SortMergeJoin" in bucketed
+        assert "Bucketed: true" in bucketed
+        n_b, n_p = bucketed.count("Exchange"), plain.count("Exchange")
+        assert n_b == n_p - 1, (n_b, n_p)
+        # the index branch of the SMJ must not re-shuffle on the
+        # bucket key. In the plan text the batch (first) branch's
+        # lines carry a ':' prefix; the index branch's lines do not —
+        # keep only the latter and assert no bucket-key Exchange there.
+        after_smj = bucketed.split("SortMergeJoin", 1)[1]
+        index_branch = "\n".join(
+            ln for ln in after_smj.splitlines()
+            if not ln.lstrip().startswith(":")
+        )
+        assert "hashpartitioning(bucket" not in index_branch
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

@@ -53,6 +53,9 @@ KEYS = [
     # r10: span-level dup fraction — the exact integer ratio must be
     # width-independent like every other round6 site
     "dup-span-rate",
+    # r12: incremental ANN — Arrow pair-cosine over bucket-join
+    # candidates; candidate arrival order must not leak into top-k
+    "incremental-knn",
 ]
 
 
