@@ -60,12 +60,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # - knn-join-lsh (r11 green): infer_dim gained a NULL-vector skip,
 #   but infer_dim is a driver-side dim probe — the key's compiled
 #   result plan is unchanged.
-# The candidate set is 51 keys for a 50-cap; the one roll is
-# simhash-dedup (pinned as ROLLED_TO_R13): its driver check is
-# rows-only BY DESIGN (weakest evidence a cap slot can buy), its
-# code is unchanged since r8, and its oracle-exact twin
-# simhash-dedup-md5 — same pipeline, md5 fingerprints — is hash-green
-# r10. Every full-hash-checkable mandated key is inside the cap.
+# The candidate set is 55 keys for a 50-cap: the r12 schema-drift
+# pass touched both sync pipelines (col_or_null alias chains —
+# plan-identical on a canonical source, pinned in
+# tests/test_schema_drift.py, but changed code outranks that
+# defense), rewrote protected-drop from denylist drop to allowlist
+# projection (the probe's renamed-column leak), and added the ingress
+# contract to the DuckDB external source (external-scan-pushdown).
+# The five rolls, pinned as ROLLED_TO_R13:
+# - simhash-dedup: driver check rows-only BY DESIGN (weakest evidence
+#   a cap slot can buy), code unchanged since r8, oracle-exact twin
+#   simhash-dedup-md5 hash-green r10;
+# - full-scan, point-lookup, topk-sort, delta-scan: one-line
+#   projection/filter/sort scans (operators/scans.py:19,26,33,43)
+#   unchanged since r8, whose scan+project shape every other key
+#   exercises on every run.
+# Every other full-hash-checkable mandated key is inside the cap.
 _PRIORITY = [
     # -- (a) the 7 non-finite-policy keys, first as mandated --
     "equi-inner-join", "json-coerce", "grouping-sets",
@@ -80,22 +90,26 @@ _PRIORITY = [
     "topk-similarity-lsh", "topk-similarity-ivf",  # query_vector degrade
     "hybrid-rrf",
     "kmeans-assign", "kmeans-iterate",  # _seed_centroids + cents CTE
+    "patient-sync-pipeline", "roi-sync-pipeline",  # col_or_null chains
+    "protected-drop",          # denylist drop -> allowlist projection
+    "external-scan-pushdown",  # ingress contract on the DuckDB source
     # -- (d) the r8-evidenced stale cohort --
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
-    "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
+    "dlq-attempt-join", "dlq-attempt-read",
     "doc-fingerprint", "email-match-join",
     "embedding-centroid", "embedding-near-dup",
-    "full-scan", "groupby-agg", "idmap-join",
+    "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
     "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
-    "point-lookup", "processed-skip", "quality-score",
+    "processed-skip", "quality-score",
     "run-counters", "semi-join", "set-except", "set-intersect",
     "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
-    "topk-sort", "union-all", "window-rank",
+    "union-all", "window-rank",
     # ---- 50-cap boundary ----
-    # the one rolled key (see the header note) — leads round 13
-    "simhash-dedup",
+    # the rolled keys (see the header note) — lead round 13
+    "simhash-dedup", "full-scan", "point-lookup",
+    "topk-sort", "delta-scan",
 ]
 
 

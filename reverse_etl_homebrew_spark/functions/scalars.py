@@ -45,15 +45,25 @@ def _c(col: ColumnOrName) -> Column:
 # schema drift / coalescing
 # ---------------------------------------------------------------------------
 
-def col_or_null(df: DataFrame, *names: str) -> Column:
+def col_or_null(df: DataFrame, *names: str, null_type: str = "string") -> Column:
     """First existing-and-non-null column among ``names``; NULL if none
     exists. Reproduces the reference's tolerant ``row.get(a) or
     row.get(b)`` access (main.py:645, 736-737) inside a schema-checked
     engine: spellings absent from the frame contribute a typed NULL
-    instead of raising."""
+    instead of raising. ``null_type`` types the all-absent fallback so
+    downstream joins/arithmetic keep their canonical types (r12 schema
+    -drift probe: a string-typed NULL standing in for a bigint FK
+    would re-enter the implicit-cast swamp the ingress contract
+    exists to keep out).
+
+    This is a query-CONSTRUCTION-time branch, not a plan node: when
+    the canonical spelling is present the returned Column is exactly
+    ``F.col(name)`` — the compiled plan on a canonical-schema source
+    is bit-identical to a direct column reference (pinned in
+    tests/test_schema_drift.py)."""
     present = [F.col(n) for n in names if n in df.columns]
     if not present:
-        return F.lit(None).cast("string")
+        return F.lit(None).cast(null_type)
     return F.coalesce(*present) if len(present) > 1 else present[0]
 
 

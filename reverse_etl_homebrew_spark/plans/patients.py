@@ -32,18 +32,37 @@ from ..sources.catalog import load_table
 
 def patient_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer → patient-shaped rows with natural key and normalized
-    email (map_patient_to_contact core, main.py:555-611)."""
+    email (map_patient_to_contact core, main.py:555-611).
+
+    Schema-drift tolerance (r12, the reference's defining behavior —
+    ``row.get("Patient Name") or row.get("Patient_Name")``,
+    main.py:645,736-737): the DESCRIPTOR columns read through
+    ``col_or_null`` alias chains, so an export that renames or drops
+    them still syncs — a dropped name column flows every row to the
+    reference's own no-email DLQ branch instead of crashing the run.
+    The natural key ``c_custkey`` stays STRICT: an export without the
+    primary key is a malformed batch, rejected loudly (and type drift
+    on any column is refused earlier, at the ingress contract —
+    sources/catalog.CANONICAL_TYPES). On a canonical-schema source
+    every ``col_or_null`` compiles to the bare column reference — the
+    plan is bit-identical to the pre-r12 one
+    (tests/test_schema_drift.py pins this)."""
     c = load_table(spark, sf_dir, "customer")
+    name = SC.col_or_null(c, "c_name", "name", "patient_name")
+    acctbal = SC.col_or_null(
+        c, "c_acctbal", "acctbal", "account_balance", null_type="double"
+    )
+    segment = SC.col_or_null(c, "c_mktsegment", "mktsegment", "market_segment")
     email_raw = F.when(
         F.col("c_custkey") % 17 == 0, F.lit("")
-    ).otherwise(F.concat(F.upper(F.col("c_name")), F.lit("@example.com ")))
+    ).otherwise(F.concat(F.upper(name), F.lit("@example.com ")))
     return c.select(
         SC.identifier_canon(F.col("c_custkey")).alias("natural_key"),
         SC.email_normalize(email_raw).alias("email"),
-        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("firstname"),
-        F.col("c_name").alias("lastname"),
-        SC.identifier_canon(F.col("c_acctbal")).alias("account_balance"),
-        F.col("c_mktsegment").alias("segment"),
+        F.split_part(name, F.lit("#"), F.lit(1)).alias("firstname"),
+        name.alias("lastname"),
+        SC.identifier_canon(acctbal).alias("account_balance"),
+        segment.alias("segment"),
         F.lit("customer").alias("lifecyclestage"),
         F.lit("true").alias("amd_synced"),
         F.col("c_custkey"),
@@ -60,14 +79,20 @@ def synthetic_idmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def synthetic_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Remote-store snapshot keyed by email; % 21 keys duplicated."""
+    """Remote-store snapshot keyed by email; % 21 keys duplicated.
+
+    Reads the name through the same alias chain as ``patient_rows``:
+    the snapshot MODELS an independent remote system, but it derives
+    from the same table here, so a strict read would mask the sync
+    plan's drift tolerance (r12 schema-drift probe)."""
     c = load_table(spark, sf_dir, "customer")
+    name = SC.col_or_null(c, "c_name", "name", "patient_name")
     base = c.filter(F.col("c_custkey") % 3 == 0).select(
-        F.concat(F.lower(F.col("c_name")), F.lit("@example.com")).alias("email"),
+        F.concat(F.lower(name), F.lit("@example.com")).alias("email"),
         F.concat(F.lit("REMOTE-"), F.col("c_custkey").cast("string")).alias("hubspot_id"),
     )
     dupes = c.filter(F.col("c_custkey") % 21 == 0).select(
-        F.concat(F.lower(F.col("c_name")), F.lit("@example.com")).alias("email"),
+        F.concat(F.lower(name), F.lit("@example.com")).alias("email"),
         F.concat(F.lit("REMOTE2-"), F.col("c_custkey").cast("string")).alias("hubspot_id"),
     )
     return base.unionByName(dupes)

@@ -35,9 +35,24 @@ def roi_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     - o_orderkey % 13 == 0 → remote override flag (skip branch);
     """
     o = load_table(spark, sf_dir, "orders")
+    # Schema-drift tolerance (r12, the reference's row.get chains —
+    # see patient_rows): descriptor/FK columns read through alias
+    # chains. A dropped patient-FK column sends every ROI to the
+    # reference's own unresolved-quarantine branch (main.py:746-774)
+    # instead of crashing; a dropped priority column syncs with a
+    # NULL template_name. o_orderkey (natural key) and o_orderdate
+    # (the temporal lineage every stamp derives from) stay STRICT.
+    # On a canonical source each chain compiles to the bare column —
+    # plan bit-identical (tests/test_schema_drift.py).
+    custkey = SC.col_or_null(
+        o, "o_custkey", "custkey", "patient_key", null_type="bigint"
+    )
+    priority = SC.col_or_null(
+        o, "o_orderpriority", "orderpriority", "order_priority"
+    )
     return o.select(
         SC.identifier_canon(F.col("o_orderkey")).alias("natural_key"),
-        F.col("o_custkey"),
+        custkey.alias("o_custkey"),
         F.when(F.col("o_orderkey") % 11 == 0, F.lit("Processed"))
         .otherwise(F.lit("pending"))
         .alias("processing_status"),
@@ -46,7 +61,7 @@ def roi_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         SC.epoch_millis_utc(F.col("o_orderdate")).alias("accepted_epoch_ms"),
         SC.eastern_date(F.col("o_orderdate")).alias("completed_eastern_date"),
-        F.col("o_orderpriority").alias("template_name"),
+        priority.alias("template_name"),
         F.col("o_orderdate").alias("updated_at"),
         F.col("o_orderkey"),
     )
@@ -91,10 +106,19 @@ def roi_sync_plan(
     patients = load_table(spark, sf_dir, "customer")
 
     # tiered patient resolution: tier-0 high-balance, tier-1 any
-    # (find_patient_contact's idmap→search fallback, main.py:613-633)
+    # (find_patient_contact's idmap→search fallback, main.py:613-633).
+    # The tier-0 balance read tolerates alias/presence drift like the
+    # row builders (r12 probe: an alias-spelled customer export used
+    # to crash HERE while the oracle's tier algebra — where tier-1
+    # subsumes tier-0 — kept running): a missing balance makes tier-0
+    # empty and tier-1 resolves everything, same ladder semantics.
+    acctbal = SC.col_or_null(
+        patients, "c_acctbal", "acctbal", "account_balance",
+        null_type="double",
+    )
     tiers = [
         (
-            patients.filter(F.col("c_acctbal") > 0).withColumn(
+            patients.filter(acctbal > 0).withColumn(
                 "pid", F.col("c_custkey")
             ),
             "o_custkey",

@@ -196,10 +196,19 @@ def q_drop_null_props(spark, sf_dir):
 def q_protected_drop(spark, sf_dir):
     """Protected-property exclusion (ROI_PROTECTED_PROPERTIES,
     main.py:61-63, 657-658): configured columns never reach the write
-    payload — df.drop compiles to a narrower ReadSchema, so protected
-    columns are not even scanned."""
-    protected = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
-    return _t(spark, sf_dir, "orders").drop(*protected)
+    payload.
+
+    Implemented as an ALLOWLIST projection, not a denylist drop (r12
+    schema-drift probe finding): ``df.drop(names)`` silently PASSES a
+    protected column that arrives under an alias spelling — the probe
+    planted o_orderpriority→orderpriority and the drop leaked the
+    renamed values straight into the payload. A write payload is
+    deny-by-default: project exactly the known-safe columns, so an
+    unknown or re-spelled column never flows out, and the narrower
+    ReadSchema (protected columns never scanned) is a guarantee of
+    the projection instead of a side effect of the drop."""
+    allowed = ["o_orderkey", "o_custkey", "o_orderdate"]
+    return _t(spark, sf_dir, "orders").select(*allowed)
 
 
 @register(

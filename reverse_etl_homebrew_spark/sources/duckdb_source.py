@@ -480,4 +480,10 @@ def external_table(spark, sf_dir: str, table: str, columns: Optional[Sequence[st
     )
     if columns:
         r = r.option("columns", ",".join(columns))
-    return r.load()
+    # the same ingress type contract every other source path enforces
+    # (r12 schema-drift probe: this reader let a VARCHAR-widened key
+    # column through as long as no expression touched it — drift
+    # policy must be uniform across connectors, not per-path luck)
+    from .catalog import _enforce_contract
+
+    return _enforce_contract(r.load(), table)

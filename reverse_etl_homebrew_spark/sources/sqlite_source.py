@@ -258,6 +258,73 @@ def _arrow_to_decl(t) -> str:
     raise ValueError(f"sqlite staging: unsupported arrow type {t}")
 
 
+def _apply_ingress_contract(tbl, table: str, columns: Sequence[str]):
+    """The staging twin of sources/catalog._enforce_contract (r12
+    schema-drift probe): this path reads RAW parquet via pyarrow,
+    bypassing load_table, and the probe caught both halves of what
+    that buys — a VARCHAR-widened measure staged silently into SQLite
+    (whose TEXT > REAL comparison rules then answer WRONG while the
+    DuckDB oracle raises: the exact silent-split class), and a
+    same-family decimal(12,2) widening crashing the staging on an
+    unsupported arrow type. Policy here is identical to ingress:
+    cross-family drift raises SchemaContractError; same-family drift
+    is tolerated by CASTING to the canonical arrow type before
+    staging (lossless for this family algebra: int widenings and
+    ≤15-significant-digit decimals→double)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .catalog import CANONICAL_TYPES, SchemaContractError
+
+    _SPARK_TO_ARROW = {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(),
+    }
+
+    def family(t) -> str:
+        if pa.types.is_integer(t):
+            return "integral"
+        if pa.types.is_floating(t) or pa.types.is_decimal(t):
+            return "fractional"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_timestamp(t):
+            return "timestamp_ntz" if t.tz is None else "timestamp"
+        return str(t)
+
+    def spark_family(dt: str) -> str:
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            return "integral"
+        if dt in ("float", "double") or dt.startswith("decimal"):
+            return "fractional"
+        return dt
+
+    canon = CANONICAL_TYPES.get(table, {})
+    for name in columns:
+        if name not in canon:
+            continue
+        actual = tbl.schema.field(name).type
+        want = canon[name]
+        if family(actual) != spark_family(want):
+            raise SchemaContractError(
+                f"sqlite staging: table '{table}' column '{name}' drifted "
+                f"across type families (file={actual}, contract={want})"
+            )
+        target = _SPARK_TO_ARROW.get(want)
+        if target is not None and actual != target:
+            idx = tbl.schema.get_field_index(name)
+            col = tbl.column(name)
+            if pa.types.is_decimal(actual) and pa.types.is_floating(target):
+                # arrow's direct decimal->double multiplies the scaled
+                # int by 10^-scale (0.01 is inexact: 1532.36 became
+                # 1532.3600000000001); the decimal-STRING parse is the
+                # correctly-rounded conversion every other reader uses
+                col = pc.cast(col, pa.string())
+            tbl = tbl.set_column(idx, name, pc.cast(col, target))
+    return tbl
+
+
 def stage_parquet_as_sqlite(sf_dir: str, table: str, columns: Sequence[str]) -> str:
     """Materialize one parquet table as a SQLite database file and
     return its path — the fixture step that lets the driver-facing
@@ -288,6 +355,7 @@ def stage_parquet_as_sqlite(sf_dir: str, table: str, columns: Sequence[str]) -> 
     if os.path.exists(db_path):
         return db_path
     tbl = pq.read_table(src, columns=list(columns))
+    tbl = _apply_ingress_contract(tbl, table, columns)
     decls = ", ".join(
         f"{_quote_ident(name)} {_arrow_to_decl(tbl.schema.field(name).type)}"
         for name in columns

@@ -153,3 +153,38 @@ def test_minhash_bands_16_restores_exact_recall(spark, adv_dir):
     )
     assert len(b4) < len(exact), "bands=4 should miss gray-zone pairs here"
     assert set(b4) <= set(exact), "precision must stay 1.0 (exact verify)"
+
+
+def test_minhash_bands_16_exact_on_encoding_corpus(spark):
+    """The r12 ENCODING arm (astral/NFD/zalgo/fullwidth/direction-mark
+    snippets) hit the SAME banding boundary and nothing else: the
+    probe's only 3 non-OK keys were the fuzzy-dedup family, and
+    bands=16 is pair-for-pair exact there too (measured: bands=4
+    missed 9/28, bands=8 missed 2, bands=16 missed 0 with 0 extras).
+    Gram-extraction parity on unicode poison is separately proven by
+    ngram-jaccard staying OK — both engines count codepoints."""
+    from reverse_etl_homebrew_spark.operators import dedup as DD
+
+    enc_dir = build_adversarial_dir(SF_DIR, "encoding")
+    d = (
+        spark.read.parquet(f"{enc_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    exact = sorted(
+        (r["a_id"], r["b_id"])
+        for r in DD.ngram_jaccard_pairs(d, threshold=0.5).collect()
+    )
+    b16 = sorted(
+        (r["a_id"], r["b_id"])
+        for r in DD.minhash_verified_pairs(
+            d, num_hashes=32, bands=16
+        ).collect()
+    )
+    assert b16 == exact
+    b4 = set(
+        (r["a_id"], r["b_id"])
+        for r in DD.minhash_verified_pairs(d, num_hashes=32, bands=4).collect()
+    )
+    assert len(b4) < len(exact), "the boundary must stay REAL"
+    assert b4 <= set(exact), "precision must stay 1.0 (exact verify)"

@@ -34,35 +34,43 @@ MUST_RUN_R12 = {
     "mad-outliers",
     # (b) the pin slip
     "ewma-smooth",
-    # (c) changed this round
+    # (c) changed this round (advisor fixes, the new key, and the
+    # schema-drift col_or_null chains in both sync pipelines)
     "exact-dedup", "incremental-knn",
     "topk-similarity", "topk-similarity-pandas",
     "topk-similarity-lsh", "topk-similarity-ivf",
     "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
+    "patient-sync-pipeline", "roi-sync-pipeline",
+    "protected-drop", "external-scan-pushdown",
     # (d) r8-evidenced stale cohort
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
-    "delta-scan", "dlq-attempt-join", "dlq-attempt-read",
+    "dlq-attempt-join", "dlq-attempt-read",
     "doc-fingerprint", "email-match-join",
     "embedding-centroid", "embedding-near-dup",
-    "full-scan", "groupby-agg", "idmap-join",
+    "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
     "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
-    "point-lookup", "processed-skip", "quality-score",
+    "processed-skip", "quality-score",
     "run-counters", "semi-join", "set-except", "set-intersect",
     "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
-    "topk-sort", "union-all", "window-rank",
+    "union-all", "window-rank",
 }
 
-# The one key deliberately rolled past the saturated cap to round 13 —
+# Keys deliberately rolled past the saturated cap to round 13 —
 # pinned so the roll stays EXPLICIT, not an accident of ordering. The
-# candidate set was 51 keys for a 50-cap; simhash-dedup's slot buys
-# the weakest evidence in the registry (rows-only by declared design,
-# code unchanged since r8, oracle-exact twin simhash-dedup-md5
-# hash-green r10), so it is the roll. It must lead round 13 together
-# with any key whose code changes in round 13.
+# candidate set was 55 keys for a 50-cap (41 rolled from r11 +
+# ewma-smooth + 13 changed this round); the rolls buy the weakest
+# evidence available: simhash-dedup's driver check is rows-only by
+# declared design (oracle-exact twin simhash-dedup-md5 hash-green
+# r10, code unchanged since r8); full-scan, point-lookup, topk-sort,
+# delta-scan are one-line projection/filter/sort scans unchanged
+# since r8 whose scan+project shape every other key exercises on
+# every run. They must lead round 13 together with any key whose
+# code changes then.
 ROLLED_TO_R13 = {
-    "simhash-dedup",
+    "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
+    "delta-scan",
 }
 
 

@@ -8,6 +8,7 @@ scheme the driver might apply).
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import math
 import os
 
@@ -40,6 +41,13 @@ def _norm(v):
             # would otherwise compare str-vs-float inside sorted()
             return ("fnan",)
         return ("f", v)
+    if isinstance(v, decimal.Decimal):
+        # DuckDB returns DECIMAL columns as decimal.Decimal; under
+        # same-family type drift (double -> decimal(12,2), an r12
+        # TOLERATED class) the engine reads double while the oracle
+        # reads Decimal of the SAME value — normalize to the float
+        # tag so the harness compares values, not wire types
+        return ("f", float(v))
     if isinstance(v, dt.datetime):
         return ("t", v.replace(tzinfo=None).isoformat())
     if isinstance(v, dt.date):
