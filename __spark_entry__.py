@@ -67,7 +67,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # defense), rewrote protected-drop from denylist drop to allowlist
 # projection (the probe's renamed-column leak), and added the ingress
 # contract to the DuckDB external source (external-scan-pushdown).
-# The five rolls, pinned as ROLLED_TO_R13:
+# Late-r12 addition: the composed-poison probe (NULL + re-delivery +
+# encoding + additive/same-family drift STACKED) exposed the one
+# divergence none of the single arms could reach — decontaminate's
+# train side missed the r11 (id, text) re-delivery collapse — so
+# decontaminate's changed code enters the cap too, displacing
+# doc-fingerprint (a one-line sha256 projection whose fingerprint
+# algebra the in-cap exact-dedup key oracle-checks byte-for-byte in
+# its window partition key).
+# The six rolls, pinned as ROLLED_TO_R13:
 # - simhash-dedup: driver check rows-only BY DESIGN (weakest evidence
 #   a cap slot can buy), code unchanged since r8, oracle-exact twin
 #   simhash-dedup-md5 hash-green r10;
@@ -93,10 +101,11 @@ _PRIORITY = [
     "patient-sync-pipeline", "roi-sync-pipeline",  # col_or_null chains
     "protected-drop",          # denylist drop -> allowlist projection
     "external-scan-pushdown",  # ingress contract on the DuckDB source
+    "decontaminate",           # train-side (id, text) re-delivery collapse
     # -- (d) the r8-evidenced stale cohort --
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "dlq-attempt-join", "dlq-attempt-read",
-    "doc-fingerprint", "email-match-join",
+    "email-match-join",
     "embedding-centroid", "embedding-near-dup",
     "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
@@ -109,7 +118,7 @@ _PRIORITY = [
     # ---- 50-cap boundary ----
     # the rolled keys (see the header note) — lead round 13
     "simhash-dedup", "full-scan", "point-lookup",
-    "topk-sort", "delta-scan",
+    "topk-sort", "delta-scan", "doc-fingerprint",
 ]
 
 

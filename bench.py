@@ -135,6 +135,11 @@ HEAVY_ADDITIONS = [
     # batch-vocabulary-sized index join; the nightly-ingest twin of
     # dup-span-detect
     "incremental-dup-spans",
+    # r12: vector-tier incremental ANN — batch-side multi-probe
+    # explode + bucket equi-join against the (persisted, in
+    # production) ANN index; every new key gets a bench row the round
+    # it ships
+    "incremental-knn",
 ]
 
 

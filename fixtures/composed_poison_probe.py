@@ -27,6 +27,19 @@ probes — composition must not ADD any):
   below the 4x8 S-curve midpoint; bands=16 exact —
   tests/test_adversarial_knobs.py).
 
+First-run adjudication (r12, sf0.001): 152 OK + 3 known boundaries +
+**1 MISMATCH the composition alone could reach** — decontaminate's
+train side had missed the r11 (id, text) re-delivery collapse
+(_pruned_grams got it; _doc_grams did not), and a re-delivered
+CONTAMINATED doc double-counted its shared grams. The single-arm
+re-delivery probe couldn't see it (its small hit set contained no
+re-delivered doc); stacking the encoding arm widened the hit set
+onto one. Fixed in operators/dedup.contamination_flags + pinned in
+tests/test_redelivery_robustness.py. End-state re-run: **153 OK + 3
+KNOWN_BOUNDARY + 0 mismatches/errors (156/156 accounted)**, and the
+sync-alias composition commutes (both pipelines bit-identical under
+alias drift stacked on the full composition).
+
 Usage:
     python fixtures/composed_poison_probe.py [sf_dir]
 """

@@ -535,8 +535,21 @@ def contamination_flags(
     key and aggregates per doc — cost O(train tokens), one shuffle,
     no all-pairs anything. Returns (doc_id, shared_grams) for
     contaminated docs; anti-join the result against the corpus to get
-    the clean split."""
-    tg = _doc_grams(train, id_col, text_col, n)
+    the clean split.
+
+    Exact re-deliveries collapse FIRST on the train side (r12
+    composed-poison probe — the one divergence the composition
+    exposed: the r11 collapse landed in ``_pruned_grams`` but not
+    here, and under at-least-once ingest a re-delivered CONTAMINATED
+    doc emitted every (id, g) row twice, doubling its shared_grams
+    while the oracle's DISTINCT collapsed them. The single-arm
+    re-delivery probe missed it because no re-delivered doc was in
+    its small hit set; stacking the encoding arm widened the hit set
+    onto one). Benchmark-side re-deliveries were already harmless —
+    bg is a distinct gram set."""
+    tg = _doc_grams(
+        train.dropDuplicates([id_col, text_col]), id_col, text_col, n
+    )
     bg = _doc_grams(benchmark, id_col, text_col, n).select("g").distinct()
     return (
         tg.join(bg, ["g"])

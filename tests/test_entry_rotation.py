@@ -41,11 +41,11 @@ MUST_RUN_R12 = {
     "topk-similarity-lsh", "topk-similarity-ivf",
     "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
     "patient-sync-pipeline", "roi-sync-pipeline",
-    "protected-drop", "external-scan-pushdown",
+    "protected-drop", "external-scan-pushdown", "decontaminate",
     # (d) r8-evidenced stale cohort
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "dlq-attempt-join", "dlq-attempt-read",
-    "doc-fingerprint", "email-match-join",
+    "email-match-join",
     "embedding-centroid", "embedding-near-dup",
     "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
@@ -59,18 +59,20 @@ MUST_RUN_R12 = {
 
 # Keys deliberately rolled past the saturated cap to round 13 —
 # pinned so the roll stays EXPLICIT, not an accident of ordering. The
-# candidate set was 55 keys for a 50-cap (41 rolled from r11 +
-# ewma-smooth + 13 changed this round); the rolls buy the weakest
+# candidate set was 56 keys for a 50-cap (41 rolled from r11 +
+# ewma-smooth + 14 changed this round); the rolls buy the weakest
 # evidence available: simhash-dedup's driver check is rows-only by
 # declared design (oracle-exact twin simhash-dedup-md5 hash-green
 # r10, code unchanged since r8); full-scan, point-lookup, topk-sort,
 # delta-scan are one-line projection/filter/sort scans unchanged
 # since r8 whose scan+project shape every other key exercises on
-# every run. They must lead round 13 together with any key whose
-# code changes then.
+# every run; doc-fingerprint is a one-line sha256 projection whose
+# fingerprint algebra the in-cap exact-dedup key oracle-checks
+# byte-for-byte in its window partition key. They must lead round 13
+# together with any key whose code changes then.
 ROLLED_TO_R13 = {
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
-    "delta-scan",
+    "delta-scan", "doc-fingerprint",
 }
 
 

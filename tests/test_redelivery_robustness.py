@@ -89,3 +89,25 @@ def test_dup_span_rate_never_exceeds_one(spark, redelivered):
     of a doc's own spans — by construction it can never exceed 1."""
     rows = Q.QUERIES["dup-span-rate"](spark, redelivered).collect()
     assert rows and all(r["dup_rate"] <= 1.0 for r in rows)
+
+
+def test_contamination_flags_collapse_redelivered_train_rows(spark):
+    """r12 composed-poison finding: the r11 (id, text) collapse landed
+    in _pruned_grams but NOT in contamination_flags' train side — a
+    re-delivered contaminated doc counted every shared gram twice.
+    The single-arm probe missed it (no re-delivered doc in its small
+    hit set); the composition caught it. Pinned directly: duplicated
+    train rows must yield the same shared_grams as single rows."""
+    from reverse_etl_homebrew_spark.operators.dedup import contamination_flags
+
+    train_rows = [(1, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    bench_rows = [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    schema = "doc_id int, text string"
+    train_once = spark.createDataFrame(train_rows, schema)
+    train_twice = spark.createDataFrame(train_rows * 2, schema)
+    bench = spark.createDataFrame(bench_rows, schema)
+    once = {(r["doc_id"], r["shared_grams"])
+            for r in contamination_flags(train_once, bench).collect()}
+    twice = {(r["doc_id"], r["shared_grams"])
+             for r in contamination_flags(train_twice, bench).collect()}
+    assert once == twice == {(1, 1)}
