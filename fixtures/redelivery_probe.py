@@ -21,8 +21,25 @@ MISMATCH here means the two engines disagree about what a re-delivered
 row does to the answer — a silent wrong answer the first time a batch
 is retried in production.
 
+--conflict runs the CONFLICTING-redelivery arm instead (r12): the
+same id re-delivered with DIFFERENT content (documents text twin at
+doc_id % 41; orders o_totalprice ± 0.01 twin at o_orderkey % 61) —
+the corruption class the exact (id, text) collapse deliberately does
+NOT absorb. Adjudication (r12, sf0.001): the divergent set is
+EXACTLY the per-id SET-semantics family (8 keys: fuzzy-dedup,
+ngram-jaccard, fuzzy-dedup-clusters, dedup-survivorship, both
+containment keys, decontaminate, simhash-dedup-md5 — SQL's DISTINCT
+takes the union of the conflicting versions, the engine's per-row
+array_distinct keeps them separate), pinned as a DOCUMENTED BOUNDARY
+with exact membership in tests/test_conflicting_redelivery.py; every
+per-ROW key (148/156) agrees, including the orders-amount arm. The
+resolution is upstream by design: lastwin_dedup one content version
+per identified doc before the dedup tier (the reference's
+one-row-per-natural-key semantics) — proven to restore pair-for-pair
+parity in the same test module.
+
 Usage:
-    python fixtures/redelivery_probe.py [sf_dir] [key ...]
+    python fixtures/redelivery_probe.py [--conflict] [sf_dir] [key ...]
 """
 from __future__ import annotations
 
@@ -66,10 +83,58 @@ def build_redelivered_dir(sf_dir: str) -> str:
     return out
 
 
+def build_conflicting_dir(sf_dir: str) -> str:
+    """CONFLICTING re-delivery (r12 arm): the same doc_id arrives
+    twice with DIFFERENT content — the corruption class the exact
+    (id, text) collapse deliberately does NOT absorb ('conflicting
+    same-id content is a different corruption owned upstream',
+    operators/dedup._pruned_grams). This arm does not require
+    tolerance; it verifies the two engines stay CONSISTENT with each
+    other on the corrupted input, so the upstream-owned corruption
+    can never become a silent cross-engine split down here."""
+    out = tempfile.mkdtemp(prefix="sg-conflict-")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT doc_id, text || ' conflicting retry payload' AS text,
+                         lang, source, n_chars
+                  FROM read_parquet('{src}') WHERE doc_id % 41 = 0
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        elif t == "orders":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT o_orderkey, o_custkey, o_orderstatus,
+                         o_totalprice + 0.01 AS o_totalprice,
+                         o_orderdate, o_orderpriority
+                  FROM read_parquet('{src}') WHERE o_orderkey % 61 = 0
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    return out
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    poisoned = build_redelivered_dir(sf_dir)
+    args = sys.argv[1:]
+    conflict = "--conflict" in args
+    if conflict:
+        args.remove("--conflict")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    poisoned = (
+        build_conflicting_dir(sf_dir) if conflict
+        else build_redelivered_dir(sf_dir)
+    )
     print(f"redelivered dir: {poisoned}")
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(

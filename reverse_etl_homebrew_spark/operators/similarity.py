@@ -294,6 +294,30 @@ def build_ann_index(
     )
 
 
+def append_to_ann_index(
+    ann_index: DataFrame,
+    accepted_batch: DataFrame,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index MAINTENANCE for the nightly-ingest loop: once a probed
+    batch is accepted into the corpus, bucket it with the SAME planes
+    and union it onto the index — append-only, never a rebuild (the
+    ``build_span_index`` discipline lifted to vectors). In production
+    this is an INSERT INTO the bucketed index table: the new rows land
+    in their buckets and co-location with future probes is preserved
+    by the table layout, not recomputed.
+
+    Invariant (pinned in tests/test_incremental_knn.py): appending a
+    batch is EQUIVALENT to rebuilding the index over corpus ∪ batch —
+    same planes ⇒ same bucket for every vector ⇒ identical probe
+    results. Re-accepted vectors (same id, same vector) collapse so an
+    at-least-once accept loop cannot duplicate index rows."""
+    delta = build_ann_index(accepted_batch, planes, id_col, vec_col)
+    return ann_index.unionByName(delta).dropDuplicates(["r_id", "bucket"])
+
+
 def incremental_knn(
     new_batch: DataFrame,
     ann_index: DataFrame,

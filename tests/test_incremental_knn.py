@@ -71,6 +71,42 @@ def test_null_vectors_excluded_both_sides(spark):
     assert out.where(F.col("l_id") == 1).count() >= 1
 
 
+def test_append_equals_rebuild(spark):
+    """Index maintenance invariant: appending an accepted batch with
+    the SAME planes is equivalent to rebuilding the index over
+    corpus ∪ batch — identical probe results for any query batch —
+    and re-accepting the same batch twice (at-least-once accept loop)
+    changes nothing."""
+    from reverse_etl_homebrew_spark.operators.similarity import (
+        append_to_ann_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(200 + i, _vec(-3.0 + 2.7 * i)) for i in range(30)],
+        "vec_id int, embedding array<float>",
+    )
+    accepted = spark.createDataFrame(
+        [(500 + i, _vec(1.0 + 0.3 * i)) for i in range(10)],
+        "vec_id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, _vec(1.2)), (2, _vec(-2.0))], "vec_id int, embedding array<float>"
+    )
+    base = build_ann_index(corpus, planes=6)
+    appended = append_to_ann_index(base, accepted, planes=6)
+    rebuilt = build_ann_index(corpus.unionByName(accepted), planes=6)
+
+    def probe(idx):
+        return sorted(
+            map(tuple, incremental_knn(queries, idx, k=3, planes=6).collect())
+        )
+
+    assert probe(appended) == probe(rebuilt)
+    twice = append_to_ann_index(appended, accepted, planes=6)
+    assert twice.count() == appended.count()
+    assert probe(twice) == probe(appended)
+
+
 def test_probe_join_reads_bucketed_index_in_place(spark, tmp_path):
     """DIFFERENTIAL plan pin (the IVM-state pattern): the same probe
     against the index persisted bucketed on `bucket` pays exactly one
