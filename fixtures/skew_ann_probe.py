@@ -85,8 +85,17 @@ def main() -> None:
         "skew30_both": (skewed(batch), skewed(accepted)),
     }
     print("loadavg_start", [round(x, 2) for x in os.getloadavg()])
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sg-annskew-")
     for label, (b, a) in cells.items():
-        idx = build_ann_index(a, planes=6)
+        # PERSIST the index (the production shape — and what the
+        # tenx fixture does): timing an unpersisted index DataFrame
+        # re-runs the bucketer every rep, burying the probe-side skew
+        # delta under a constant rebuild cost (r12 review finding)
+        path = os.path.join(tmp, label)
+        build_ann_index(a, planes=6).write.parquet(path)
+        idx = spark.read.parquet(path)
         hotsize = (
             idx.groupBy("bucket").count().orderBy(F.desc("count")).first()
         )

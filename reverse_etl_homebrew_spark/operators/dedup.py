@@ -537,22 +537,23 @@ def contamination_flags(
     contaminated docs; anti-join the result against the corpus to get
     the clean split.
 
-    Exact re-deliveries collapse FIRST on the train side (r12
-    composed-poison probe — the one divergence the composition
-    exposed: the r11 collapse landed in ``_pruned_grams`` but not
-    here, and under at-least-once ingest a re-delivered CONTAMINATED
-    doc emitted every (id, g) row twice, doubling its shared_grams
-    while the oracle's DISTINCT collapsed them. The single-arm
-    re-delivery probe missed it because no re-delivered doc was in
-    its small hit set; stacking the encoding arm widened the hit set
-    onto one). Benchmark-side re-deliveries were already harmless —
-    bg is a distinct gram set."""
-    tg = _doc_grams(
-        train.dropDuplicates([id_col, text_col]), id_col, text_col, n
-    )
+    Re-delivery robustness (r12 composed-poison probe, tightened by
+    the r12 review): shared_grams counts DISTINCT (id, gram) matches
+    — the dedup runs AFTER the benchmark join, where the stream is
+    only the contaminated grams (small), so it costs a dedup of the
+    hit set instead of a shuffle of the full gram stream. This is
+    exactly the oracle's ``SELECT DISTINCT id, g`` algebra, so it
+    absorbs BOTH re-delivery classes: an exact re-delivered doc's
+    duplicate (id, g) rows collapse, and a CONFLICTING re-delivery's
+    versions contribute the union of their gram sets — decontaminate
+    is therefore NOT in the conflicting-redelivery divergence
+    boundary (tests/test_conflicting_redelivery.py). Benchmark-side
+    re-deliveries were always harmless — bg is a distinct gram set."""
+    tg = _doc_grams(train, id_col, text_col, n)
     bg = _doc_grams(benchmark, id_col, text_col, n).select("g").distinct()
     return (
         tg.join(bg, ["g"])
+        .dropDuplicates(["id", "g"])
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .filter(F.col("shared_grams") >= min_grams)

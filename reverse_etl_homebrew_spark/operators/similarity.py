@@ -310,12 +310,39 @@ def append_to_ann_index(
     by the table layout, not recomputed.
 
     Invariant (pinned in tests/test_incremental_knn.py): appending a
-    batch is EQUIVALENT to rebuilding the index over corpus ∪ batch —
-    same planes ⇒ same bucket for every vector ⇒ identical probe
-    results. Re-accepted vectors (same id, same vector) collapse so an
-    at-least-once accept loop cannot duplicate index rows."""
+    disjoint batch is EQUIVALENT to rebuilding the index over
+    corpus ∪ batch — same planes ⇒ same bucket for every vector ⇒
+    identical probe results — and re-accepting the same batch is a
+    no-op: EXACT duplicate index rows collapse via full-row distinct
+    (deterministic by construction — collapsed rows are identical on
+    every column, so there is no survivor to elect; the r12 review
+    caught the earlier (r_id, bucket) key-dedup electing a
+    partition-order-dependent survivor when a re-accepted id carried
+    an UPDATED vector). A re-accepted id with conflicting vector
+    keeps both rows — the conflicting-redelivery boundary, owned
+    upstream like everywhere else (tests/test_conflicting_redelivery).
+
+    Dimension contract: the delta must match the index's
+    dimensionality — validated loudly here (the review's dim-drift
+    foot-gun: mismatched dims would silently bucket with different
+    planes and score truncated cosines). ``planes`` must equal the
+    index's construction planes; in production both are table
+    properties. The local distinct shuffles the index; the production
+    form is INSERT INTO the bucketed table with the accept-once
+    ledger upstream, where this collapse is a safety net, not the
+    layout mechanism."""
+    dim_idx = VEC.infer_dim(ann_index, "r_v")
+    dim_new = VEC.infer_dim(accepted_batch.where(F.col(vec_col).isNotNull()), vec_col)
+    if dim_idx and dim_new and dim_idx != dim_new:
+        from ..sources.catalog import SchemaContractError
+
+        raise SchemaContractError(
+            f"ann index append: batch dimension {dim_new} != index "
+            f"dimension {dim_idx} — dimension is a property of the "
+            f"index, fix the producer"
+        )
     delta = build_ann_index(accepted_batch, planes, id_col, vec_col)
-    return ann_index.unionByName(delta).dropDuplicates(["r_id", "bucket"])
+    return ann_index.unionByName(delta).distinct()
 
 
 def incremental_knn(
@@ -346,12 +373,31 @@ def incremental_knn(
     Same approximate-recall trade as ``knn_join``: a batch vector only
     sees neighbors inside its probed buckets. ``planes`` must match
     the index's construction planes — in production it is a property
-    of the index table, not a per-query knob."""
+    of the index table, not a per-query knob. Dimensionality IS
+    validated here (r12 review): the planes derive from the INDEX's
+    dimension (the authoritative side), and a batch whose vectors
+    drifted to a different dimension is refused loudly — silently
+    bucketing 32-dim vectors with 64-dim planes and folding truncated
+    cosines is the wrong-neighbor class the ingress contract exists
+    to keep out."""
     from pyspark.sql import Window as W
 
     from .vectorized import pair_cosine_pandas, table_buckets_pandas
 
-    dim = VEC.infer_dim(new_batch, vec_col)
+    dim = VEC.infer_dim(ann_index, "r_v")
+    dim_batch = VEC.infer_dim(
+        new_batch.where(F.col(vec_col).isNotNull()), vec_col
+    )
+    if dim == 0:
+        dim = dim_batch  # empty index: plan shape from the batch
+    if dim and dim_batch and dim != dim_batch:
+        from ..sources.catalog import SchemaContractError
+
+        raise SchemaContractError(
+            f"incremental knn: batch dimension {dim_batch} != index "
+            f"dimension {dim} — dimension is a property of the index, "
+            f"fix the producer"
+        )
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     l = (

@@ -19,6 +19,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 
+def _vector_matrix(vecs: "pd.Series", kernel: str):
+    """``np.asarray(series.tolist())`` with the ANN-tier population
+    contract made LOUD (r12 review): a NULL embedding row reaching an
+    Arrow kernel used to die batch-wide inside numpy with an opaque
+    ``setting an array element with a sequence`` / ragged-array error.
+    NULL vectors carry no geometry — the tier's declared contract is
+    that they are filtered or repaired UPSTREAM (seed readers degrade,
+    fixtures/null_robustness_probe.py documents the population side) —
+    so the violation is reported as the schema-contract breach it is,
+    naming the kernel, instead of a numpy traceback."""
+    import numpy as np
+
+    if vecs.isna().any():
+        from ..sources.catalog import SchemaContractError
+
+        raise SchemaContractError(
+            f"NULL embedding reached the {kernel} kernel — the ANN "
+            f"tier's population contract (non-NULL vectors) is "
+            f"violated; filter or repair the batch upstream"
+        )
+    return np.asarray(vecs.tolist(), dtype=np.float64)
+
+
 def cosine_scores_pandas(
     df: DataFrame,
     query: Sequence[float],
@@ -34,7 +57,7 @@ def cosine_scores_pandas(
 
     @F.pandas_udf(T.DoubleType())
     def score(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m = _vector_matrix(vecs, "cosine_scores")
         dots = m @ q
         norms = np.sqrt((m * m).sum(axis=1)) * qn
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -86,7 +109,7 @@ def ivf_assign_pandas(
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, d)
+        m = _vector_matrix(vecs, "ivf_assign")  # (n, d)
         sims = m @ C.T  # (n, k)
         return pd.Series(sims.argmax(axis=1).astype("int32"))
 
@@ -134,8 +157,8 @@ def pair_cosine_pandas():
     def cos(v: pd.Series, bv: pd.Series, n: pd.Series, bn: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="float64")
-        A = np.asarray(v.tolist(), dtype=np.float64)
-        B = np.asarray(bv.tolist(), dtype=np.float64)
+        A = _vector_matrix(v, "pair_cosine")
+        B = _vector_matrix(bv, "pair_cosine")
         acc = A[:, 0] * B[:, 0]
         for i in range(1, A.shape[1]):
             acc = acc + A[:, i] * B[:, i]
@@ -171,7 +194,7 @@ def centroid_dists_pandas(centroid_vectors):
     def dists(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        A = np.asarray(vecs.tolist(), dtype=np.float64)
+        A = _vector_matrix(vecs, "centroid_dists")
         cols = []
         for j in range(C.shape[0]):
             d0 = A[:, 0] - C[j, 0]
@@ -225,7 +248,7 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     def buckets(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        m = _vector_matrix(vecs, "table_buckets")
         signs = hybrid_fold_signs(m, P)  # (n, L*p)
         bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
         bs = bs + tags  # (n, L)

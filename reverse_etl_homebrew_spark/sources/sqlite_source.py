@@ -274,7 +274,7 @@ def _apply_ingress_contract(tbl, table: str, columns: Sequence[str]):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .catalog import CANONICAL_TYPES, SchemaContractError
+    from .catalog import CANONICAL_TYPES, SchemaContractError, _type_family
 
     _SPARK_TO_ARROW = {
         "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
@@ -293,12 +293,10 @@ def _apply_ingress_contract(tbl, table: str, columns: Sequence[str]):
             return "timestamp_ntz" if t.tz is None else "timestamp"
         return str(t)
 
-    def spark_family(dt: str) -> str:
-        if dt in ("tinyint", "smallint", "int", "bigint"):
-            return "integral"
-        if dt in ("float", "double") or dt.startswith("decimal"):
-            return "fractional"
-        return dt
+    # contract-side families come from the ONE taxonomy
+    # (catalog._type_family) — the r12 review caught a local copy that
+    # a future family-policy change would silently leave behind
+    spark_family = _type_family
 
     canon = CANONICAL_TYPES.get(table, {})
     for name in columns:

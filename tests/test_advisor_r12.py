@@ -195,3 +195,61 @@ def test_null_embedding_seed_parity(spark, name, null_seed_duck, null_seed_dir):
     d_rows = cur.fetchall()
     assert sorted(s_cols) == sorted(d_cols)
     assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
+
+
+# ---------------------------------------------------------------------------
+# 3. PARTIAL NULL: one NULL vector in the POPULATION, seeds healthy
+#    (the r12 review's gap — the all-seeds-NULL fixture above never
+#    exercises the Arrow kernels on the NULL row because the fences
+#    prune the whole plan)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def partial_null_dir():
+    """vec_id 3 has a NULL embedding; every other vector (including
+    the query seed vec_id 0) is healthy."""
+    out = tempfile.mkdtemp(prefix="sg-partialnull-")
+    con = duckdb.connect()
+    for t in TABLES:
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  SELECT vec_id,
+                         CASE WHEN vec_id = 3 THEN NULL ELSE embedding END
+                           AS embedding,
+                         label
+                  FROM read_parquet('{src}')
+                ) TO '{dst}' (FORMAT PARQUET)"""
+            )
+        else:
+            shutil.copyfile(src, dst)
+    con.close()
+    return out
+
+
+def test_codegen_population_paths_agree_on_partial_null(spark, partial_null_dir):
+    """The flat-codegen scorer handles a NULL population row the SQL
+    way on both engines: its score is NULL and it never ranks — true
+    parity, no boundary needed."""
+    sdf = Q.QUERIES["topk-similarity"](spark, partial_null_dir)
+    s = _rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    duck = _duck(partial_null_dir)
+    cur = duck.execute(Q.ORACLE["topk-similarity"])
+    d = _rowset([c[0] for c in cur.description], cur.fetchall())
+    assert s == d
+
+
+def test_arrow_kernels_refuse_partial_null_loudly(spark, partial_null_dir):
+    """The Arrow-kernel paths REFUSE a NULL population vector with a
+    named schema-contract error instead of an opaque numpy
+    ragged-array crash (r12 review finding). This is the declared
+    ANN-population boundary — the oracle, which computes NULL
+    distances for the row, keeps running; the declared contract is
+    that bulk NULL vectors are repaired upstream, and the engine's
+    job is to make the violation LOUD and actionable. (The error
+    crosses the UDF boundary as Spark's PythonException wrapper, so
+    the pin matches the kernel-named message, not the class.)"""
+    with pytest.raises(Exception, match="centroid_dists kernel"):
+        Q.QUERIES["kmeans-assign"](spark, partial_null_dir).collect()

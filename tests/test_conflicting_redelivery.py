@@ -5,8 +5,9 @@ same-id content is a different corruption owned upstream',
 operators/dedup._pruned_grams, r11).
 
 The arm (fixtures/redelivery_probe.py --conflict) adjudicated the
-boundary precisely: every key that computes per-ID *sets* (distinct
-grams, minhash/simhash signatures) diverges — the oracle's
+boundary precisely: every key whose per-ID *set* is built BEFORE its
+defining join (minhash/simhash signatures, jaccard/containment gram
+sets) diverges — the oracle's
 ``SELECT DISTINCT id, g`` takes the UNION of the conflicting
 versions while the engine's per-row ``array_distinct`` keeps them
 separate — and every per-ROW key (spans, fingerprints, rates,
@@ -46,12 +47,18 @@ SF_DIR = "/root/testdata/sf0.001"
 KNOWN_DIVERGENT = {
     "fuzzy-dedup", "ngram-jaccard", "fuzzy-dedup-clusters",
     "dedup-survivorship", "containment-dedup", "containment-dedup-capped",
-    "decontaminate", "simhash-dedup-md5",
+    "simhash-dedup-md5",
 }
 
 # Per-row representatives that MUST stay consistent on conflicting
 # input (one from each family the probe cleared).
 MUST_AGREE = [
+    # decontaminate LEFT the boundary (r12 review): shared_grams now
+    # counts DISTINCT (id, gram) matches — dedup AFTER the benchmark
+    # join, where the stream is just the hit set — which is exactly
+    # the oracle's algebra and absorbs conflicting versions as the
+    # union of their gram sets
+    "decontaminate",
     "exact-dedup", "incremental-dedup", "doc-fingerprint",
     "dup-span-detect", "dup-span-rate", "incremental-dup-spans",
     "repetition-metrics", "dedup-rate-report", "tfidf-topterms",

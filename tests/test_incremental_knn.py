@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from reverse_etl_homebrew_spark.operators.similarity import (
@@ -105,6 +107,40 @@ def test_append_equals_rebuild(spark):
     twice = append_to_ann_index(appended, accepted, planes=6)
     assert twice.count() == appended.count()
     assert probe(twice) == probe(appended)
+    # a re-accepted id with a CONFLICTING vector keeps both rows —
+    # the conflicting-redelivery boundary, owned upstream; the
+    # full-row distinct only collapses EXACT duplicates, so there is
+    # never a partition-order-dependent survivor to elect (r12 review)
+    conflicting = spark.createDataFrame(
+        [(500, _vec(9.0))], "vec_id int, embedding array<float>"
+    )
+    with_conflict = append_to_ann_index(appended, conflicting, planes=6)
+    assert with_conflict.where(F.col("r_id") == 500).count() == 2
+
+
+def test_dimension_drift_is_loud(spark):
+    """A batch whose vectors drifted to a different dimensionality is
+    refused with a schema-contract error on BOTH entry points (r12
+    review: planes derived from the batch would silently bucket with
+    different hyperplanes and fold truncated cosines — wrong
+    neighbors, no error)."""
+    from reverse_etl_homebrew_spark.operators.similarity import (
+        append_to_ann_index,
+    )
+    from reverse_etl_homebrew_spark.sources.catalog import SchemaContractError
+
+    corpus = spark.createDataFrame(
+        [(200 + i, _vec(-3.0 + 2.7 * i)) for i in range(10)],
+        "vec_id int, embedding array<float>",
+    )
+    drifted = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id int, embedding array<float>"
+    )
+    idx = build_ann_index(corpus, planes=6)
+    with pytest.raises(SchemaContractError):
+        incremental_knn(drifted, idx, k=3, planes=6)
+    with pytest.raises(SchemaContractError):
+        append_to_ann_index(idx, drifted, planes=6)
 
 
 def test_probe_join_reads_bucketed_index_in_place(spark, tmp_path):
