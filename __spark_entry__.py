@@ -60,7 +60,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # - knn-join-lsh (r11 green): infer_dim gained a NULL-vector skip,
 #   but infer_dim is a driver-side dim probe — the key's compiled
 #   result plan is unchanged.
-# The candidate set is 55 keys for a 50-cap: the r12 schema-drift
+# The candidate set is 56 keys for a 50-cap (41 rolled from r11 +
+# ewma-smooth + 14 changed this round): the r12 schema-drift
 # pass touched both sync pipelines (col_or_null alias chains —
 # plan-identical on a canonical source, pinned in
 # tests/test_schema_drift.py, but changed code outranks that
