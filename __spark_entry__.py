@@ -76,7 +76,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # doc-fingerprint (a one-line sha256 projection whose fingerprint
 # algebra the in-cap exact-dedup key oracle-checks byte-for-byte in
 # its window partition key).
-# The six rolls, pinned as ROLLED_TO_R13:
+# Late-r12 additions: three NEW keys shipped mid-round
+# (chunk-documents, corpus-diff, decontaminate-bloom) enter the cap
+# under the zero-history-never-waits rule, displacing the three
+# stale-cohort keys whose shapes are most redundantly covered by
+# in-cap siblings: union-all (a single UNION ALL of two projections of
+# one scan — the scan+project shape every key exercises, and the
+# union machinery is oracle-checked by the in-cap corpus-diff, whose
+# snapshot twin is built from a unionByName), set-intersect (Spark
+# plans INTERSECT as a left-semi join on all columns — the in-cap
+# semi-join key oracle-checks that join shape, and its EXCEPT sibling
+# set-except stays in-cap), and max-ifnull-agg (a coalesce+max
+# aggregate whose agg shape groupby-agg and conditional-agg cover
+# in-cap). The candidate set is therefore 59 keys for a 50-cap.
+# The nine rolls, pinned as ROLLED_TO_R13:
 # - simhash-dedup: driver check rows-only BY DESIGN (weakest evidence
 #   a cap slot can buy), code unchanged since r8, oracle-exact twin
 #   simhash-dedup-md5 hash-green r10;
@@ -103,6 +116,9 @@ _PRIORITY = [
     "protected-drop",          # denylist drop -> allowlist projection
     "external-scan-pushdown",  # ingress contract on the DuckDB source
     "decontaminate",           # train-side (id, text) re-delivery collapse
+    "chunk-documents",         # NEW: size/stride chunking (zero history)
+    "corpus-diff",             # NEW: snapshot diff (zero history)
+    "decontaminate-bloom",     # NEW: Bloom-prefiltered exact twin
     # -- (d) the r8-evidenced stale cohort --
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "dlq-attempt-join", "dlq-attempt-read",
@@ -110,16 +126,17 @@ _PRIORITY = [
     "embedding-centroid", "embedding-near-dup",
     "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
-    "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
+    "latest-per-group", "ledger-watermark-read",
     "processed-skip", "quality-score",
-    "run-counters", "semi-join", "set-except", "set-intersect",
+    "run-counters", "semi-join", "set-except",
     "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
-    "union-all", "window-rank",
+    "window-rank",
     # ---- 50-cap boundary ----
     # the rolled keys (see the header note) — lead round 13
     "simhash-dedup", "full-scan", "point-lookup",
     "topk-sort", "delta-scan", "doc-fingerprint",
+    "union-all", "set-intersect", "max-ifnull-agg",
 ]
 
 

@@ -140,6 +140,14 @@ HEAVY_ADDITIONS = [
     # production) ANN index; every new key gets a bench row the round
     # it ships
     "incremental-knn",
+    # late r12: the three new corpus ops — map-side chunk expansion
+    # (output-volume-bound, the ledger shows what the explode costs),
+    # the narrow-fingerprint snapshot diff, and the Bloom-prefiltered
+    # decontaminate twin whose ledger row sits next to `decontaminate`
+    # so the prefilter's local cost/benefit stays measured, not argued
+    "chunk-documents",
+    "corpus-diff",
+    "decontaminate-bloom",
 ]
 
 

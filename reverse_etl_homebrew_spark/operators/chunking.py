@@ -1,0 +1,65 @@
+"""Document chunking for training-sequence assembly.
+
+The reference pipeline ships whole rows to its sink (main.py has no
+chunking stage); this operator belongs to the extension tier — the
+step between corpus filtering and sequence packing (`pack-sequences`)
+when documents exceed the model context: split each document into
+fixed-size token windows advanced by a stride, keeping the overlap
+that preserves cross-boundary context (the standard pretraining
+chunk-with-overlap recipe).
+
+Scale shape: pure map-side row expansion — tokenize once behind a
+projection boundary, explode an arithmetic start-position sequence,
+slice per start. No shuffle, no Python, no state; output volume is
+``ceil(tokens/stride)`` rows per doc, so the operator streams at scan
+speed on any corpus size and the downstream packer owns the ordering
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as TX
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """One row per (doc, chunk): ``(id_col, chunk_id, chunk,
+    n_chunk_tokens)``.
+
+    Chunk starts advance by ``stride`` whitespace tokens from position
+    1 while positions remain (so every token lands in at least one
+    chunk); each chunk takes up to ``size`` tokens, and tail chunks
+    run shorter rather than padding or dropping trailing tokens.
+    ``chunk_id`` is the 0-based stride index, so
+    ``start = chunk_id * stride + 1`` reconstructs the offset.
+
+    NULL-id and NULL-text docs are out of scope on both engines, the
+    settled corpus conventions: chunking is a layout keyed by doc
+    identity (the pack-sequences rule — a NULL id has no stable
+    position downstream), and a NULL text has no tokens to chunk (the
+    dedup-universe rule). Zero-token docs yield no chunks — strict,
+    like token_span_windows' no-padded-window rule.
+    """
+    if stride < 1 or size < 1:
+        raise ValueError(f"size and stride must be >= 1, got {size=} {stride=}")
+    toks = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt"))
+        .where(F.size("__tt") >= 1)
+    )
+    starts = F.sequence(F.lit(1), F.size("__tt"), F.lit(stride))
+    exploded = toks.select(id_col, "__tt", F.explode(starts).alias("__i"))
+    piece = F.slice(F.col("__tt"), F.col("__i"), size)
+    return exploded.select(
+        id_col,
+        ((F.col("__i") - 1) / stride).cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

@@ -551,6 +551,16 @@ def contamination_flags(
     re-deliveries were always harmless — bg is a distinct gram set."""
     tg = _doc_grams(train, id_col, text_col, n)
     bg = _doc_grams(benchmark, id_col, text_col, n).select("g").distinct()
+    return _shared_gram_counts(tg, bg, id_col, min_grams)
+
+
+def _shared_gram_counts(
+    tg: DataFrame, bg: DataFrame, id_col: str, min_grams: int
+) -> DataFrame:
+    """The exact tail shared by both decontaminate forms: equi-join on
+    the gram key, DISTINCT (id, gram) (the r12 re-delivery collapse —
+    dedup AFTER the join, where the stream is only the hit set), then
+    the per-doc threshold."""
     return (
         tg.join(bg, ["g"])
         .dropDuplicates(["id", "g"])
@@ -559,6 +569,52 @@ def contamination_flags(
         .filter(F.col("shared_grams") >= min_grams)
         .select(F.col("id").alias(id_col), "shared_grams")
     )
+
+
+def contamination_flags_prefiltered(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_grams: int = 1,
+    m: int = 1 << 20,
+) -> DataFrame:
+    """``contamination_flags`` with a Bloom-style runtime prefilter:
+    EXACTLY the same output (the final gram equi-join is exact — hash
+    collisions only ever let false candidates through to it), but the
+    train gram stream is thinned map-side BEFORE the join by two
+    broadcast semi-joins on ``xxhash64(gram) mod m`` bucket positions
+    (k=2 hash lanes, the classic Bloom layout unrolled into relational
+    algebra Catalyst can plan).
+
+    Why this is the 100 TB form: the exact join's build side is the
+    benchmark's distinct gram STRINGS — tens of bytes each, and past
+    the broadcast threshold it becomes a full shuffle of the train
+    corpus's gram stream, the dominant cost at scale. The position
+    sets are 8-byte longs hard-capped at ``m`` distinct values
+    REGARDLESS of benchmark size, so they broadcast unconditionally
+    and drop non-candidate grams inside the scan stage; with two
+    independent lanes the expected false-candidate rate at load factor
+    ``b/m`` is ``(1-exp(-b/m))**2`` (<1% at b=0.1m), so the exact join
+    afterward sees ~hits only. Same trick Spark's own runtime-filter
+    injection plays, made explicit so it fires on any plan and its
+    selectivity is testable.
+    """
+    tg = _doc_grams(train, id_col, text_col, n)
+    bg = _doc_grams(benchmark, id_col, text_col, n).select("g").distinct()
+    pos1 = bg.select(F.pmod(F.xxhash64("g"), F.lit(m)).alias("__p1")).distinct()
+    pos2 = bg.select(
+        F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)).alias("__p2")
+    ).distinct()
+    cand = (
+        tg.withColumn("__p1", F.pmod(F.xxhash64("g"), F.lit(m)))
+        .join(F.broadcast(pos1), ["__p1"], "left_semi")
+        .withColumn("__p2", F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)))
+        .join(F.broadcast(pos2), ["__p2"], "left_semi")
+        .drop("__p1", "__p2")
+    )
+    return _shared_gram_counts(cand, bg, id_col, min_grams)
 
 
 # ---------------------------------------------------------------------------

@@ -127,3 +127,60 @@ def merge_rollup_state(state: DataFrame, delta: DataFrame, key: str) -> DataFram
         )
     )
     return merged_nn.unionByName(null_group)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fingerprint: F.Column,
+) -> DataFrame:
+    """CDC-style diff of two corpus snapshots on a natural key:
+    ``(key_col, status)`` with status in added / removed / changed —
+    the incremental-refresh primitive that decides which documents a
+    nightly pipeline must (re)process instead of rescanning the whole
+    corpus (the reference's processed-skip ledger, main.py:500-516,
+    lifted from per-run ids to content identity).
+
+    ``fingerprint`` is a Column expression evaluated against each
+    side's ``text``-bearing row (e.g. ``F.md5("text")``); rows are
+    'changed' only when fingerprints differ NULL-safely, so two NULL
+    payloads compare as unchanged rather than both-sides-changed.
+
+    Shape: each side reduces to (key, fingerprint) — two narrow
+    columns — before a single full-outer equi-join on the key; at
+    scale both snapshots are bucketed fingerprint tables, so the join
+    co-locates with no fact shuffle (the incremental-dedup layout).
+    Unchanged keys are dropped AFTER the join by a map-side filter —
+    in a production run the fingerprint table is the join input, so
+    nothing rescans payloads.
+
+    NULL keys are out of scope on both engines (the settled identity
+    rule): an equality join can never pair them, so every NULL-key row
+    would misreport as added + removed; upstream identity repair owns
+    them.
+    """
+    # presence is tracked by side-tagged indicator columns, not the
+    # fingerprint (a NULL text legitimately fingerprints to NULL on a
+    # PRESENT row)
+    of = old.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        fingerprint.alias("__ofp"),
+        F.lit(True).alias("__in_old"),
+    )
+    nf = new.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        fingerprint.alias("__nfp"),
+        F.lit(True).alias("__in_new"),
+    )
+    joined = of.join(nf, ["__k"], "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__ofp").eqNullSafe(F.col("__nfp")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(F.col("__k").alias(key_col), status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W, functions as F
 
 from .functions import text as TX, vectors as VEC
-from .operators import dedup as DD, similarity as SIM
+from .operators import chunking as CH, dedup as DD, merge as MG, similarity as SIM
 from .sources.catalog import load_table
 from .functions.exactmath import (
     guard_den,
@@ -499,9 +499,10 @@ def _corpus_nn(spark, sf_dir):
     return _corpus(spark, sf_dir).filter(F.col("text").isNotNull())
 
 
-@register(
-    "decontaminate",
-    sql=r"""
+# Shared by `decontaminate` and its Bloom-prefiltered twin: the
+# prefilter is EXACT by construction (hash collisions only admit false
+# candidates to an exact join), so both keys answer to one oracle.
+_DECON_SQL = r"""
     WITH norm AS (
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
@@ -519,8 +520,10 @@ def _corpus_nn(spark, sf_dir):
     WHERE id % 10 <> 0
     GROUP BY id
     HAVING count(*) >= 1
-    """,
-)
+    """
+
+
+@register("decontaminate", sql=_DECON_SQL)
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-data pipeline): training
     docs (doc_id % 10 != 0) sharing any distinct word-8-gram with the
@@ -533,6 +536,22 @@ def q_decontaminate(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 10 != 0)
     bench = d.filter(F.col("doc_id") % 10 == 0)
     return DD.contamination_flags(train, bench, n=8)
+
+
+@register("decontaminate-bloom", sql=_DECON_SQL)
+def q_decontaminate_bloom(spark, sf_dir):
+    """`decontaminate` through the Bloom-style runtime prefilter
+    (operators/dedup.contamination_flags_prefiltered): the train gram
+    stream passes two broadcast semi-joins on 8-byte
+    ``xxhash64(g) mod m`` positions before the exact gram join, so at
+    scale the non-candidate bulk dies map-side inside the scan stage
+    instead of shuffling toward a join whose build side outgrew the
+    broadcast threshold. Output — and therefore the oracle — is
+    identical to `decontaminate`: the final join is exact."""
+    d = _corpus_nn(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return DD.contamination_flags_prefiltered(train, bench, n=8)
 
 
 # Span-level exact duplicate detection (Lee et al. 2021, "Deduplicating
@@ -997,6 +1016,91 @@ def q_pack_sequences(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tokens").cast("long").alias("seq_tokens"),
     )
+
+
+@register(
+    "chunk-documents",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
+           array_to_string(tt[i:i+63], ' ') AS chunk,
+           CAST(len(tt[i:i+63]) AS BIGINT) AS n_chunk_tokens
+    FROM toks, unnest(generate_series(1, len(tt), 48)) AS u(i)
+    WHERE len(tt) >= 1
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-size chunking with overlap (size=64 tokens, stride=48 —
+    16-token overlap): the step between corpus filtering and
+    pack-sequences when documents exceed the context window. Pure
+    map-side expansion — tokenize behind a projection boundary,
+    explode the arithmetic start sequence, slice per start; no
+    shuffle, no Python. Tail chunks run short rather than dropping
+    trailing tokens; NULL-id/NULL-text docs are out of scope (the
+    settled packing/dedup-universe conventions, see
+    operators/chunking.py)."""
+    return CH.chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", size=64, stride=48
+    )
+
+
+@register(
+    "corpus-diff",
+    sql="""
+    WITH a AS (
+      SELECT doc_id, md5(text) AS fp, TRUE AS present
+      FROM documents WHERE doc_id IS NOT NULL
+    ), b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS fp,
+             TRUE AS present
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 100000000, md5(text), TRUE
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 = 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.present IS NULL THEN 'added'
+                WHEN b.present IS NULL THEN 'removed'
+                WHEN a.fp IS DISTINCT FROM b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    WHERE CASE WHEN a.present IS NULL THEN 'added'
+               WHEN b.present IS NULL THEN 'removed'
+               WHEN a.fp IS DISTINCT FROM b.fp THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff between the corpus and a deterministically
+    perturbed next-day twin (doc_id % 13 dropped, % 7 revised, % 11
+    re-added under shifted ids — the derived-split idiom every
+    incremental key here uses): per-key added / removed / changed via
+    operators/merge.snapshot_diff — each side reduced to
+    (key, md5 fingerprint) before one full-outer equi-join, the
+    decide-what-to-reprocess primitive of an incremental refresh.
+    NULL-safe fingerprint comparison: a % 7 doc whose text is NULL
+    stays 'unchanged' (NULL || suffix is NULL on both engines), and
+    presence rides indicator columns so NULL fingerprints never read
+    as absence."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    revised = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = (
+        docs.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", revised.alias("text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return MG.snapshot_diff(docs.select("doc_id", "text"), new, "doc_id", F.md5("text"))
 
 
 @register(

@@ -34,7 +34,7 @@ MUST_RUN_R12 = {
     "mad-outliers",
     # (b) the pin slip
     "ewma-smooth",
-    # (c) changed this round (advisor fixes, the new key, and the
+    # (c) changed this round (advisor fixes, the new keys, and the
     # schema-drift col_or_null chains in both sync pipelines)
     "exact-dedup", "incremental-knn",
     "topk-similarity", "topk-similarity-pandas",
@@ -42,19 +42,24 @@ MUST_RUN_R12 = {
     "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
     "patient-sync-pipeline", "roi-sync-pipeline",
     "protected-drop", "external-scan-pushdown", "decontaminate",
-    # (d) r8-evidenced stale cohort
+    # late-r12 NEW keys — zero driver history never waits
+    "chunk-documents", "corpus-diff", "decontaminate-bloom",
+    # (d) r8-evidenced stale cohort (union-all, set-intersect and
+    # max-ifnull-agg displaced by the three late-r12 NEW keys — see
+    # the __spark_entry__ header for the per-key sibling-coverage
+    # rationale; they lead round 13 with the other rolls)
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "dlq-attempt-join", "dlq-attempt-read",
     "email-match-join",
     "embedding-centroid", "embedding-near-dup",
     "groupby-agg", "idmap-join",
     "knn-join", "knn-join-tables",
-    "latest-per-group", "ledger-watermark-read", "max-ifnull-agg",
+    "latest-per-group", "ledger-watermark-read",
     "processed-skip", "quality-score",
-    "run-counters", "semi-join", "set-except", "set-intersect",
+    "run-counters", "semi-join", "set-except",
     "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
-    "union-all", "window-rank",
+    "window-rank",
 }
 
 # Keys deliberately rolled past the saturated cap to round 13 —
@@ -73,6 +78,8 @@ MUST_RUN_R12 = {
 ROLLED_TO_R13 = {
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
     "delta-scan", "doc-fingerprint",
+    # displaced late-r12 by the three NEW keys (zero-history rule)
+    "union-all", "set-intersect", "max-ifnull-agg",
 }
 
 

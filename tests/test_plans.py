@@ -251,3 +251,38 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         spark.conf.set(scan_key, old_scan)
         spark.conf.set(bcast_key, old_bcast)
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Chunking is pure map-side row expansion — tokenize, explode an
+    arithmetic start sequence, slice. Any Exchange here would mean the
+    operator shuffles a corpus it only needs to stream."""
+    plan = explain(spark, Q.QUERIES["chunk-documents"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_bloom_prefilters_with_broadcast_semijoins(spark):
+    """The Bloom twin must thin the train gram stream with TWO
+    broadcast left-semi joins on the 8-byte hash positions BEFORE the
+    exact gram join — that ordering is the whole point: non-candidate
+    grams die map-side inside the scan stage."""
+    plan = explain(spark, Q.QUERIES["decontaminate-bloom"](spark, SF))
+    assert plan.count("LeftSemi") >= 2, "expected two semi-join prefilter lanes"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both position lanes broadcast (bounded at m longs regardless of
+    # benchmark size), and they sit upstream of the exact Inner join
+    semi_first = plan.find("LeftSemi")
+    inner = plan.find("Inner")
+    assert semi_first != -1 and inner != -1
+
+
+def test_corpus_diff_joins_narrow_fingerprints(spark):
+    """Snapshot diff must reduce each side to (key, fingerprint)
+    before the full-outer join — the payload never reaches the join —
+    and must scan only the two consumed columns."""
+    plan = explain(spark, Q.QUERIES["corpus-diff"](spark, SF))
+    assert "FullOuter" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("lang", "source", "n_chars"):
+        assert col not in read_schema
