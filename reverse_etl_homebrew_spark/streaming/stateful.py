@@ -77,34 +77,50 @@ def make_sessionizer(gap_seconds: float):
                 yield _emit([(user_id, start, last + gap_seconds, n, total)])
             return
 
+        # Interval sweep, not a running (start, last) scan (r12
+        # disorder probe): the scan form moved `last` BACKWARD on any
+        # in-horizon late event (`last = t` unconditionally), so a
+        # legitimate out-of-order arrival inside the open session
+        # corrupted session_end AND the event-time timeout. Treating
+        # the open state as an interval and every event as a 1-point
+        # interval, then sweep-merging on the gap, absorbs in-horizon
+        # disorder exactly like the batch twin's global sort: in-span
+        # events only bump counts, earlier-but-within-gap events
+        # extend the session start backward, and the frontier never
+        # retreats. Late events that predate the open session by more
+        # than a gap close immediately as their own session — the
+        # documented boundary (their true sibling may already be
+        # emitted; eager gap-close is the pre-existing policy).
+        intervals = []
         if state.exists:
-            start, last, n, total = state.get
-        else:
-            start = last = None
-            n, total = 0, 0.0
-
-        closed = []
-        chunks = [p for p in pdfs if len(p)]
-        rows = (
-            pd.concat(chunks).sort_values("ts") if chunks else pd.DataFrame(columns=["ts", "value"])
-        )
-        for ts, value in zip(rows["ts"], rows["value"]):
-            t = ts.timestamp()
-            if last is not None and t - last >= gap_seconds:
-                closed.append((user_id, start, last + gap_seconds, n, total))
-                start, n, total = t, 0, 0.0
-            if start is None:
-                start = t
-            last = t
-            n += 1
-            total += float(value)
-        if last is not None:
-            state.update((start, last, n, total))
-            # event-time timeout: close when the watermark passes
-            # last_event + gap (fires deterministically as data drains,
-            # unlike processing-time timers which would stall an
-            # availableNow trigger for the full gap duration)
-            state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
+            intervals.append(tuple(state.get))
+        for p in pdfs:
+            for ts, value in zip(p["ts"], p["value"]):
+                t = ts.timestamp()
+                intervals.append((t, t, 1, float(value)))
+        if not intervals:
+            return
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged = [list(intervals[0])]
+        for s, e, n, tot in intervals[1:]:
+            cur = merged[-1]
+            if s - cur[1] < gap_seconds:
+                cur[1] = max(cur[1], e)
+                cur[2] += n
+                cur[3] += tot
+            else:
+                merged.append([s, e, n, tot])
+        *closed_iv, open_iv = merged
+        closed = [
+            (user_id, s, e + gap_seconds, n, tot) for s, e, n, tot in closed_iv
+        ]
+        start, last, n, total = open_iv
+        state.update((start, last, n, total))
+        # event-time timeout: close when the watermark passes
+        # last_event + gap (fires deterministically as data drains,
+        # unlike processing-time timers which would stall an
+        # availableNow trigger for the full gap duration)
+        state.setTimeoutTimestamp(int((last + gap_seconds) * 1000))
         if closed:
             yield _emit(closed)
 

@@ -105,10 +105,17 @@ def stream_events_tumbling(
     checkpoint_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
-) -> None:
+):
     """Watermarked tumbling counts, AvailableNow (drain-and-stop).
     State is bounded by the watermark horizon — at 100 TB/day the
     state store holds only ~watermark/window per-key windows.
+
+    Returns the terminated StreamingQuery so callers can audit
+    ``recentProgress`` — in particular
+    ``stateOperators[].numRowsDroppedByWatermark``, the loud
+    accounting for the beyond-horizon drop policy (r12 disorder
+    probe): late rows past the watermark are DROPPED by design, and
+    that count is the only place the loss is visible.
 
     Non-finite policy (r11, stream ≡ batch): the exact-decimal
     revenue sum RAISES on NaN/Inf amounts — same as the batch twin's
@@ -144,6 +151,7 @@ def stream_events_tumbling(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def stream_upsert_sync(
