@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Scaling measurement for the late-r12 corpus ops:
+
+- `chunk-documents`: pure map-side expansion — wall must track corpus
+  size ~linearly (it is output-volume-bound; there is nothing to
+  shuffle).
+- `corpus-diff`: two narrow (key, fingerprint) projections into one
+  full-outer equi-join — linear in rows, never payload-bound.
+- `decontaminate` vs `decontaminate-bloom`: same exact output; the A/B
+  reports what the two broadcast position semi-joins cost/save locally
+  AND the prefilter's measured selectivity (candidate grams surviving
+  / train grams), the number that becomes the 100 TB win when the
+  benchmark outgrows the broadcast threshold and the exact join would
+  otherwise shuffle the full train gram stream.
+
+Same copy-construction trick as fixtures/tenx_dup_spans.py: each copy
+prefix-rewrites every token, so copies share no grams/fingerprints and
+10x data means ~10x distinct keys with per-key frequencies preserved.
+
+Method: alone on an idle host, 2 warmups discarded per cell, median of
+3, loadavg recorded. Usage:
+    python fixtures/tenx_corpus_ops.py [sf_dir]
+"""
+from __future__ import annotations
+
+import gc
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def corpus(d, copies: int):
+    from reverse_etl_homebrew_spark.functions import text as TX
+
+    parts = []
+    for c in range(copies):
+        parts.append(
+            d.select(
+                (F.col("doc_id") + F.lit(c * 1_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        TX.tokens(F.col("text")),
+                        lambda t: F.concat(F.lit(f"x{c}"), t),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def timed(build, reps=3, warm=2):
+    for _ in range(warm):
+        build().write.format("noop").mode("overwrite").save()
+        gc.collect()
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+        gc.collect()
+    return round(statistics.median(samples), 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from reverse_etl_homebrew_spark.operators.chunking import chunk_documents
+    from reverse_etl_homebrew_spark.operators.dedup import (
+        _doc_grams,
+        contamination_flags,
+        contamination_flags_prefiltered,
+    )
+    from reverse_etl_homebrew_spark.operators.merge import snapshot_diff
+    from reverse_etl_homebrew_spark.session import get_spark
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    spark = get_spark("tenx-corpus-ops")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    print("loadavg_start", [round(x, 2) for x in os.getloadavg()])
+
+    def diff_probe(c):
+        docs = corpus(d, c).filter(F.col("doc_id").isNotNull())
+        revised = F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text"))
+        new = (
+            docs.filter(F.col("doc_id") % 13 != 0)
+            .select("doc_id", revised.alias("text"))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return snapshot_diff(docs, new, "doc_id", F.md5("text"))
+
+    def decon_split(c):
+        base = corpus(d, c).filter(F.col("text").isNotNull())
+        return (
+            base.filter(F.col("doc_id") % 10 != 0),
+            base.filter(F.col("doc_id") % 10 == 0),
+        )
+
+    probes = {
+        "chunk": lambda c: chunk_documents(corpus(d, c), size=64, stride=48),
+        "diff": diff_probe,
+        "decon-exact": lambda c: contamination_flags(*decon_split(c), n=8),
+        "decon-bloom": lambda c: contamination_flags_prefiltered(
+            *decon_split(c), n=8
+        ),
+    }
+    cells = {}
+    for name, probe in probes.items():
+        for c in (1, 10):
+            rows = probe(c).count()
+            wall = timed(lambda: probe(c))
+            cells[(name, c)] = wall
+            print(f"{name} {c}x: rows={rows} wall={wall}s")
+        print(f"{name}: 10x ratio = {cells[(name, 10)] / cells[(name, 1)]:.2f}x")
+
+    # prefilter selectivity at both scales: candidates surviving the
+    # two position lanes / total train grams (the map-side kill rate)
+    for c in (1, 10):
+        train, bench = decon_split(c)
+        tg = _doc_grams(train, "doc_id", "text", 8)
+        bg = _doc_grams(bench, "doc_id", "text", 8).select("g").distinct()
+        m = 1 << 20
+        pos1 = bg.select(F.pmod(F.xxhash64("g"), F.lit(m)).alias("__p1")).distinct()
+        pos2 = bg.select(
+            F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)).alias("__p2")
+        ).distinct()
+        total = tg.count()
+        surviving = (
+            tg.withColumn("__p1", F.pmod(F.xxhash64("g"), F.lit(m)))
+            .join(F.broadcast(pos1), ["__p1"], "left_semi")
+            .withColumn("__p2", F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)))
+            .join(F.broadcast(pos2), ["__p2"], "left_semi")
+            .count()
+        )
+        print(
+            f"bloom selectivity {c}x: {surviving}/{total} train grams survive "
+            f"({100.0 * surviving / max(total, 1):.2f}%)"
+        )
+
+    print("loadavg_end", [round(x, 2) for x in os.getloadavg()])
+
+
+if __name__ == "__main__":
+    main()
