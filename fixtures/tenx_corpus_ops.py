@@ -75,6 +75,7 @@ def main() -> None:
     from reverse_etl_homebrew_spark.operators.chunking import chunk_documents
     from reverse_etl_homebrew_spark.operators.dedup import (
         _doc_grams,
+        bloom_candidate_grams,
         contamination_flags,
         contamination_flags_prefiltered,
     )
@@ -127,24 +128,22 @@ def main() -> None:
         print(f"{name}: 10x ratio = {cells[(name, 10)] / cells[(name, 1)]:.2f}x")
 
     # prefilter selectivity at both scales: candidates surviving the
-    # two position lanes / total train grams (the map-side kill rate)
+    # two position lanes / total train grams (the map-side kill rate),
+    # measured through the OPERATOR'S OWN prefilter stage so fixture
+    # and production can never drift apart
+    import inspect
+
+    from reverse_etl_homebrew_spark.operators import dedup as DDmod
+
+    m = inspect.signature(
+        DDmod.contamination_flags_prefiltered
+    ).parameters["m"].default
     for c in (1, 10):
         train, bench = decon_split(c)
         tg = _doc_grams(train, "doc_id", "text", 8)
         bg = _doc_grams(bench, "doc_id", "text", 8).select("g").distinct()
-        m = 1 << 20
-        pos1 = bg.select(F.pmod(F.xxhash64("g"), F.lit(m)).alias("__p1")).distinct()
-        pos2 = bg.select(
-            F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)).alias("__p2")
-        ).distinct()
         total = tg.count()
-        surviving = (
-            tg.withColumn("__p1", F.pmod(F.xxhash64("g"), F.lit(m)))
-            .join(F.broadcast(pos1), ["__p1"], "left_semi")
-            .withColumn("__p2", F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)))
-            .join(F.broadcast(pos2), ["__p2"], "left_semi")
-            .count()
-        )
+        surviving = bloom_candidate_grams(tg, bg, m).count()
         print(
             f"bloom selectivity {c}x: {surviving}/{total} train grams survive "
             f"({100.0 * surviving / max(total, 1):.2f}%)"

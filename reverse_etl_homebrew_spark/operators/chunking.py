@@ -34,10 +34,14 @@ def chunk_documents(
     n_chunk_tokens)``.
 
     Chunk starts advance by ``stride`` whitespace tokens from position
-    1 while positions remain (so every token lands in at least one
-    chunk); each chunk takes up to ``size`` tokens, and tail chunks
-    run shorter rather than padding or dropping trailing tokens.
-    ``chunk_id`` is the 0-based stride index, so
+    1 while the PREVIOUS chunk has not yet reached the final token —
+    i.e. start ≤ max(n_tokens − size + stride, 1) — so every token
+    lands in at least one chunk, tail chunks run shorter rather than
+    padding or dropping trailing tokens, and no chunk is ever fully
+    contained in its predecessor (a start whose whole window the
+    previous chunk already covered would emit 100%-overlap duplicate
+    training content — the exact thing the dedup tier exists to
+    remove). ``chunk_id`` is the 0-based stride index, so
     ``start = chunk_id * stride + 1`` reconstructs the offset.
 
     NULL-id and NULL-text docs are out of scope on both engines, the
@@ -54,7 +58,15 @@ def chunk_documents(
         .select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt"))
         .where(F.size("__tt") >= 1)
     )
-    starts = F.sequence(F.lit(1), F.size("__tt"), F.lit(stride))
+    # upper bound: n − (size − stride), capped at n for the
+    # gap-sampling case (stride > size) where a start past n would
+    # emit an empty chunk
+    n = F.size("__tt")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.least(n, n - F.lit(size - stride)), F.lit(1)),
+        F.lit(stride),
+    )
     exploded = toks.select(id_col, "__tt", F.explode(starts).alias("__i"))
     piece = F.slice(F.col("__tt"), F.col("__i"), size)
     return exploded.select(

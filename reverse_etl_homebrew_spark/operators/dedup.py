@@ -603,18 +603,27 @@ def contamination_flags_prefiltered(
     """
     tg = _doc_grams(train, id_col, text_col, n)
     bg = _doc_grams(benchmark, id_col, text_col, n).select("g").distinct()
+    cand = bloom_candidate_grams(tg, bg, m)
+    return _shared_gram_counts(cand, bg, id_col, min_grams)
+
+
+def bloom_candidate_grams(tg: DataFrame, bg: DataFrame, m: int) -> DataFrame:
+    """The prefilter stage of ``contamination_flags_prefiltered``,
+    shared with the selectivity fixture so measurement and production
+    can never drift apart: thin the train gram stream ``tg`` (id, g)
+    through two broadcast left-semi joins on the benchmark gram set
+    ``bg``'s ``xxhash64 mod m`` positions (k=2 lanes)."""
     pos1 = bg.select(F.pmod(F.xxhash64("g"), F.lit(m)).alias("__p1")).distinct()
     pos2 = bg.select(
         F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)).alias("__p2")
     ).distinct()
-    cand = (
+    return (
         tg.withColumn("__p1", F.pmod(F.xxhash64("g"), F.lit(m)))
         .join(F.broadcast(pos1), ["__p1"], "left_semi")
         .withColumn("__p2", F.pmod(F.xxhash64("g", F.lit(1)), F.lit(m)))
         .join(F.broadcast(pos2), ["__p2"], "left_semi")
         .drop("__p1", "__p2")
     )
-    return _shared_gram_counts(cand, bg, id_col, min_grams)
 
 
 # ---------------------------------------------------------------------------

@@ -143,41 +143,48 @@ def snapshot_diff(
     lifted from per-run ids to content identity).
 
     ``fingerprint`` is a Column expression evaluated against each
-    side's ``text``-bearing row (e.g. ``F.md5("text")``); rows are
-    'changed' only when fingerprints differ NULL-safely, so two NULL
-    payloads compare as unchanged rather than both-sides-changed.
+    side's ``text``-bearing row (e.g. ``F.md5("text")``). Each side
+    reduces to ONE row per key — a sorted digest of its DISTINCT
+    fingerprint set — so a key's content identity is its version SET:
+    exact re-deliveries collapse (the engine-wide r11 policy — a doc
+    delivered twice by an at-least-once feed is one snapshot fact),
+    CONFLICTING re-deliveries make the key 'changed' only when the
+    version sets actually differ (identical multi-version snapshots
+    compare unchanged — never the M×N join fan-out that reports a
+    no-op refresh as changed), and a NULL payload digests to a
+    sentinel so it compares like any other version rather than
+    reading as absence.
 
-    Shape: each side reduces to (key, fingerprint) — two narrow
-    columns — before a single full-outer equi-join on the key; at
-    scale both snapshots are bucketed fingerprint tables, so the join
-    co-locates with no fact shuffle (the incremental-dedup layout).
-    Unchanged keys are dropped AFTER the join by a map-side filter —
-    in a production run the fingerprint table is the join input, so
-    nothing rescans payloads.
+    Shape: each side is one hash aggregation down to (key, digest) —
+    two narrow columns — then a single 1:1 full-outer equi-join on
+    the key; at scale both snapshots are bucketed digest tables, so
+    the join co-locates with no fact shuffle (the incremental-dedup
+    layout). Unchanged keys are dropped AFTER the join by a map-side
+    filter — in a production run the digest table is the join input,
+    so nothing rescans payloads.
 
     NULL keys are out of scope on both engines (the settled identity
     rule): an equality join can never pair them, so every NULL-key row
     would misreport as added + removed; upstream identity repair owns
     them.
     """
-    # presence is tracked by side-tagged indicator columns, not the
-    # fingerprint (a NULL text legitimately fingerprints to NULL on a
-    # PRESENT row)
-    of = old.filter(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("__k"),
-        fingerprint.alias("__ofp"),
-        F.lit(True).alias("__in_old"),
-    )
-    nf = new.filter(F.col(key_col).isNotNull()).select(
-        F.col(key_col).alias("__k"),
-        fingerprint.alias("__nfp"),
-        F.lit(True).alias("__in_new"),
-    )
-    joined = of.join(nf, ["__k"], "full_outer")
+
+    def digest(df, out):
+        return (
+            df.filter(F.col(key_col).isNotNull())
+            .select(
+                F.col(key_col).alias("__k"),
+                F.coalesce(fingerprint, F.lit("null")).alias("__fp"),
+            )
+            .groupBy("__k")
+            .agg(F.array_join(F.sort_array(F.collect_set("__fp")), ",").alias(out))
+        )
+
+    joined = digest(old, "__ofp").join(digest(new, "__nfp"), ["__k"], "full_outer")
     status = (
-        F.when(F.col("__in_old").isNull(), F.lit("added"))
-        .when(F.col("__in_new").isNull(), F.lit("removed"))
-        .when(~F.col("__ofp").eqNullSafe(F.col("__nfp")), F.lit("changed"))
+        F.when(F.col("__ofp").isNull(), F.lit("added"))
+        .when(F.col("__nfp").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (

@@ -1029,7 +1029,7 @@ def q_pack_sequences(spark, sf_dir):
            CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
            array_to_string(tt[i:i+63], ' ') AS chunk,
            CAST(len(tt[i:i+63]) AS BIGINT) AS n_chunk_tokens
-    FROM toks, unnest(generate_series(1, len(tt), 48)) AS u(i)
+    FROM toks, unnest(generate_series(1, greatest(len(tt) - 16, 1), 48)) AS u(i)
     WHERE len(tt) >= 1
     """,
 )
@@ -1052,26 +1052,31 @@ def q_chunk_documents(spark, sf_dir):
     "corpus-diff",
     sql="""
     WITH a AS (
-      SELECT doc_id, md5(text) AS fp, TRUE AS present
-      FROM documents WHERE doc_id IS NOT NULL
-    ), b AS (
       SELECT doc_id,
-             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS fp,
-             TRUE AS present
+             array_to_string(list_sort(list(DISTINCT coalesce(md5(text), 'null'))), ',') AS fp
+      FROM documents WHERE doc_id IS NOT NULL
+      GROUP BY doc_id
+    ), b0 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS fp0
       FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 0
       UNION ALL
-      SELECT doc_id + 100000000, md5(text), TRUE
+      SELECT doc_id + 100000000, md5(text)
       FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 = 0
+    ), b AS (
+      SELECT doc_id,
+             array_to_string(list_sort(list(DISTINCT coalesce(fp0, 'null'))), ',') AS fp
+      FROM b0 GROUP BY doc_id
     )
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-           CASE WHEN a.present IS NULL THEN 'added'
-                WHEN b.present IS NULL THEN 'removed'
-                WHEN a.fp IS DISTINCT FROM b.fp THEN 'changed'
+           CASE WHEN a.fp IS NULL THEN 'added'
+                WHEN b.fp IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
                 ELSE 'unchanged' END AS status
     FROM a FULL JOIN b ON a.doc_id = b.doc_id
-    WHERE CASE WHEN a.present IS NULL THEN 'added'
-               WHEN b.present IS NULL THEN 'removed'
-               WHEN a.fp IS DISTINCT FROM b.fp THEN 'changed'
+    WHERE CASE WHEN a.fp IS NULL THEN 'added'
+               WHEN b.fp IS NULL THEN 'removed'
+               WHEN a.fp <> b.fp THEN 'changed'
                ELSE 'unchanged' END <> 'unchanged'
     """,
 )
@@ -1080,13 +1085,14 @@ def q_corpus_diff(spark, sf_dir):
     perturbed next-day twin (doc_id % 13 dropped, % 7 revised, % 11
     re-added under shifted ids — the derived-split idiom every
     incremental key here uses): per-key added / removed / changed via
-    operators/merge.snapshot_diff — each side reduced to
-    (key, md5 fingerprint) before one full-outer equi-join, the
-    decide-what-to-reprocess primitive of an incremental refresh.
-    NULL-safe fingerprint comparison: a % 7 doc whose text is NULL
-    stays 'unchanged' (NULL || suffix is NULL on both engines), and
-    presence rides indicator columns so NULL fingerprints never read
-    as absence."""
+    operators/merge.snapshot_diff — each side reduced to one
+    (key, sorted-fingerprint-set digest) row before a 1:1 full-outer
+    equi-join, the decide-what-to-reprocess primitive of an
+    incremental refresh. Version-SET identity: exact re-deliveries
+    collapse, identical multi-version snapshots compare unchanged,
+    and a % 7 doc whose text is NULL stays 'unchanged' (NULL ||
+    suffix is NULL on both engines; NULL digests to a sentinel so it
+    never reads as absence)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     revised = F.when(
         F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))

@@ -56,7 +56,10 @@ _MICROS_FLOOR = 150_000_000_000_000
 
 
 def read_events_stream(
-    spark: SparkSession, events_dir: str, strict_units: bool = True
+    spark: SparkSession,
+    events_dir: str,
+    strict_units: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over events parquet files, normalized to the
     same timestamp semantics as the batch catalog loader.
@@ -73,12 +76,18 @@ def read_events_stream(
     fails with a named error rather than silently producing
     near-epoch timestamps. Pass ``False`` only for corpora that
     genuinely contain pre-1974 event times in a known unit.
+
+    ``max_files_per_trigger`` caps files per micro-batch (the
+    disorder-probe harness and any deployment that wants bounded
+    batch sizes) — same normalization either way, so tests exercising
+    multi-batch arrival drive the REAL reader, not a fork of it.
     """
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", "*.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     micros = F.when(
         F.col("ts") > F.lit(_NANOS_FLOOR), F.expr("ts div 1000")
     ).otherwise(F.col("ts"))

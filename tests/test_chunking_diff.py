@@ -25,22 +25,48 @@ def _docs(spark, rows):
 # ---------------------------------------------------------------------------
 
 
-def test_chunks_cover_every_token_and_tail_runs_short(spark):
+def test_chunks_cover_every_token_without_redundant_tail(spark):
     text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
     out = CH.chunk_documents(
         _docs(spark, [(1, text)]), size=4, stride=3
     ).collect()
-    # starts 1,4,7,10 -> chunk lengths 4,4,4,1
+    # starts 1,4,7 (upper bound n - (size - stride) = 9): a 4th start
+    # at 10 would emit 't9' alone — fully contained in chunk 2,
+    # 100%-overlap duplicate content
     by_id = {r.chunk_id: r for r in out}
-    assert sorted(by_id) == [0, 1, 2, 3]
-    assert [by_id[i].n_chunk_tokens for i in range(4)] == [4, 4, 4, 1]
+    assert sorted(by_id) == [0, 1, 2]
+    assert [by_id[i].n_chunk_tokens for i in range(3)] == [4, 4, 4]
     assert by_id[0].chunk == "t0 t1 t2 t3"
-    assert by_id[3].chunk == "t9"
+    assert by_id[2].chunk == "t6 t7 t8 t9"
     # stride coverage: every token index appears in at least one chunk
     seen = set()
     for r in out:
         seen.update(r.chunk.split(" "))
     assert seen == {f"t{i}" for i in range(10)}
+
+
+def test_no_chunk_is_contained_in_its_predecessor(spark):
+    """For every doc length around the boundary, consecutive chunks
+    must each contribute at least one new token (no 100%-overlap
+    tails), while the union still covers the whole doc."""
+    rows = [
+        (n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 30)
+    ]
+    out = CH.chunk_documents(_docs(spark, rows), size=8, stride=5).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk.split(" ")))
+    for n, chunks in by_doc.items():
+        chunks.sort()
+        covered = set()
+        prev_end = -1
+        for cid, toks in chunks:
+            start = cid * 5
+            end = start + len(toks) - 1
+            assert end > prev_end, f"doc {n}: chunk {cid} adds no new token"
+            prev_end = end
+            covered.update(toks)
+        assert covered == {f"w{i}" for i in range(n)}, f"doc {n} coverage gap"
 
 
 def test_short_doc_yields_single_whole_chunk(spark):
@@ -149,3 +175,16 @@ def test_prefiltered_empty_benchmark_yields_empty(spark):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_id", "shared_grams"]
+
+
+def test_snapshot_diff_collapses_exact_redelivery(spark):
+    """An at-least-once feed delivering the same (key, payload) twice
+    is one snapshot fact — the diff must not fan out into duplicate
+    status reports (the engine-wide r11 exact-re-delivery collapse)."""
+    old = _docs(spark, [(1, "v1"), (1, "v1"), (2, "gone"), (2, "gone")])
+    new = _docs(spark, [(1, "v2"), (1, "v2"), (5, "fresh"), (5, "fresh")])
+    out = sorted(
+        (r.doc_id, r.status)
+        for r in snapshot_diff(old, new, "doc_id", F.md5("text")).collect()
+    )
+    assert out == [(1, "changed"), (2, "removed"), (5, "added")]

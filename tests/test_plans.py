@@ -266,15 +266,27 @@ def test_decontaminate_bloom_prefilters_with_broadcast_semijoins(spark):
     broadcast left-semi joins on the 8-byte hash positions BEFORE the
     exact gram join — that ordering is the whole point: non-candidate
     grams die map-side inside the scan stage."""
+    import re
+
     plan = explain(spark, Q.QUERIES["decontaminate-bloom"](spark, SF))
-    assert plan.count("LeftSemi") >= 2, "expected two semi-join prefilter lanes"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # both position lanes broadcast (bounded at m longs regardless of
-    # benchmark size), and they sit upstream of the exact Inner join
-    semi_first = plan.find("LeftSemi")
-    inner = plan.find("Inner")
-    assert semi_first != -1 and inner != -1
+    # both position lanes BROADCAST (bounded at m longs regardless of
+    # benchmark size) and sit UPSTREAM of the exact Inner join: in
+    # formatted explain, node ids number children before parents, so
+    # upstream means a smaller id than the Inner join's
+    semi_ids = [
+        int(x) for x in re.findall(r"BroadcastHashJoin LeftSemi \w+ \((\d+)\)", plan)
+    ]
+    inner_ids = [
+        int(x) for x in re.findall(r"BroadcastHashJoin Inner \w+ \((\d+)\)", plan)
+    ]
+    assert len(semi_ids) == 2, f"expected two broadcast semi-join lanes: {semi_ids}"
+    assert inner_ids, "exact gram join missing or not broadcast"
+    assert max(semi_ids) < min(inner_ids), (
+        f"prefilter lanes must run upstream of the exact join "
+        f"(semi ids {semi_ids} vs inner ids {inner_ids})"
+    )
 
 
 def test_corpus_diff_joins_narrow_fingerprints(spark):

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F, types as T
 from reverse_etl_homebrew_spark.operators import windows as WIN
 from reverse_etl_homebrew_spark.streaming.structured import (
     EVENTS_SCHEMA,
+    read_events_stream,
     stream_dedup_within_watermark,
     stream_events_tumbling,
     stream_interval_join,
@@ -319,7 +320,8 @@ def test_sessionize_absorbs_in_horizon_disorder(spark, tmp_path):
     _write_events(spark, in_dir, late, 1)
 
     sessions = streaming_sessionize(
-        read_events_stream_limited(spark, in_dir), gap_seconds=600.0
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        gap_seconds=600.0,
     )
     q = (
         sessions.writeStream.format("parquet")
@@ -350,23 +352,3 @@ def test_sessionize_absorbs_in_horizon_disorder(spark, tmp_path):
     b = [x for x in batch if x["user_id"] == 1][0]
     assert str(b["window_start"]) == str(r["session_start"])
     assert b["n"] == r["n_events"]
-
-
-def read_events_stream_limited(spark, events_dir):
-    """read_events_stream with one file per micro-batch, so the late
-    file genuinely arrives in a LATER batch against existing state."""
-    from reverse_etl_homebrew_spark.streaming.structured import (
-        _MICROS_FLOOR,
-        _NANOS_FLOOR,
-    )
-
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(events_dir)
-    )
-    micros = F.when(
-        F.col("ts") > F.lit(_NANOS_FLOOR), F.expr("ts div 1000")
-    ).otherwise(F.col("ts"))
-    return raw.withColumn("ts", F.timestamp_micros(micros).cast("timestamp"))
