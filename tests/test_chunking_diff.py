@@ -188,3 +188,38 @@ def test_snapshot_diff_collapses_exact_redelivery(spark):
         for r in snapshot_diff(old, new, "doc_id", F.md5("text")).collect()
     )
     assert out == [(1, "changed"), (2, "removed"), (5, "added")]
+
+
+def test_gap_sampling_stride_larger_than_size(spark):
+    """stride > size is legal (gap sampling — take `size` tokens every
+    `stride`): chunks are disjoint, the start bound caps at n so no
+    start past the last token can emit an empty chunk."""
+    text = " ".join(f"t{i}" for i in range(12))  # 12 tokens
+    out = sorted(
+        (r.chunk_id, r.chunk)
+        for r in CH.chunk_documents(
+            _docs(spark, [(1, text)]), size=2, stride=5
+        ).collect()
+    )
+    # starts 1, 6, 11 -> t0 t1 / t5 t6 / t10 t11
+    assert out == [(0, "t0 t1"), (1, "t5 t6"), (2, "t10 t11")]
+    # and a start landing exactly on the final token emits a 1-token
+    # chunk, never an empty one
+    out2 = CH.chunk_documents(
+        _docs(spark, [(1, "a b c d e f")]), size=2, stride=5
+    ).collect()
+    assert sorted((r.chunk_id, r.chunk) for r in out2) == [(0, "a b"), (1, "f")]
+
+
+def test_snapshot_diff_version_set_identity_under_conflict(spark):
+    """Conflicting duplicates (same key, different payloads in ONE
+    snapshot): change is defined by the version SET. Identical
+    multi-version snapshots compare unchanged — never the M x N join
+    fan-out that reported a no-op refresh as two 'changed' rows — and
+    a genuinely different set is exactly one 'changed' row."""
+    old = _docs(spark, [(1, "a"), (1, "b"), (2, "a"), (2, "b")])
+    same = _docs(spark, [(1, "b"), (1, "a"), (2, "a"), (2, "b")])
+    assert snapshot_diff(old, same, "doc_id", F.md5("text")).count() == 0
+    moved = _docs(spark, [(1, "a"), (1, "c"), (2, "a"), (2, "b")])
+    out = snapshot_diff(old, moved, "doc_id", F.md5("text")).collect()
+    assert [(r.doc_id, r.status) for r in out] == [(1, "changed")]

@@ -352,3 +352,59 @@ def test_sessionize_absorbs_in_horizon_disorder(spark, tmp_path):
     b = [x for x in batch if x["user_id"] == 1][0]
     assert str(b["window_start"]) == str(r["session_start"])
     assert b["n"] == r["n_events"]
+
+
+def test_sessionize_late_stray_closes_as_own_session(spark, tmp_path):
+    """The documented eager-close boundary of the interval sweep: an
+    in-horizon late event predating the OPEN session by more than a
+    gap cannot rejoin its (already-emitted or never-seen) sibling —
+    it closes as its own single-event session. Pinned so the boundary
+    can neither silently widen (stray merged into the wrong session)
+    nor narrow (stray dropped)."""
+    from reverse_etl_homebrew_spark.streaming.stateful import streaming_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(in_dir)
+
+    # batch 1 opens a session at 12:00; batch 2's stray lands at 11:52
+    # — 480 s before the open session's start, MORE than the 300 s gap
+    # (so it cannot merge) but inside the 30 min watermark delay (so
+    # it is not dropped as late)
+    batch1 = [
+        (_us(12.0), 1, "e", 1.0),
+    ]
+    late_stray = [
+        (_us(12.0) - 480 * 1_000_000, 1, "e", 2.0),  # 11:52
+    ]
+    fence = [(_us(20.0), 999, "f", 0.0)]
+    _write_events(spark, in_dir, batch1, 0)
+    _write_events(spark, in_dir, late_stray + fence, 1)
+
+    sessions = streaming_sessionize(
+        read_events_stream(spark, in_dir, max_files_per_trigger=1),
+        gap_seconds=300.0,
+        watermark_delay="30 minutes",
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(
+        (
+            (str(r["session_start"]), r["n_events"], r["total_value"])
+            for r in spark.read.parquet(out).collect()
+            if r["user_id"] == 1
+        )
+    )
+    # two sessions: the 11:52 stray alone, and the 12:00 original
+    assert rows == [
+        ("2026-01-01 11:52:00", 1, 2.0),
+        ("2026-01-01 12:00:00", 1, 1.0),
+    ], rows
