@@ -88,8 +88,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # semi-join key oracle-checks that join shape, and its EXCEPT sibling
 # set-except stays in-cap), and max-ifnull-agg (a coalesce+max
 # aggregate whose agg shape groupby-agg and conditional-agg cover
-# in-cap). The candidate set is therefore 59 keys for a 50-cap.
-# The nine rolls, pinned as ROLLED_TO_R13:
+# in-cap). A fourth new key, quantiles-twophase (bounded-state exact
+# rank selection), displaces set-except by the mirror of the
+# set-intersect argument: Spark plans EXCEPT as a left-anti join on
+# all columns, and the in-cap anti-join key (r11 green, NOT-EXISTS
+# oracle) checks exactly that join shape. The candidate set is
+# therefore 60 keys for a 50-cap.
+# The ten rolls, pinned as ROLLED_TO_R13:
 # - simhash-dedup: driver check rows-only BY DESIGN (weakest evidence
 #   a cap slot can buy), code unchanged since r8, oracle-exact twin
 #   simhash-dedup-md5 hash-green r10;
@@ -119,6 +124,7 @@ _PRIORITY = [
     "chunk-documents",         # NEW: size/stride chunking (zero history)
     "corpus-diff",             # NEW: snapshot diff (zero history)
     "decontaminate-bloom",     # NEW: Bloom-prefiltered exact twin
+    "quantiles-twophase",      # NEW: bounded-state exact rank selection
     # -- (d) the r8-evidenced stale cohort --
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "dlq-attempt-join", "dlq-attempt-read",
@@ -128,7 +134,7 @@ _PRIORITY = [
     "knn-join", "knn-join-tables",
     "latest-per-group", "ledger-watermark-read",
     "processed-skip", "quality-score",
-    "run-counters", "semi-join", "set-except",
+    "run-counters", "semi-join",
     "similarity-join", "sqlite-scan-pushdown",
     "text-analysis", "tiered-match-join", "token-count",
     "window-rank",
@@ -136,7 +142,7 @@ _PRIORITY = [
     # the rolled keys (see the header note) — lead round 13
     "simhash-dedup", "full-scan", "point-lookup",
     "topk-sort", "delta-scan", "doc-fingerprint",
-    "union-all", "set-intersect", "max-ifnull-agg",
+    "union-all", "set-intersect", "max-ifnull-agg", "set-except",
 ]
 
 

@@ -148,6 +148,11 @@ HEAVY_ADDITIONS = [
     "chunk-documents",
     "corpus-diff",
     "decontaminate-bloom",
+    # late r12: the bounded-state exact rank selection — its ledger
+    # row sits next to `quantiles` so the cost of swapping the
+    # one-reducer percentile multiset for the two-phase histogram
+    # stays measured
+    "quantiles-twophase",
 ]
 
 

@@ -116,3 +116,99 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
         F.approx_count_distinct(col, rsd).alias("approx_distinct"),
         F.countDistinct(col).alias("exact_distinct"),
     )
+
+
+def exact_quantiles_twophase(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: dict | None = None,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Exact DISCRETE per-group quantiles (the value at rank
+    ``ceil(p·n)``) with BOUNDED state — the 100 TB twin of the
+    `quantiles` key. Spark's built-in ``percentile`` holds every
+    group's full value multiset in one reducer's aggregation state;
+    this computes the same order statistic in two bounded passes
+    (the Misra-Gries candidates→exact-recount pattern lifted to rank
+    selection):
+
+    1. per-group (lo, hi, n) + a ``buckets``-bin histogram — both
+       partial-aggregated map-side, shuffled state ≤ buckets rows per
+       group; a per-group cumulative over the ≤4096-bin vocabulary
+       locates each target rank's bin and its prior count.
+    2. only rows falling in a located bin (≈ n/buckets per target)
+       re-aggregate by exact value; an in-bin cumulative picks the
+       smallest value with prior + cum ≥ rank.
+
+    Exactness: phase 2 selects from true data values, so the result
+    is bit-identical to a global-sort rank selection under any
+    partitioning (no interpolation, no sketch error). Rank arithmetic
+    ``ceil(p·n)`` runs in IEEE double on both engines — identical by
+    construction. Scope: non-NULL FINITE measurements (NaN/Inf have
+    no rank position; the statistical-detector convention).
+
+    Degenerate bins are safe: a single-valued group (hi == lo) maps
+    every row to bin 0 and phase 2 scans the whole (one-value) group.
+    """
+    qs = qs or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).where(F.col("v").isNotNull() & is_finite(F.col("v")))
+    stats = vals.groupBy("g").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    binned = vals.join(F.broadcast(stats), ["g"]).select(
+        "g",
+        "v",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(float(buckets)))
+                ),
+                F.lit(buckets - 1),
+            )
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    from pyspark.sql import Window as W
+
+    hist = binned.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c"))
+    wb = W.partitionBy("g").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    hist_cum = hist.withColumn("cc", F.sum("c").over(wb))
+    # one (rank) target per (group, quantile label)
+    targets = stats.select(
+        "g",
+        "n",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in qs]),
+                F.array(*[F.lit(float(p)) for p in qs.values()]),
+            )
+        ).alias("q", "p"),
+    ).select("g", "q", F.ceil(F.col("p") * F.col("n")).alias("r"))
+    located = (
+        hist_cum.join(targets, ["g"])
+        .where((F.col("cc") >= F.col("r")) & (F.col("cc") - F.col("c") < F.col("r")))
+        .select("g", "b", "q", "r", (F.col("cc") - F.col("c")).alias("prior"))
+    )
+    cand = binned.join(F.broadcast(located), ["g", "b"])
+    per_val = cand.groupBy("g", "q", "r", "prior", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = W.partitionBy("g", "q").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    picked = (
+        per_val.withColumn("cum", F.sum("c").over(wv))
+        .where(F.col("prior") + F.col("cum") >= F.col("r"))
+        .groupBy("g", "q")
+        .agg(F.min("v").alias("qv"))
+    )
+    wide = picked.groupBy("g").agg(
+        *[F.max(F.when(F.col("q") == k, F.col("qv"))).alias(k) for k in qs]
+    )
+    return wide.join(stats.select("g", "n"), ["g"]).select(
+        F.col("g").alias(group_col), *qs.keys(), F.col("n").cast("long").alias("n")
+    )

@@ -49,6 +49,43 @@ def q_quantiles(spark, sf_dir):
 
 
 @register(
+    "quantiles-twophase",
+    sql="""
+    WITH vals AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
+    ), counts AS (
+      SELECT g, v, count(*) AS c FROM vals GROUP BY g, v
+    ), cum AS (
+      SELECT g, v, SUM(c) OVER (PARTITION BY g ORDER BY v) AS cc,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM counts
+    )
+    SELECT g AS l_returnflag,
+           MIN(CASE WHEN cc >= ceil(0.5 * n) THEN v END) AS p50,
+           MIN(CASE WHEN cc >= ceil(0.9 * n) THEN v END) AS p90,
+           MIN(CASE WHEN cc >= ceil(0.99 * n) THEN v END) AS p99,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM cum GROUP BY g
+    """,
+)
+def q_quantiles_twophase(spark, sf_dir):
+    """Exact DISCRETE quantiles via the two-phase bounded-state rank
+    selection (operators/aggregates.exact_quantiles_twophase): a
+    4096-bin histogram locates each target rank's bin, then only that
+    bin's rows re-aggregate for the exact pick — per-group aggregation
+    state stays ≤ buckets rows, where the `quantiles` key's built-in
+    ``percentile`` holds the whole value multiset on one reducer. The
+    result is the true order statistic at rank ceil(p·n) — actual data
+    values, no interpolation — so the oracle brute-forces the same
+    rank algebra with a global cumulative and both sides hash-match
+    bit-exactly."""
+    return AG.exact_quantiles_twophase(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
+@register(
     "string-funcs",
     sql="""
     SELECT c_custkey,

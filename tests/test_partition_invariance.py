@@ -56,6 +56,9 @@ KEYS = [
     # r12: incremental ANN — Arrow pair-cosine over bucket-join
     # candidates; candidate arrival order must not leak into top-k
     "incremental-knn",
+    # late r12: two-phase rank selection — bin histograms and in-bin
+    # cumulatives must pick the same order statistic at any width
+    "quantiles-twophase",
 ]
 
 

@@ -298,3 +298,14 @@ def test_corpus_diff_joins_narrow_fingerprints(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     for col in ("lang", "source", "n_chars"):
         assert col not in read_schema
+
+
+def test_quantiles_twophase_never_holds_the_multiset(spark):
+    """The two-phase form must not fall back to the built-in
+    percentile aggregate (whose state is the group's full value
+    multiset on one reducer) — its plan is hash aggregations over the
+    bounded bin vocabulary plus broadcast joins for the located bins."""
+    plan = explain(spark, Q.QUERIES["quantiles-twophase"](spark, SF))
+    assert "percentile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
