@@ -223,3 +223,35 @@ def test_snapshot_diff_version_set_identity_under_conflict(spark):
     moved = _docs(spark, [(1, "a"), (1, "c"), (2, "a"), (2, "b")])
     out = snapshot_diff(old, moved, "doc_id", F.md5("text")).collect()
     assert [(r.doc_id, r.status) for r in out] == [(1, "changed")]
+
+
+def test_snapshot_diff_randomized_ground_truth(spark):
+    """200 random keys with random version multisets on each side,
+    statuses checked against a direct python reference of the
+    version-SET semantics — one batched run, deterministic seed."""
+    import random
+
+    rng = random.Random(20260816)
+    payloads = ["a", "b", "c", None]
+    old_rows, new_rows, expect = [], [], {}
+    for k in range(200):
+        o = [rng.choice(payloads) for _ in range(rng.randint(0, 3))]
+        n = [rng.choice(payloads) for _ in range(rng.randint(0, 3))]
+        for v in o:
+            old_rows.append((k, v))
+        for v in n:
+            new_rows.append((k, v))
+        oset, nset = set(o), set(n)
+        if o and not n:
+            expect[k] = "removed"
+        elif n and not o:
+            expect[k] = "added"
+        elif o and n and oset != nset:
+            expect[k] = "changed"
+        # else absent from both or equal sets -> no row
+    out = snapshot_diff(
+        _docs(spark, old_rows), _docs(spark, new_rows), "doc_id", F.md5("text")
+    ).collect()
+    got = {r.doc_id: r.status for r in out}
+    assert len(got) == len(out), "duplicate status rows for one key"
+    assert got == expect

@@ -56,3 +56,28 @@ def test_scope_is_finite_non_null(spark):
     assert got["a"]["n"] == 3
     assert got["a"]["p50"] == 2.0
     assert got["a"]["p99"] == 3.0
+
+
+def test_randomized_ground_truth(spark):
+    """Random groups x random value multisets (ties, negatives, huge
+    magnitudes), checked against direct sorted-rank selection — one
+    batched run, deterministic seed."""
+    import random
+
+    rng = random.Random(20260816)
+    groups = {}
+    for gi in range(25):
+        n = rng.randint(1, 120)
+        pool = [
+            rng.choice([-1e9, -3.5, 0.0, 0.1, 7.0, 1e12])
+            if rng.random() < 0.3
+            else rng.uniform(-1000, 1000)
+            for _ in range(n)
+        ]
+        groups[f"g{gi}"] = pool
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    got = _run(spark, rows)
+    for g, vals in groups.items():
+        for label, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert got[g][label] == _truth(vals, p), (g, label)
+        assert got[g]["n"] == len(vals)
