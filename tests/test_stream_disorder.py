@@ -408,3 +408,120 @@ def test_sessionize_late_stray_closes_as_own_session(spark, tmp_path):
         ("2026-01-01 11:52:00", 1, 2.0),
         ("2026-01-01 12:00:00", 1, 1.0),
     ], rows
+
+
+def test_running_totals_final_state_is_arrival_order_invariant(spark, tmp_path):
+    """Running totals under disorder: INTERMEDIATE update rows
+    legitimately depend on arrival order (they narrate the arrival
+    sequence), but the FINAL per-key state must not — sums and counts
+    commute. Drive the compat twin over the same rows in two opposite
+    file orders and require identical final (n, total) per user."""
+    import uuid
+
+    from reverse_etl_homebrew_spark.streaming.stateful import (
+        streaming_running_totals_compat,
+    )
+
+    rows = [
+        (_us(10.0), 1, "e", 1.0),
+        (_us(11.0), 1, "e", 2.0),
+        (_us(9.0), 2, "e", 4.0),
+        (_us(12.0), 2, "e", 8.0),
+    ]
+
+    def drain(order_label, file_a, file_b):
+        d = str(tmp_path / f"in_{order_label}")
+        os.makedirs(d)
+        _write_events(spark, d, file_a, 0)
+        _write_events(spark, d, file_b, 1)
+        name = f"rt_disorder_{order_label}_{uuid.uuid4().hex[:8]}"
+        q = (
+            streaming_running_totals_compat(
+                read_events_stream(spark, d, max_files_per_trigger=1)
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{order_label}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        final = {}
+        for r in spark.sql(
+            f"SELECT user_id, n_events, total_value FROM {name}"
+        ).collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        return final
+
+    fwd = drain("fwd", rows[:2], rows[2:])
+    rev = drain("rev", rows[2:], rows[:2])
+    assert fwd == rev == {1: (2, 3.0), 2: (2, 12.0)}
+
+
+def test_interval_join_loses_beyond_horizon_pairs_with_accounting(spark, tmp_path):
+    """The interval join's beyond-horizon face: a right event arriving
+    after the watermark passed its interval bound is DROPPED — the
+    pair is lost by declared policy, and the loss is visible in
+    numRowsDroppedByWatermark rather than silent."""
+    left_dir = str(tmp_path / "left")
+    right_dir = str(tmp_path / "right")
+    out = str(tmp_path / "out")
+    os.makedirs(left_dir)
+    os.makedirs(right_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    t = lambda hour: dt.datetime(2026, 1, 1) + dt.timedelta(hours=hour)
+
+    def write(d, rows, rank):
+        _land_one_file(spark.createDataFrame(rows, schema), d, rank)
+
+    write(left_dir, [(7, t(10.0), "impression")], 0)
+    write(right_dir, [(999, t(10.0), "noise")], 0)
+    # fences advance BOTH watermarks far past 10:00 + within + delay
+    write(left_dir, [(998, t(30.0), "fence_l")], 1)
+    write(right_dir, [(997, t(30.0), "fence_r")], 1)
+    # spacer batch so the advanced watermark is applied before the late row
+    write(right_dir, [(996, t(30.1), "noise2")], 2)
+    # the matching click arrives beyond the horizon
+    write(right_dir, [(7, t(10.5), "late_click")], 3)
+
+    lstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(left_dir)
+    )
+    rstream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(right_dir)
+    )
+    joined = stream_interval_join(
+        lstream, rstream, key="user_id", watermark="2 hours", within="1 hour"
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    kinds = {(r["user_id"], r["kind"], r["kind_r"]) for r in spark.read.parquet(out).collect()}
+    assert (7, "impression", "click") not in kinds
+    assert not any(k[0] == 7 for k in kinds), kinds  # the pair is lost by policy
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1, "late right row vanished without accounting"
