@@ -159,3 +159,47 @@ def test_col_or_null_handles_missing_spellings(spark):
         SC.col_or_null(df, "NoSuchCol", "AlsoMissing").alias("b"),
     ).first()
     assert out["a"] == "Processed" and out["b"] is None
+
+
+def test_eastern_date_agrees_with_oracle_across_dst_transitions(spark):
+    """DST-transition arm (r12): the UTC→America/New_York calendar
+    date must agree with DuckDB's IANA conversion AT the 2026
+    transitions — spring-forward (2026-03-08 07:00 UTC), fall-back
+    (2026-11-01 06:00 UTC, the repeated 01:xx hour), and the date
+    boundaries on both transition nights, where an offset bug shifts
+    the calendar date. Converting FROM UTC is never ambiguous, so
+    exact agreement is required at every instant."""
+    import datetime as dt
+
+    import duckdb
+
+    from reverse_etl_homebrew_spark.functions import scalars as SC
+
+    instants = [
+        # spring forward night: EST midnight boundary is 05:00 UTC
+        dt.datetime(2026, 3, 8, 4, 59, 59),   # Mar 7 23:59:59 EST
+        dt.datetime(2026, 3, 8, 5, 0, 0),     # Mar 8 00:00:00 EST
+        dt.datetime(2026, 3, 8, 6, 59, 59),   # Mar 8 01:59:59 EST (last EST second)
+        dt.datetime(2026, 3, 8, 7, 0, 0),     # Mar 8 03:00:00 EDT (skipped hour)
+        dt.datetime(2026, 3, 8, 7, 30, 0),
+        # fall back night: EDT midnight boundary is 04:00 UTC
+        dt.datetime(2026, 11, 1, 3, 59, 59),  # Oct 31 23:59:59 EDT
+        dt.datetime(2026, 11, 1, 4, 0, 0),    # Nov 1 00:00:00 EDT
+        dt.datetime(2026, 11, 1, 5, 59, 59),  # Nov 1 01:59:59 EDT
+        dt.datetime(2026, 11, 1, 6, 0, 0),    # Nov 1 01:00:00 EST (repeated hour)
+        dt.datetime(2026, 11, 1, 6, 59, 59),
+        dt.datetime(2026, 11, 1, 7, 0, 0),    # Nov 1 02:00:00 EST
+    ]
+    df = spark.createDataFrame([(i, ts) for i, ts in enumerate(instants)], "i long, ts timestamp")
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", SC.eastern_date(F.col("ts")).alias("d")).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for i, ts in enumerate(instants):
+        want[i] = con.execute(
+            "SELECT strftime(timezone('America/New_York', timezone('UTC', "
+            f"TIMESTAMP '{ts.isoformat(sep=' ')}')), '%Y-%m-%d')"
+        ).fetchone()[0]
+    assert got == want
