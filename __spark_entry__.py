@@ -92,9 +92,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # rank selection), displaces set-except by the mirror of the
 # set-intersect argument: Spark plans EXCEPT as a left-anti join on
 # all columns, and the in-cap anti-join key (r11 green, NOT-EXISTS
-# oracle) checks exactly that join shape. The candidate set is
-# therefore 60 keys for a 50-cap.
-# The ten rolls, pinned as ROLLED_TO_R13:
+# oracle) checks exactly that join shape. A fifth, the end-to-end
+# corpus-prep-pipeline composite, displaces token-count: the
+# one-expression whitespace tokenizer it wraps is oracle-checked
+# in-cap by text-analysis AND by the composite itself (its quality
+# gate and chunk token sums run the same tokens() algebra through
+# DuckDB's regexp_extract_all twin). The candidate set is therefore
+# 61 keys for a 50-cap.
+# The eleven rolls, pinned as ROLLED_TO_R13:
 # - simhash-dedup: driver check rows-only BY DESIGN (weakest evidence
 #   a cap slot can buy), code unchanged since r8, oracle-exact twin
 #   simhash-dedup-md5 hash-green r10;
@@ -125,6 +130,7 @@ _PRIORITY = [
     "corpus-diff",             # NEW: snapshot diff (zero history)
     "decontaminate-bloom",     # NEW: Bloom-prefiltered exact twin
     "quantiles-twophase",      # NEW: bounded-state exact rank selection
+    "corpus-prep-pipeline",    # NEW: end-to-end corpus-assembly composite
     # -- (d) the r8-evidenced stale cohort --
     "ambiguity-count", "approx-distinct", "dedup-lastwin",
     "dlq-attempt-join", "dlq-attempt-read",
@@ -136,13 +142,14 @@ _PRIORITY = [
     "processed-skip", "quality-score",
     "run-counters", "semi-join",
     "similarity-join", "sqlite-scan-pushdown",
-    "text-analysis", "tiered-match-join", "token-count",
+    "text-analysis", "tiered-match-join",
     "window-rank",
     # ---- 50-cap boundary ----
     # the rolled keys (see the header note) — lead round 13
     "simhash-dedup", "full-scan", "point-lookup",
     "topk-sort", "delta-scan", "doc-fingerprint",
     "union-all", "set-intersect", "max-ifnull-agg", "set-except",
+    "token-count",
 ]
 
 

@@ -153,6 +153,10 @@ HEAVY_ADDITIONS = [
     # one-reducer percentile multiset for the two-phase histogram
     # stays measured
     "quantiles-twophase",
+    # late r12: the end-to-end corpus-assembly composite — the chain a
+    # pretraining refresh runs as one plan; its ledger row is the
+    # engine's composition overhead, measured
+    "corpus-prep-pipeline",
 ]
 
 

@@ -1110,6 +1110,92 @@ def q_corpus_diff(spark, sf_dir):
 
 
 @register(
+    "corpus-prep-pipeline",
+    sql=r"""
+    WITH base AS (
+      SELECT doc_id, text, lang FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND len(regexp_extract_all(trim(text), '\S+')) >= 5
+    ), surv AS (
+      SELECT b.* FROM base b
+      JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id
+            FROM base GROUP BY md5(text)) m
+        ON b.doc_id = m.doc_id AND md5(b.text) = m.fp
+    ), bench_src AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL AND doc_id % 10 = 0
+    ), norm_t AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM surv WHERE doc_id % 10 <> 0
+    ), norm_b AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
+      FROM bench_src
+    ), grams_t AS (
+      SELECT DISTINCT id, array_to_string(string_split(t, ' ')[i:i+7], ' ') AS g
+      FROM norm_t, unnest(generate_series(1, greatest(len(string_split(t, ' ')) - 7, 1))) AS u(i)
+    ), grams_b AS (
+      SELECT DISTINCT array_to_string(string_split(t, ' ')[i:i+7], ' ') AS g
+      FROM norm_b, unnest(generate_series(1, greatest(len(string_split(t, ' ')) - 7, 1))) AS u(i)
+    ), contaminated AS (
+      SELECT DISTINCT id FROM grams_t JOIN grams_b USING (g)
+    ), clean AS (
+      SELECT s.doc_id, s.lang, s.text FROM surv s
+      WHERE s.doc_id % 10 <> 0
+        AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.id = s.doc_id)
+    ), toks AS (
+      SELECT doc_id, lang, regexp_extract_all(trim(text), '\S+') AS tt FROM clean
+    ), chunks AS (
+      SELECT doc_id, lang, len(tt[i:i+63]) AS ct
+      FROM toks, unnest(generate_series(1, greatest(len(tt) - 16, 1), 48)) AS u(i)
+    )
+    SELECT lang, CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(ct) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY lang, CAST(doc_id % 8 AS BIGINT)
+    """,
+)
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """The extension tier's end-to-end composite — the corpus-assembly
+    chain a pretraining refresh actually runs, as ONE plan: quality
+    gate (≥5 whitespace tokens) → exact dedup (min-id survivor per
+    md5 fingerprint) → benchmark decontamination (drop any train doc
+    sharing a distinct word-8-gram with the raw %10 eval split) →
+    chunk (size 64 / stride 48) → per-(lang, shard) doc/chunk/token
+    stats. Proves the individually-verified operators COMPOSE: every
+    stage reuses the registered op's own implementation
+    (contamination_flags, chunk_documents), and the oracle chains the
+    identical algebra through one CTE pipeline. Shape: two hash
+    shuffles (fingerprint group, gram join), a broadcast gram set,
+    map-side chunking, one final bounded agg — no stage holds more
+    than the survivors' narrow columns."""
+    d = _corpus_nn(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    base = d.filter(TX.token_count(F.col("text")) >= 5).select(
+        "doc_id", "text", "lang"
+    )
+    fp = base.withColumn("__fp", F.md5("text"))
+    surv = fp.join(
+        fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")),
+        ["doc_id", "__fp"],
+    ).drop("__fp")
+    train = surv.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    contaminated = DD.contamination_flags(train, bench, n=8).select("doc_id")
+    clean = train.join(contaminated, ["doc_id"], "left_anti")
+    chunks = CH.chunk_documents(clean, "text", "doc_id", size=64, stride=48)
+    labeled = chunks.join(clean.select("doc_id", "lang"), ["doc_id"])
+    return labeled.groupBy(
+        "lang", (F.col("doc_id") % 8).cast("long").alias("shard")
+    ).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
     "stratified-sample",
     sql="""
     WITH s AS (

@@ -44,7 +44,7 @@ MUST_RUN_R12 = {
     "protected-drop", "external-scan-pushdown", "decontaminate",
     # late-r12 NEW keys — zero driver history never waits
     "chunk-documents", "corpus-diff", "decontaminate-bloom",
-    "quantiles-twophase",
+    "quantiles-twophase", "corpus-prep-pipeline",
     # (d) r8-evidenced stale cohort (union-all, set-intersect and
     # max-ifnull-agg displaced by the three late-r12 NEW keys — see
     # the __spark_entry__ header for the per-key sibling-coverage
@@ -59,7 +59,7 @@ MUST_RUN_R12 = {
     "processed-skip", "quality-score",
     "run-counters", "semi-join",
     "similarity-join", "sqlite-scan-pushdown",
-    "text-analysis", "tiered-match-join", "token-count",
+    "text-analysis", "tiered-match-join",
     "window-rank",
 }
 
@@ -79,8 +79,9 @@ MUST_RUN_R12 = {
 ROLLED_TO_R13 = {
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
     "delta-scan", "doc-fingerprint",
-    # displaced late-r12 by the four NEW keys (zero-history rule)
+    # displaced late-r12 by the five NEW keys (zero-history rule)
     "union-all", "set-intersect", "max-ifnull-agg", "set-except",
+    "token-count",
 }
 
 
