@@ -3,11 +3,12 @@
 (`quantiles`): both compute exact order statistics, but the built-in
 aggregates each group's FULL value multiset into one reducer's state,
 while the two-phase form's shuffled state is ≤ buckets rows per group
-plus the located bins' rows. Wall-clock at local scale understates the
-difference (everything fits in memory here); the state-size numbers
-are the 100 TB story, so the probe reports BOTH: wall at 1× and 10×
-lineitem, and the two forms' peak shuffle volume via the Spark
-accumulator metrics of the final run.
+plus the located bins' rows — a bound that holds BY CONSTRUCTION (the
+histogram groupBy key space is groups × buckets), not one this probe
+measures. What the probe reports: wall at 1× and 10× lineitem for
+both forms, plus a bit-equal cross-check of the two-phase picks
+across duplicated multisets. Wall-clock at local scale understates
+the state difference (everything fits in memory here).
 
 Copies replicate rows verbatim (duplicated multisets have identical
 quantiles, so correctness stays cross-checkable against the 1× run).

@@ -154,11 +154,15 @@ def exact_quantiles_twophase(
     qs = qs or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
-    ).where(F.col("v").isNotNull() & is_finite(F.col("v")))
+    ).where(is_finite(F.col("v")))
     stats = vals.groupBy("g").agg(
         F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n")
     )
-    binned = vals.join(F.broadcast(stats), ["g"]).select(
+    # stats/located are O(#groups) rows — no explicit broadcast hint:
+    # size-based planning (AQE) broadcasts them when groups are few
+    # and falls back to a shuffle join when group_col is
+    # high-cardinality, where a forced broadcast would OOM the driver
+    binned = vals.join(stats, ["g"]).select(
         "g",
         "v",
         F.when(F.col("hi") == F.col("lo"), F.lit(0))
@@ -195,7 +199,7 @@ def exact_quantiles_twophase(
         .where((F.col("cc") >= F.col("r")) & (F.col("cc") - F.col("c") < F.col("r")))
         .select("g", "b", "q", "r", (F.col("cc") - F.col("c")).alias("prior"))
     )
-    cand = binned.join(F.broadcast(located), ["g", "b"])
+    cand = binned.join(located, ["g", "b"])
     per_val = cand.groupBy("g", "q", "r", "prior", "v").agg(
         F.count(F.lit(1)).alias("c")
     )

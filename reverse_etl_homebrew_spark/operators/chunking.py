@@ -29,9 +29,16 @@ def chunk_documents(
     id_col: str = "doc_id",
     size: int = 64,
     stride: int = 48,
+    carry: tuple = (),
 ) -> DataFrame:
-    """One row per (doc, chunk): ``(id_col, chunk_id, chunk,
+    """One row per (doc, chunk): ``(id_col, *carry, chunk_id, chunk,
     n_chunk_tokens)``.
+
+    ``carry`` names extra columns to project through the expansion
+    (e.g. a language or shard label) — a pure map-side passthrough, so
+    downstream grouping never has to re-join chunks back to the doc
+    table on a key that re-delivered or conflicting rows can make
+    non-unique (the r12 review's fan-out class).
 
     Chunk starts advance by ``stride`` whitespace tokens from position
     1 while the PREVIOUS chunk has not yet reached the final token —
@@ -55,7 +62,7 @@ def chunk_documents(
         raise ValueError(f"size and stride must be >= 1, got {size=} {stride=}")
     toks = (
         df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
-        .select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt"))
+        .select(F.col(id_col), *carry, TX.tokens(F.col(text_col)).alias("__tt"))
         .where(F.size("__tt") >= 1)
     )
     # upper bound: n − (size − stride), capped at n for the
@@ -67,10 +74,11 @@ def chunk_documents(
         F.greatest(F.least(n, n - F.lit(size - stride)), F.lit(1)),
         F.lit(stride),
     )
-    exploded = toks.select(id_col, "__tt", F.explode(starts).alias("__i"))
+    exploded = toks.select(id_col, *carry, "__tt", F.explode(starts).alias("__i"))
     piece = F.slice(F.col("__tt"), F.col("__i"), size)
     return exploded.select(
         id_col,
+        *carry,
         ((F.col("__i") - 1) / stride).cast("long").alias("chunk_id"),
         F.concat_ws(" ", piece).alias("chunk"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),

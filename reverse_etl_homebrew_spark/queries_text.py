@@ -1113,7 +1113,7 @@ def q_corpus_diff(spark, sf_dir):
     "corpus-prep-pipeline",
     sql=r"""
     WITH base AS (
-      SELECT doc_id, text, lang FROM documents
+      SELECT DISTINCT doc_id, text, lang FROM documents
       WHERE doc_id IS NOT NULL AND text IS NOT NULL
         AND len(regexp_extract_all(trim(text), '\S+')) >= 5
     ), surv AS (
@@ -1170,10 +1170,20 @@ def q_corpus_prep_pipeline(spark, sf_dir):
     identical algebra through one CTE pipeline. Shape: two hash
     shuffles (fingerprint group, gram join), a broadcast gram set,
     map-side chunking, one final bounded agg — no stage holds more
-    than the survivors' narrow columns."""
+    than the survivors' narrow columns.
+
+    Re-delivery (the r12 review's fan-out finding): the base collapses
+    to DISTINCT (doc_id, text, lang) — exact re-delivered rows are one
+    corpus fact (the engine-wide r11 policy), so chunk/token stats can
+    never double-count a duplicate row; CONFLICTING versions stay
+    distinct rows by the SET convention and chunk separately on both
+    engines. The lang label rides THROUGH chunking as a carried column
+    — never a re-join on a key that dirty feeds can make non-unique."""
     d = _corpus_nn(spark, sf_dir).filter(F.col("doc_id").isNotNull())
-    base = d.filter(TX.token_count(F.col("text")) >= 5).select(
-        "doc_id", "text", "lang"
+    base = (
+        d.filter(TX.token_count(F.col("text")) >= 5)
+        .select("doc_id", "text", "lang")
+        .dropDuplicates(["doc_id", "text", "lang"])
     )
     fp = base.withColumn("__fp", F.md5("text"))
     surv = fp.join(
@@ -1184,8 +1194,9 @@ def q_corpus_prep_pipeline(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
     contaminated = DD.contamination_flags(train, bench, n=8).select("doc_id")
     clean = train.join(contaminated, ["doc_id"], "left_anti")
-    chunks = CH.chunk_documents(clean, "text", "doc_id", size=64, stride=48)
-    labeled = chunks.join(clean.select("doc_id", "lang"), ["doc_id"])
+    labeled = CH.chunk_documents(
+        clean, "text", "doc_id", size=64, stride=48, carry=("lang",)
+    )
     return labeled.groupBy(
         "lang", (F.col("doc_id") % 8).cast("long").alias("shard")
     ).agg(

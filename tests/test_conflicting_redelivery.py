@@ -65,6 +65,13 @@ MUST_AGREE = [
     "trigram-lm-score", "bm25-topk", "lang-id",
     # orders-side conflicting amounts
     "roi-sync-pipeline", "merge-upsert", "groupby-agg",
+    # late-r12 keys: the corpus composite (its base collapses exact
+    # copies to DISTINCT (doc_id, text, lang) and carries lang THROUGH
+    # chunking — the r12 review's fan-out finding, fixed two-sided),
+    # the version-SET snapshot diff, the chunker, and the exact-twin
+    # Bloom decontaminate — all per-row/per-version algebra
+    "corpus-prep-pipeline", "corpus-diff", "chunk-documents",
+    "decontaminate-bloom", "quantiles-twophase",
 ]
 
 

@@ -517,7 +517,7 @@ def test_interval_join_loses_beyond_horizon_pairs_with_accounting(spark, tmp_pat
     q.awaitTermination(180)
 
     kinds = {(r["user_id"], r["kind"], r["kind_r"]) for r in spark.read.parquet(out).collect()}
-    assert (7, "impression", "click") not in kinds
+    assert (7, "impression", "late_click") not in kinds
     assert not any(k[0] == 7 for k in kinds), kinds  # the pair is lost by policy
     dropped = sum(
         op.get("numRowsDroppedByWatermark", 0)
