@@ -225,3 +225,43 @@ def test_write_zordered_prunes_secondary_dimension(spark, tmp_path):
         == spark.read.parquet(lpath).filter(band).count()
         == li.filter(band).count()
     )
+
+
+def test_bucketed_snapshot_diff_has_no_shuffle(spark, tmp_path):
+    """snapshot_diff's production claim, pinned: with both snapshots
+    bucketed by the diff key, the per-side digest aggregations ride
+    the bucketed scans and the full-outer join co-locates — ZERO
+    Exchange anywhere in the plan. (The digest groupBy needs
+    distribution by key; the bucketed layout already provides it, so
+    neither the aggregation nor the join moves a row.)"""
+    from reverse_etl_homebrew_spark.operators.merge import snapshot_diff
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"snap_old_{suffix}", f"snap_new_{suffix}"
+    for name, frame in (
+        (ta, d),
+        (tb, d.withColumn(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" r2")))
+            .otherwise(F.col("text")),
+        )),
+    ):
+        (
+            frame.write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    try:
+        diff = snapshot_diff(
+            spark.table(ta), spark.table(tb), "doc_id", F.md5("text")
+        )
+        plan = _explain(spark, diff)
+        assert "Exchange" not in plan, "bucketed snapshot diff still shuffles"
+        assert "Bucketed: true" in plan
+        # sanity: the %7 revisions actually surface
+        assert diff.filter(F.col("status") == "changed").count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
