@@ -53,6 +53,12 @@ KEYS = [
     "groupby-agg", "window-rank", "fuzzy-dedup", "dup-span-rate",
     "incremental-dup-spans", "incremental-knn", "patient-sync-pipeline",
     "heavy-hitters", "ngram-topk-sketch",
+    # late-r12 keys: empty corpus/facts must yield schema-correct
+    # empty results through the chunker, the set-digest diff, both
+    # decontaminate forms, the two-phase rank selection (no bins to
+    # locate), and the full composite chain
+    "chunk-documents", "corpus-diff", "decontaminate-bloom",
+    "quantiles-twophase", "corpus-prep-pipeline",
 ]
 
 
