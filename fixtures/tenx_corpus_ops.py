@@ -110,6 +110,37 @@ def main() -> None:
             base.filter(F.col("doc_id") % 10 == 0),
         )
 
+    def prep_probe(c):
+        # the corpus-prep-pipeline composite over the scaled corpus —
+        # same chain as the registered key (quality gate → exact dedup
+        # → decontaminate → chunk → per-shard stats), lang constant
+        # here because corpus() projects it away
+        from reverse_etl_homebrew_spark.functions import text as TXf
+
+        dd = corpus(d, c).filter(F.col("text").isNotNull())
+        base = (
+            dd.filter(TXf.token_count(F.col("text")) >= 5)
+            .select("doc_id", "text")
+            .dropDuplicates(["doc_id", "text"])
+        )
+        fp = base.withColumn("__fp", F.md5("text"))
+        surv = fp.join(
+            fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id")),
+            ["doc_id", "__fp"],
+        ).drop("__fp")
+        train = surv.filter(F.col("doc_id") % 10 != 0)
+        bench = dd.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+        contaminated = contamination_flags(train, bench, n=8).select("doc_id")
+        clean = train.join(contaminated, ["doc_id"], "left_anti")
+        chunks = chunk_documents(clean, "text", "doc_id", size=64, stride=48)
+        return chunks.groupBy(
+            (F.col("doc_id") % 8).cast("long").alias("shard")
+        ).agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+
     probes = {
         "chunk": lambda c: chunk_documents(corpus(d, c), size=64, stride=48),
         "diff": diff_probe,
@@ -117,6 +148,7 @@ def main() -> None:
         "decon-bloom": lambda c: contamination_flags_prefiltered(
             *decon_split(c), n=8
         ),
+        "prep-composite": prep_probe,
     }
     cells = {}
     for name, probe in probes.items():
