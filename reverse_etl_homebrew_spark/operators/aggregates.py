@@ -150,6 +150,22 @@ def exact_quantiles_twophase(
 
     Degenerate bins are safe: a single-valued group (hi == lo) maps
     every row to bin 0 and phase 2 scans the whole (one-value) group.
+
+    Bounded-state caveat (r12 advisor): the phase-2 bound is
+    DISTRIBUTION-DEPENDENT, not worst-case. Rows first collapse to
+    per-distinct-value counts (map-side partial agg), so the (g, q)
+    ranking window holds one row per DISTINCT value of the located
+    bin — ≈ n/buckets under anything resembling uniform spread, but
+    an adversarial group that packs most of its distinct values into
+    one histogram bin (e.g. a heavy point mass plus far outliers
+    stretching the range) degrades that window back toward the full
+    per-group multiset the built-in ``percentile`` holds. The result
+    stays exact either way; only the memory claim weakens. If that
+    shape is expected, re-bin the located bin recursively (run this
+    same operator on the bin's rows) — not done here by default
+    because the extra pass costs every well-behaved caller for a
+    pathology the histogram makes visible anyway (``c`` per bin is
+    already computed; monitor it).
     """
     qs = qs or {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     vals = df.select(

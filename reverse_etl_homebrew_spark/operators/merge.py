@@ -155,6 +155,15 @@ def snapshot_diff(
     sentinel so it compares like any other version rather than
     reading as absence.
 
+    Digest injectivity (r12 advisor): each fingerprint VALUE is
+    md5-hashed before the sorted-set join, so the set digest is a
+    comma-join of fixed-width hex tokens. Without this, a caller
+    fingerprint whose values can contain ``','`` or equal the literal
+    ``'null'`` could make DISTINCT version sets digest identically
+    (``{'a,b'}`` vs ``{'a','b'}``) and misreport changed keys as
+    unchanged. The NULL sentinel stays the bare 4-char ``'null'`` —
+    it can never collide with 32-char md5 hex output.
+
     Shape: each side is one hash aggregation down to (key, digest) —
     two narrow columns — then a single 1:1 full-outer equi-join on
     the key; at scale both snapshots are bucketed digest tables, so
@@ -174,7 +183,9 @@ def snapshot_diff(
             df.filter(F.col(key_col).isNotNull())
             .select(
                 F.col(key_col).alias("__k"),
-                F.coalesce(fingerprint, F.lit("null")).alias("__fp"),
+                F.coalesce(
+                    F.md5(fingerprint.cast("string")), F.lit("null")
+                ).alias("__fp"),
             )
             .groupBy("__k")
             .agg(F.array_join(F.sort_array(F.collect_set("__fp")), ",").alias(out))

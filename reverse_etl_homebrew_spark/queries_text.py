@@ -1052,8 +1052,11 @@ def q_chunk_documents(spark, sf_dir):
     "corpus-diff",
     sql="""
     WITH a AS (
+      -- md5(md5(text)): the version VALUE md5'd once by the caller's
+      -- fingerprint, then once more by snapshot_diff's injectivity
+      -- wrap (r12 advisor — set digests are fixed-width hex tokens)
       SELECT doc_id,
-             array_to_string(list_sort(list(DISTINCT coalesce(md5(text), 'null'))), ',') AS fp
+             array_to_string(list_sort(list(DISTINCT coalesce(md5(md5(text)), 'null'))), ',') AS fp
       FROM documents WHERE doc_id IS NOT NULL
       GROUP BY doc_id
     ), b0 AS (
@@ -1065,7 +1068,7 @@ def q_chunk_documents(spark, sf_dir):
       FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 = 0
     ), b AS (
       SELECT doc_id,
-             array_to_string(list_sort(list(DISTINCT coalesce(fp0, 'null'))), ',') AS fp
+             array_to_string(list_sort(list(DISTINCT coalesce(md5(fp0), 'null'))), ',') AS fp
       FROM b0 GROUP BY doc_id
     )
     SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
