@@ -157,6 +157,12 @@ HEAVY_ADDITIONS = [
     # pretraining refresh runs as one plan; its ledger row is the
     # engine's composition overhead, measured
     "corpus-prep-pipeline",
+    # r13: the incremental nightly-refresh composite — diff, retire,
+    # doc/span/vector admission probes, and the subtractive per-lang
+    # stats fold as one plan; its ledger row sits next to
+    # corpus-prep-pipeline so the batch-vs-incremental cost of the
+    # same chain stays measured
+    "corpus-refresh-pipeline",
 ]
 
 

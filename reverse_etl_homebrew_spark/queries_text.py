@@ -1209,6 +1209,174 @@ def q_corpus_prep_pipeline(spark, sf_dir):
     )
 
 
+def _corpus_refresh_sql(span_n: int = 8, planes: int = 6, k: int = 3) -> str:
+    from .operators.dedup import _deterministic_planes
+
+    hp = _deterministic_planes(planes, 64)
+    b_l = _bucket_sql("e.embedding", hp)
+    b_r = _bucket_sql("e.embedding", hp)
+    dot = _DOT_SQL.format(a="l.l_v", b="r.r_v")
+    nl = _DOT_SQL.format(a="l.l_v", b="l.l_v")
+    nr = _DOT_SQL.format(a="r.r_v", b="r.r_v")
+    norm = _NORM_SQL.format(c="text")
+    s = span_n - 1
+    return rf"""
+    WITH old AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id IS NOT NULL
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+             lang
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 100000000, text, lang
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 11 = 0
+    ), da AS (
+      SELECT doc_id, array_to_string(list_sort(list(DISTINCT coalesce(md5(md5(text)), 'null'))), ',') AS fp
+      FROM old GROUP BY doc_id
+    ), db AS (
+      SELECT doc_id, array_to_string(list_sort(list(DISTINCT coalesce(md5(md5(text)), 'null'))), ',') AS fp
+      FROM new GROUP BY doc_id
+    ), diff AS (
+      SELECT COALESCE(da.doc_id, db.doc_id) AS k,
+             CASE WHEN da.fp IS NULL THEN 'added'
+                  WHEN db.fp IS NULL THEN 'removed'
+                  WHEN da.fp <> db.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM da FULL JOIN db ON da.doc_id = db.doc_id
+    ), reprocess AS (
+      SELECT k FROM diff WHERE status IN ('added', 'changed')
+    ), retired AS (
+      SELECT k FROM diff WHERE status IN ('removed', 'changed')
+    ), surviving AS (
+      SELECT o.* FROM old o
+      WHERE NOT EXISTS (SELECT 1 FROM retired r WHERE r.k = o.doc_id)
+    ), cand AS (
+      SELECT n.* FROM new n JOIN reprocess r ON n.doc_id = r.k
+      WHERE n.text IS NOT NULL
+    ), seen AS (
+      SELECT DISTINCT sha256({norm}) AS f FROM surviving WHERE text IS NOT NULL
+    ), candfp AS (
+      SELECT doc_id, text, lang, sha256({norm}) AS f FROM cand
+    ), fresh AS (
+      SELECT * FROM candfp WHERE f NOT IN (SELECT f FROM seen)
+    ), admitted AS (
+      SELECT doc_id, text, lang FROM fresh
+      WHERE doc_id = (SELECT min(doc_id) FROM fresh x WHERE x.f = fresh.f)
+    ), toks_s AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt FROM surviving
+    ), idx AS (
+      SELECT DISTINCT array_to_string(tt[i:i+{s}], ' ') AS win
+      FROM toks_s, unnest(generate_series(1, len(tt) - {s})) AS u(i)
+      WHERE len(tt) >= {span_n}
+    ), toks_a AS (
+      SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt FROM admitted
+    ), wins_a AS (
+      SELECT doc_id, array_to_string(tt[i:i+{s}], ' ') AS win
+      FROM toks_a, unnest(generate_series(1, len(tt) - {s})) AS u(i)
+      WHERE len(tt) >= {span_n}
+    ), wcount AS (
+      SELECT win, count(DISTINCT doc_id) AS nd FROM wins_a GROUP BY win
+    ), flagged AS (
+      SELECT w.win FROM wcount w LEFT JOIN idx i USING (win)
+      WHERE i.win IS NOT NULL OR w.nd > 1
+    ), span_docs AS (
+      SELECT DISTINCT a.doc_id FROM wins_a a JOIN flagged f USING (win)
+    ), span_lang AS (
+      SELECT ad.lang, CAST(count(*) AS BIGINT) AS n_span_flagged
+      FROM admitted ad JOIN span_docs sd USING (doc_id) GROUP BY ad.lang
+    ), l AS (
+      SELECT e.vec_id AS l_id, e.embedding AS l_v, CAST({b_l} AS BIGINT) AS bl
+      FROM embeddings e JOIN admitted a ON e.vec_id = a.doc_id
+      WHERE e.embedding IS NOT NULL
+    ), r AS (
+      SELECT e.vec_id AS r_id, e.embedding AS r_v, CAST({b_r} AS BIGINT) AS br
+      FROM embeddings e JOIN surviving sv ON e.vec_id = sv.doc_id
+      WHERE e.embedding IS NOT NULL
+    ), scored AS (
+      SELECT l_id, r_id,
+             ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
+                        THEN {dot} / (sqrt({nl}) * sqrt({nr})) END, 6) AS score
+      FROM l JOIN r ON bit_count(xor(l.bl, r.br)) <= 2
+    ), topk AS (
+      SELECT l_id, r_id FROM scored
+      QUALIFY row_number() OVER (PARTITION BY l_id ORDER BY score DESC, r_id) <= {k}
+    ), knn_lang AS (
+      SELECT a.lang, CAST(count(*) AS BIGINT) AS n_knn_pairs
+      FROM topk t JOIN admitted a ON t.l_id = a.doc_id GROUP BY a.lang
+    ), refreshed AS (
+      SELECT lang, text FROM surviving
+      UNION ALL
+      SELECT lang, text FROM admitted
+    ), stats AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_total,
+             CAST(sum(len(regexp_extract_all(trim(text), '\S+'))) AS BIGINT) AS tokens_total
+      FROM refreshed GROUP BY lang
+    ), cand_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_candidates FROM cand GROUP BY lang
+    ), adm_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_admitted,
+             CAST(coalesce(sum(len(regexp_extract_all(trim(text), '\S+'))), 0) AS BIGINT) AS admitted_tokens
+      FROM admitted GROUP BY lang
+    )
+    SELECT st.lang,
+           CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(a2.n_admitted, 0) AS BIGINT) AS n_admitted,
+           CAST(coalesce(a2.admitted_tokens, 0) AS BIGINT) AS admitted_tokens,
+           CAST(coalesce(sp.n_span_flagged, 0) AS BIGINT) AS n_span_flagged,
+           CAST(coalesce(kn.n_knn_pairs, 0) AS BIGINT) AS n_knn_pairs,
+           st.n_docs_total, st.tokens_total
+    FROM stats st
+    LEFT JOIN cand_lang c USING (lang)
+    LEFT JOIN adm_lang a2 USING (lang)
+    LEFT JOIN span_lang sp USING (lang)
+    LEFT JOIN knn_lang kn USING (lang)
+    """
+
+
+@register("corpus-refresh-pipeline", sql=_corpus_refresh_sql())
+def q_corpus_refresh_pipeline(spark, sf_dir):
+    """The incremental nightly-refresh composite (r13, VERDICT r12
+    #3) — the ingest-time twin of `corpus-prep-pipeline`, chaining the
+    individually driver-green incremental operators into ONE plan over
+    a snapshot + delta pair: snapshot_diff decides what to (re)process
+    and what to retire, incremental_dedup admits the doc tier,
+    incremental_dup_spans + incremental_knn produce the span/vector
+    duplication signals against the SURVIVING corpus' persisted
+    indexes, and the per-lang rollup state folds the admitted delta in
+    and the retired rows OUT (negated partials through the same
+    merge_rollup_state — counts and exact decimal sums are an abelian
+    group, so retraction is lossless; the oracle recomputes the
+    refreshed corpus from scratch and equality proves it).
+
+    The next-day snapshot is the corpus-diff derived-split twin
+    (doc_id % 13 dropped, % 7 revised, % 11 re-added under shifted
+    ids), which exercises every admission dynamic at once: a % 7 key's
+    old version retires while its revision re-enters through dedup; a
+    re-added % 11 copy of a SURVIVING doc is rejected (fingerprint
+    still accepted); a re-added copy of a RETIRED doc's text is
+    re-admitted (retire-before-probe); span/knn probes flag the
+    admitted batch's overlap with the survivors. See
+    operators/refresh.py for the full semantics + shuffle ledger."""
+    from .operators.refresh import corpus_refresh_report
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    old = d.select("doc_id", "text", "lang")
+    revised = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", revised.alias("text"), "lang")
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 100000000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return corpus_refresh_report(old, new, _t(spark, sf_dir, "embeddings"))
+
+
 @register(
     "stratified-sample",
     sql="""

@@ -59,6 +59,10 @@ KEYS = [
     # locate), and the full composite chain
     "chunk-documents", "corpus-diff", "decontaminate-bloom",
     "quantiles-twophase", "corpus-prep-pipeline",
+    # r13: the incremental refresh composite — an empty snapshot pair
+    # must flow through diff → admission → probes → subtractive stats
+    # to a schema-correct empty report
+    "corpus-refresh-pipeline",
 ]
 
 

@@ -5,81 +5,83 @@ The driver caps CORRECTNESS at ~50 entries per round, evaluating
 must be *counted*: the keys whose code changed that round landed at
 positions 52-54 and got no driver row. These tests pin the invariants
 so a future rotation can't repeat that.
+
+Round 13 adds the LOW-ROTATION tier (VERDICT r12 #2): ~20
+trivially-shaped keys whose machinery in-cap siblings exercise every
+round get a documented 4-round refresh cadence instead of competing
+with substantive keys for cap slots. The cadence is enforced HERE,
+mechanically, against the CORRECTNESS_r*.json history — not by prose.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
+
 import __spark_entry__ as entry
 
 CAP = 50
+ROUND = 13  # bump each round — the cadence assertions key off it
 
-# Keys that MUST be inside the cap this round (round 12):
-# (a) the 7 late-r11 non-finite-policy keys pinned as ROLLED_TO_R12
-#     (VERDICT r11 #1 — discharge first);
-# (b) ewma-smooth, the r11 pin's one accounting slip (query+oracle
-#     changed in f5d280d, evidence r10 — VERDICT r11 #1 names it);
-# (c) every key whose code or oracle changed THIS round — the two
-#     advisor fixes (exact-dedup total-order survivor tie-break;
-#     the NULL-embedding-seed degrade contract across the vector
-#     seed keys) plus the NEW key incremental-knn;
-# (d) the r8-evidenced stale cohort of ROLLED_TO_R12.
-# dup-span-detect stays out by the judge's own condition: the r11
-# dedup.py edits do NOT reach token_span_windows/duplicate_spans
-# (verified against git diff f7a3334..HEAD), so its plan is unchanged
-# and its r10 evidence is current.
-MUST_RUN_R12 = {
-    # (a) non-finite-policy leads
-    "equi-inner-join", "json-coerce", "grouping-sets",
-    "skew-salted-join", "conditional-agg", "anomaly-zscore",
-    "mad-outliers",
-    # (b) the pin slip
-    "ewma-smooth",
-    # (c) changed this round (advisor fixes, the new keys, and the
-    # schema-drift col_or_null chains in both sync pipelines)
-    "exact-dedup", "incremental-knn",
-    "topk-similarity", "topk-similarity-pandas",
-    "topk-similarity-lsh", "topk-similarity-ivf",
-    "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
-    "patient-sync-pipeline", "roi-sync-pipeline",
-    "protected-drop", "external-scan-pushdown", "decontaminate",
-    # late-r12 NEW keys — zero driver history never waits
-    "chunk-documents", "corpus-diff", "decontaminate-bloom",
-    "quantiles-twophase", "corpus-prep-pipeline",
-    # (d) r8-evidenced stale cohort (union-all, set-intersect and
-    # max-ifnull-agg displaced by the three late-r12 NEW keys — see
-    # the __spark_entry__ header for the per-key sibling-coverage
-    # rationale; they lead round 13 with the other rolls)
-    "ambiguity-count", "approx-distinct", "dedup-lastwin",
-    "dlq-attempt-join", "dlq-attempt-read",
-    "email-match-join",
-    "embedding-centroid", "embedding-near-dup",
-    "groupby-agg", "idmap-join",
-    "knn-join", "knn-join-tables",
-    "latest-per-group", "ledger-watermark-read",
-    "processed-skip", "quality-score",
-    "run-counters", "semi-join",
-    "similarity-join", "sqlite-scan-pushdown",
-    "text-analysis", "tiered-match-join",
-    "window-rank",
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_evidence() -> dict[str, int]:
+    """Latest driver CORRECTNESS round per key, from the repo-root
+    history files. Keys with no row yet (new this round) are absent."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            for key in json.load(fh):
+                latest[key] = max(latest.get(key, 0), rnd)
+    return latest
+
+
+# Keys that MUST be inside the cap this round (round 13):
+# (a) the 11 keys pinned as ROLLED_TO_R13 by round 12 — discharged
+#     first, as VERDICT r12 #1 mandates;
+# (b) every key whose code or oracle changed THIS round: corpus-diff
+#     (snapshot_diff digest injectivity — advisor r12), decontaminate-
+#     bloom (m guard + exact-vs-prefiltered auto-selector), and the
+#     NEW corpus-refresh-pipeline (zero driver history never waits);
+# (c) the ENTIRE r9-evidenced cohort (32 keys) — after this round no
+#     key's evidence is older than r10;
+# (d) 4 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
+#     twin's trust), dup-span-detect (exempted two rounds on
+#     byte-identity arguments — re-faced now), heavy-hitters
+#     (Misra-Gries machinery), threetier-composite.
+MUST_RUN_R13 = {
+    # (a) the ROLLED_TO_R13 leads
+    "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
+    "delta-scan", "doc-fingerprint",
+    "union-all", "set-intersect", "max-ifnull-agg", "set-except",
+    "token-count",
+    # (b) changed this round
+    "corpus-diff", "decontaminate-bloom", "corpus-refresh-pipeline",
+    # (c) the full r9 cohort
+    "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
+    "bool-normalize", "bucketed-join", "coalesce-chain",
+    "const-columns", "cube-agg", "dedup-rate-report", "dq-audit",
+    "drop-null-props", "eastern-date", "email-normalize",
+    "epoch-millis", "fk-orphans", "hll-sketch-merge",
+    "identifier-canon", "json-payload", "lock-projection",
+    "merge-upsert", "multimodal-cols", "natural-key",
+    "next-birthday", "override-skip", "patient-projection",
+    "phi-redact", "remote-get", "remote-search", "retry-threshold",
+    "roi-projection", "vocab-stats", "zorder-layout",
+    # (d) oldest-r10 refreshes
+    "simhash-dedup-md5", "dup-span-detect", "heavy-hitters",
+    "threetier-composite",
 }
 
-# Keys deliberately rolled past the saturated cap to round 13 —
-# pinned so the roll stays EXPLICIT, not an accident of ordering. The
-# candidate set was 56 keys for a 50-cap (41 rolled from r11 +
-# ewma-smooth + 14 changed this round); the rolls buy the weakest
-# evidence available: simhash-dedup's driver check is rows-only by
-# declared design (oracle-exact twin simhash-dedup-md5 hash-green
-# r10, code unchanged since r8); full-scan, point-lookup, topk-sort,
-# delta-scan are one-line projection/filter/sort scans unchanged
-# since r8 whose scan+project shape every other key exercises on
-# every run; doc-fingerprint is a one-line sha256 projection whose
-# fingerprint algebra the in-cap exact-dedup key oracle-checks
-# byte-for-byte in its window partition key. They must lead round 13
-# together with any key whose code changes then.
+# The set pinned by round 12's test file — r13 must discharge it
+# exactly (VERDICT r12 #1).
 ROLLED_TO_R13 = {
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
     "delta-scan", "doc-fingerprint",
-    # displaced late-r12 by the five NEW keys (zero-history rule)
     "union-all", "set-intersect", "max-ifnull-agg", "set-except",
     "token-count",
 }
@@ -93,27 +95,67 @@ def test_priority_has_no_duplicates_and_resolves():
 
 
 def test_cap_is_exactly_saturated():
-    # the round-12 cap is exactly the must-run set — any key that
-    # gains a code/oracle change later in the round must DISPLACE a
-    # stale-cohort key here, never silently exceed the cap
-    assert len(MUST_RUN_R12) == CAP
+    # any key that gains a code/oracle change later in the round must
+    # DISPLACE a filler key here, never silently exceed the cap
+    assert len(MUST_RUN_R13) == CAP
 
 
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R12 - set(head)
+    outside = MUST_RUN_R13 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_keys_are_exactly_the_named_cohort():
-    order = list(entry.queries().keys())
-    head, tail = set(order[:CAP]), order[CAP:]
-    assert ROLLED_TO_R13 & head == set(), "a rolled key leaked into the cap"
-    assert ROLLED_TO_R13 <= set(tail)
-    # and they sit immediately after the boundary, so the r13 rotation
-    # inherits them first
-    assert set(tail[: len(ROLLED_TO_R13)]) == ROLLED_TO_R13
+def test_rolled_to_r13_discharged():
+    # the r12 roll leads the cap, as pinned
+    head = list(entry.queries().keys())[:CAP]
+    assert ROLLED_TO_R13 <= set(head)
+    assert set(head[: len(ROLLED_TO_R13)]) == ROLLED_TO_R13
+
+
+def test_low_rotation_tier_membership_resolves():
+    qs = entry.queries()
+    unknown = entry._LOW_ROTATION - set(qs)
+    assert not unknown, f"_LOW_ROTATION names unknown keys: {unknown}"
+    # tier keys must be a deliberate, bounded list — growth needs the
+    # same sibling-coverage rationale the current members carry
+    assert len(entry._LOW_ROTATION) == 21
+
+
+def test_low_rotation_cadence():
+    """The tier invariant, enforced against the driver history: a
+    low-rotation key's evidence may never be older than 4 rounds at
+    the END of the current round — i.e. by round R it must either
+    carry evidence >= R-3 already or sit inside this round's cap.
+    (Code/oracle changes re-enter the cap immediately via the
+    engine-wide changed-code rule; that arm is procedural and shows
+    up as membership in MUST_RUN.)"""
+    latest = _latest_evidence()
+    stale = {
+        k
+        for k in entry._LOW_ROTATION
+        if latest.get(k, 0) < ROUND - 3 and k not in MUST_RUN_R13
+    }
+    assert not stale, f"low-rotation keys past their 4-round cadence: {stale}"
+
+
+def test_no_key_evidence_older_than_four_rounds():
+    """The registry-wide floor (VERDICT r12 #1's target, made
+    mechanical): every key either has driver evidence within the last
+    4 rounds or is in this round's cap. New keys (no history) must be
+    in-cap — the zero-history-never-waits rule."""
+    latest = _latest_evidence()
+    qs = entry.queries()
+    violations = {
+        k
+        for k in qs
+        if latest.get(k, 0) < ROUND - 4 and k not in MUST_RUN_R13
+    }
+    assert not violations, (
+        f"keys whose evidence would end the round older than 4 rounds: "
+        f"{violations}"
+    )
 
 
 def test_queries_and_oracle_emit_same_order():
