@@ -353,6 +353,7 @@ def incremental_knn(
     probe_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Vector-tier incremental twin of ``incremental_dup_spans``: k
     approximate nearest neighbors in the ACCEPTED corpus for every
@@ -379,7 +380,23 @@ def incremental_knn(
     drifted to a different dimension is refused loudly — silently
     bucketing 32-dim vectors with 64-dim planes and folding truncated
     cosines is the wrong-neighbor class the ingress contract exists
-    to keep out."""
+    to keep out.
+
+    ``bucket_cap`` (r13 skew lever, the df_cap precedent lifted to
+    vectors): bound the index rows scored per bucket. A DIRECTIONAL
+    Zipf head (boilerplate embeddings — templated pages, near-empty
+    docs) concentrates in one bucket, and when the BATCH is hot in
+    the same direction the candidate count grows multiplicatively
+    (0.3·M batch × 0.3·N bucket — fixtures/skew_ann_probe.py measures
+    it). The cap keeps the survivors DETERMINISTIC (lowest ``r_id``
+    per bucket — the content-dedup total-order discipline) and trades
+    hot-bucket recall for bounded work; cold buckets are unaffected.
+    In production the cap is enforced at index-MAINTENANCE time (the
+    bucketed table keeps ≤cap rows per bucket on append), so the
+    probe join still never shuffles the index; applying it here
+    ranks the index per bucket — the local measurement form. The
+    better lever when semantics allow it is collapsing near-dup
+    vectors BEFORE indexing (the probe measures both)."""
     from pyspark.sql import Window as W
 
     from .vectorized import pair_cosine_pandas, table_buckets_pandas
@@ -397,6 +414,18 @@ def incremental_knn(
             f"incremental knn: batch dimension {dim_batch} != index "
             f"dimension {dim} — dimension is a property of the index, "
             f"fix the producer"
+        )
+    if bucket_cap is not None:
+        if bucket_cap < k:
+            raise ValueError(
+                f"bucket_cap={bucket_cap} < k={k}: a capped bucket could "
+                f"not even fill one probe's top-k"
+            )
+        wb = W.partitionBy("bucket").orderBy("r_id")
+        ann_index = (
+            ann_index.withColumn("__bc", F.row_number().over(wb))
+            .filter(F.col("__bc") <= bucket_cap)
+            .drop("__bc")
         )
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)

@@ -207,3 +207,41 @@ def test_probe_join_reads_bucketed_index_in_place(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_bucket_cap_lever(spark):
+    """r13 skew lever: bucket_cap bounds the index rows scored per
+    bucket with DETERMINISTIC lowest-r_id survivors. A hot direction
+    planted 20x in the accepted corpus lands in one bucket; cap=5
+    must (a) cut that bucket's candidates to exactly the 5 lowest
+    r_ids, (b) leave cold-bucket results untouched, (c) refuse a cap
+    smaller than k."""
+    base = _vec(1.0)
+    hot = [(100 + i, [v * (1 + 0.0001 * i) for v in base]) for i in range(20)]
+    cold = [(300 + i, _vec(-5.0 + 3.1 * i)) for i in range(10)]
+    accepted = spark.createDataFrame(
+        hot + cold, "vec_id int, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (2, _vec(-5.0))], "vec_id int, embedding array<float>"
+    )
+    idx = build_ann_index(accepted, planes=6)
+
+    capped = incremental_knn(batch, idx, k=3, planes=6, bucket_cap=5)
+    got_hot = {r["r_id"] for r in capped.where(F.col("l_id") == 1).collect()}
+    # survivors of the hot bucket are the 5 lowest r_ids -> top-3 of
+    # the capped candidates are a subset of 100..104
+    assert got_hot <= {100, 101, 102, 103, 104}
+    assert len(got_hot) == 3
+
+    uncapped = incremental_knn(batch, idx, k=3, planes=6)
+    cold_capped = sorted(
+        map(tuple, capped.where(F.col("l_id") == 2).collect())
+    )
+    cold_uncapped = sorted(
+        map(tuple, uncapped.where(F.col("l_id") == 2).collect())
+    )
+    assert cold_capped == cold_uncapped
+
+    with pytest.raises(ValueError, match="bucket_cap"):
+        incremental_knn(batch, idx, k=3, planes=6, bucket_cap=2)
