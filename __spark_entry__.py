@@ -49,18 +49,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #     the r13 exact-vs-prefiltered auto-selector routing through the
 #     shared `_shared_gram_counts` tail), and the NEW key
 #     corpus-refresh-pipeline (the incremental nightly-ingest twin of
-#     corpus-prep-pipeline — zero driver history never waits);
+#     corpus-prep-pipeline — zero driver history never waits), and
+#     incremental-knn (gained the bucket_cap skew lever — default-off
+#     and plan-identical for the registered call, but changed code
+#     outranks that defense, the r12 sync-pipeline precedent);
 # (c) the ENTIRE r9-evidenced cohort (32 keys — VERDICT r12 #1: "no
 #     key's evidence older than r9 at round end"; with only 3 changed
 #     keys this round the cap finally fits all of them);
-# (d) 4 remaining slots refresh the oldest r10 keys, preferring the
+# (d) 3 remaining slots refresh the oldest r10 keys, preferring the
 #     ones whose machinery no in-cap sibling covers:
 #     simhash-dedup-md5 (the oracle-exact twin that backs rows-only
 #     simhash-dedup's trust), dup-span-detect (the span-window family
 #     head, exempted two rounds running on byte-identity arguments —
 #     re-faced now instead), heavy-hitters (the Misra-Gries
-#     two-phase machinery), threetier-composite (the tiered-match
-#     composite plan).
+#     two-phase machinery). threetier-composite (r10) was the fourth
+#     filler until incremental-knn's bucket_cap change claimed its
+#     slot — it rolls to r14 with the rest of the r10 cohort; its
+#     tiered-cascade machinery is exercised in-cap by
+#     tiered-match-join every round.
 # After this round: evidence floor is r10 everywhere — no key older
 # than 3 rounds — and the LOW_ROTATION tier below caps how far the
 # trivially-shaped keys can drift again (VERDICT r12 #2).
@@ -118,6 +124,7 @@ _PRIORITY = [
     "corpus-diff",              # digest injectivity (advisor r12 #1)
     "decontaminate-bloom",      # m guard + auto-selector
     "corpus-refresh-pipeline",  # NEW: incremental refresh composite
+    "incremental-knn",          # bucket_cap skew lever (code changed)
     # -- (c) the full r9-evidenced cohort --
     "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
     "bool-normalize", "bucketed-join", "coalesce-chain",
@@ -131,7 +138,6 @@ _PRIORITY = [
     "roi-projection", "vocab-stats", "zorder-layout",
     # -- (d) oldest-r10 refreshes --
     "simhash-dedup-md5", "dup-span-detect", "heavy-hitters",
-    "threetier-composite",
     # ---- 50-cap boundary ----
 ]
 

@@ -118,7 +118,8 @@ def corpus_refresh_report(
     old/new's id space.
 
     Output: (lang, n_candidates, n_admitted, admitted_tokens,
-    n_span_flagged, n_knn_pairs, n_docs_total, tokens_total)."""
+    n_span_flagged, n_knn_pairs, n_retired, n_docs_total,
+    tokens_total)."""
     old = old.select("doc_id", "text", "lang")
     new = new.select("doc_id", "text", "lang")
 
@@ -230,12 +231,19 @@ def corpus_refresh_report(
         F.count(F.lit(1)).alias("n_admitted"),
         F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("admitted_tokens"),
     )
+    # retirements attributed by the OLD side's lang (the side leaving)
+    ret_lang = (
+        old.join(retired, ["doc_id"], "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_retired"))
+    )
     zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
     return (
         stats.join(cand_lang, ["lang"], "left")
         .join(adm_lang, ["lang"], "left")
         .join(span_lang, ["lang"], "left")
         .join(knn_lang, ["lang"], "left")
+        .join(ret_lang, ["lang"], "left")
         .select(
             "lang",
             zero("n_candidates"),
@@ -243,6 +251,7 @@ def corpus_refresh_report(
             zero("admitted_tokens"),
             zero("n_span_flagged"),
             zero("n_knn_pairs"),
+            zero("n_retired"),
             "n_docs_total",
             "tokens_total",
         )

@@ -1318,6 +1318,9 @@ def _corpus_refresh_sql(span_n: int = 8, planes: int = 6, k: int = 3) -> str:
       SELECT lang, CAST(count(*) AS BIGINT) AS n_admitted,
              CAST(coalesce(sum(len(regexp_extract_all(trim(text), '\S+'))), 0) AS BIGINT) AS admitted_tokens
       FROM admitted GROUP BY lang
+    ), ret_lang AS (
+      SELECT o.lang, CAST(count(*) AS BIGINT) AS n_retired
+      FROM old o JOIN retired r ON o.doc_id = r.k GROUP BY o.lang
     )
     SELECT st.lang,
            CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
@@ -1325,12 +1328,14 @@ def _corpus_refresh_sql(span_n: int = 8, planes: int = 6, k: int = 3) -> str:
            CAST(coalesce(a2.admitted_tokens, 0) AS BIGINT) AS admitted_tokens,
            CAST(coalesce(sp.n_span_flagged, 0) AS BIGINT) AS n_span_flagged,
            CAST(coalesce(kn.n_knn_pairs, 0) AS BIGINT) AS n_knn_pairs,
+           CAST(coalesce(rt.n_retired, 0) AS BIGINT) AS n_retired,
            st.n_docs_total, st.tokens_total
     FROM stats st
     LEFT JOIN cand_lang c USING (lang)
     LEFT JOIN adm_lang a2 USING (lang)
     LEFT JOIN span_lang sp USING (lang)
     LEFT JOIN knn_lang kn USING (lang)
+    LEFT JOIN ret_lang rt USING (lang)
     """
 
 

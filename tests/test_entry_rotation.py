@@ -46,13 +46,16 @@ def _latest_evidence() -> dict[str, int]:
 # (b) every key whose code or oracle changed THIS round: corpus-diff
 #     (snapshot_diff digest injectivity — advisor r12), decontaminate-
 #     bloom (m guard + exact-vs-prefiltered auto-selector), and the
-#     NEW corpus-refresh-pipeline (zero driver history never waits);
+#     NEW corpus-refresh-pipeline (zero driver history never waits),
+#     and incremental-knn (bucket_cap lever — changed code outranks
+#     its default-off plan identity, the r12 precedent);
 # (c) the ENTIRE r9-evidenced cohort (32 keys) — after this round no
 #     key's evidence is older than r10;
-# (d) 4 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
+# (d) 3 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
 #     twin's trust), dup-span-detect (exempted two rounds on
 #     byte-identity arguments — re-faced now), heavy-hitters
-#     (Misra-Gries machinery), threetier-composite.
+#     (Misra-Gries machinery). threetier-composite lost its slot to
+#     incremental-knn and rolls to r14 with the r10 cohort.
 MUST_RUN_R13 = {
     # (a) the ROLLED_TO_R13 leads
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
@@ -61,6 +64,7 @@ MUST_RUN_R13 = {
     "token-count",
     # (b) changed this round
     "corpus-diff", "decontaminate-bloom", "corpus-refresh-pipeline",
+    "incremental-knn",
     # (c) the full r9 cohort
     "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
     "bool-normalize", "bucketed-join", "coalesce-chain",
@@ -74,7 +78,6 @@ MUST_RUN_R13 = {
     "roi-projection", "vocab-stats", "zorder-layout",
     # (d) oldest-r10 refreshes
     "simhash-dedup-md5", "dup-span-detect", "heavy-hitters",
-    "threetier-composite",
 }
 
 # The set pinned by round 12's test file — r13 must discharge it

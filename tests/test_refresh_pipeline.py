@@ -110,7 +110,16 @@ def test_retraction_refresh_equals_recompute_over_survivors(spark, docs, vecs):
     new = docs.filter(F.col("doc_id") % 3 != 0)
     rep = _report(spark, docs, new, vecs)
     want = _totals(new)
+    dropped = {
+        r["lang"]: r["n"]
+        for r in docs.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sum(r["n_retired"] for r in rep.values()) == sum(dropped.values())
     for lang, row in rep.items():
+        assert row["n_retired"] == dropped.get(lang, 0)
         assert row["n_candidates"] == 0 and row["n_admitted"] == 0
         # langs fully retired keep a 0-count row from the state fold
         n, t = want.get(lang, (0, None))
