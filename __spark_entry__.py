@@ -52,21 +52,27 @@ def entry(spark: SparkSession) -> DataFrame:
 #     corpus-prep-pipeline — zero driver history never waits), and
 #     incremental-knn (gained the bucket_cap skew lever — default-off
 #     and plan-identical for the registered call, but changed code
-#     outranks that defense, the r12 sync-pipeline precedent);
+#     outranks that defense, the r12 sync-pipeline precedent), and
+#     epoch-millis-eastern (NEW — the reference's to_epoch_millis
+#     naive→Eastern policy, oracle-backed now that the r13 tz probe
+#     established midnight-only inputs sit outside the divergent
+#     ambiguous hour; zero driver history never waits);
 # (c) the ENTIRE r9-evidenced cohort (32 keys — VERDICT r12 #1: "no
 #     key's evidence older than r9 at round end"; with only 3 changed
 #     keys this round the cap finally fits all of them);
-# (d) 3 remaining slots refresh the oldest r10 keys, preferring the
+# (d) 2 remaining slots refresh the oldest r10 keys, preferring the
 #     ones whose machinery no in-cap sibling covers:
 #     simhash-dedup-md5 (the oracle-exact twin that backs rows-only
 #     simhash-dedup's trust), dup-span-detect (the span-window family
 #     head, exempted two rounds running on byte-identity arguments —
-#     re-faced now instead), heavy-hitters (the Misra-Gries
-#     two-phase machinery). threetier-composite (r10) was the fourth
-#     filler until incremental-knn's bucket_cap change claimed its
-#     slot — it rolls to r14 with the rest of the r10 cohort; its
-#     tiered-cascade machinery is exercised in-cap by
-#     tiered-match-join every round.
+#     re-faced now instead). threetier-composite (r10) and
+#     heavy-hitters (r10) were fillers until incremental-knn's
+#     bucket_cap change and the NEW epoch-millis-eastern claimed
+#     their slots — both roll to r14 with the rest of the r10 cohort
+#     (threetier's cascade machinery is exercised in-cap by
+#     tiered-match-join; heavy-hitters' two-phase Misra-Gries shape
+#     by its r10-green grouped twin and the sketch path, and its own
+#     code is unchanged since r10).
 # After this round: evidence floor is r10 everywhere — no key older
 # than 3 rounds — and the LOW_ROTATION tier below caps how far the
 # trivially-shaped keys can drift again (VERDICT r12 #2).
@@ -125,6 +131,7 @@ _PRIORITY = [
     "decontaminate-bloom",      # m guard + auto-selector
     "corpus-refresh-pipeline",  # NEW: incremental refresh composite
     "incremental-knn",          # bucket_cap skew lever (code changed)
+    "epoch-millis-eastern",     # NEW: the third tz policy, oracle-backed
     # -- (c) the full r9-evidenced cohort --
     "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
     "bool-normalize", "bucketed-join", "coalesce-chain",
@@ -137,7 +144,7 @@ _PRIORITY = [
     "phi-redact", "remote-get", "remote-search", "retry-threshold",
     "roi-projection", "vocab-stats", "zorder-layout",
     # -- (d) oldest-r10 refreshes --
-    "simhash-dedup-md5", "dup-span-detect", "heavy-hitters",
+    "simhash-dedup-md5", "dup-span-detect",
     # ---- 50-cap boundary ----
 ]
 

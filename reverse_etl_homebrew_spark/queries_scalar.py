@@ -135,6 +135,35 @@ def q_epoch_millis(spark, sf_dir):
 
 
 @register(
+    "epoch-millis-eastern",
+    sql="""
+    SELECT o_orderkey,
+           epoch_ms(timezone('America/New_York', CAST(o_orderdate AS TIMESTAMP)))
+             AS order_epoch_ms_eastern
+    FROM orders
+    """,
+)
+def q_epoch_millis_eastern(spark, sf_dir):
+    """Naive wall time treated as America/New_York → epoch ms — the
+    reference's ``to_epoch_millis`` policy (main.py:134-158), the one
+    tz policy that had no oracle-backed key until r13's tz-drift
+    probe established WHERE an oracle is safe: the wall→instant
+    direction diverges between Java/zoneinfo and DuckDB/ICU only in
+    the fall-back AMBIGUOUS hour (01:00-02:00) — and a DATE cast to
+    TIMESTAMP is always midnight, structurally outside both the
+    ambiguous hour and the spring-forward gap (02:00-03:00), so both
+    engines agree on every input this oracle can produce
+    (tests/test_tz_drift.py allowlists exactly this key and pins the
+    midnight-safety argument)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        SC.epoch_millis_eastern(F.col("o_orderdate")).alias(
+            "order_epoch_ms_eastern"
+        ),
+    )
+
+
+@register(
     "eastern-date",
     sql="""
     SELECT o_orderkey,

@@ -48,14 +48,16 @@ def _latest_evidence() -> dict[str, int]:
 #     bloom (m guard + exact-vs-prefiltered auto-selector), and the
 #     NEW corpus-refresh-pipeline (zero driver history never waits),
 #     and incremental-knn (bucket_cap lever — changed code outranks
-#     its default-off plan identity, the r12 precedent);
+#     its default-off plan identity, the r12 precedent), and the NEW
+#     epoch-millis-eastern (the third tz policy, oracle-backed after
+#     the tz probe's midnight-safety argument);
 # (c) the ENTIRE r9-evidenced cohort (32 keys) — after this round no
 #     key's evidence is older than r10;
-# (d) 3 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
+# (d) 2 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
 #     twin's trust), dup-span-detect (exempted two rounds on
-#     byte-identity arguments — re-faced now), heavy-hitters
-#     (Misra-Gries machinery). threetier-composite lost its slot to
-#     incremental-knn and rolls to r14 with the r10 cohort.
+#     byte-identity arguments — re-faced now). threetier-composite
+#     and heavy-hitters lost their slots to incremental-knn and
+#     epoch-millis-eastern; both roll to r14 with the r10 cohort.
 MUST_RUN_R13 = {
     # (a) the ROLLED_TO_R13 leads
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
@@ -64,7 +66,7 @@ MUST_RUN_R13 = {
     "token-count",
     # (b) changed this round
     "corpus-diff", "decontaminate-bloom", "corpus-refresh-pipeline",
-    "incremental-knn",
+    "incremental-knn", "epoch-millis-eastern",
     # (c) the full r9 cohort
     "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
     "bool-normalize", "bucketed-join", "coalesce-chain",
@@ -77,7 +79,7 @@ MUST_RUN_R13 = {
     "phi-redact", "remote-get", "remote-search", "retry-threshold",
     "roi-projection", "vocab-stats", "zorder-layout",
     # (d) oldest-r10 refreshes
-    "simhash-dedup-md5", "dup-span-detect", "heavy-hitters",
+    "simhash-dedup-md5", "dup-span-detect",
 }
 
 # The set pinned by round 12's test file — r13 must discharge it

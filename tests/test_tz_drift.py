@@ -105,19 +105,48 @@ def test_lmt_offset_exact_to_the_second(wall):
     assert ed == "1880-06-01"
 
 
-def test_no_oracle_key_uses_wall_to_eastern_conversion():
-    """epoch_millis_eastern is the ONLY wall→instant policy with an
-    ambiguous-hour hazard, and the DuckDB twin resolves that hour
-    differently. It must stay unit-level (or gain an explicitly
-    disambiguated oracle) — this trips if someone wires it into a
-    registered oracle using timezone('America/New_York', ...)."""
-    hazard = "timezone('America/New_York', TIMESTAMP"
+# Keys whose oracle performs a wall→Eastern conversion on inputs that
+# are STRUCTURALLY outside the divergent window: epoch-millis-eastern
+# feeds a DATE cast to TIMESTAMP — always midnight, never inside the
+# ambiguous hour (01:00-02:00) or the spring-forward gap (02:00-03:00).
+_WALL_TO_EASTERN_ALLOWLIST = {"epoch-millis-eastern"}
+
+
+def test_wall_to_eastern_oracles_are_disambiguated():
+    """The wall→instant direction is the ONE place the probe found the
+    engines disagree (DuckDB resolves the ambiguous fall-back hour to
+    the later offset; Java/zoneinfo to the earlier). Any oracle
+    performing that conversion must either be allowlisted with a
+    structural ambiguity-free argument (midnight-only inputs) or
+    disambiguate explicitly — this trips on new unvetted uses."""
+    hazard = "timezone('America/New_York',"
     for name, sql in Q.ORACLE.items():
-        assert hazard not in sql, (
-            f"{name} converts a wall time to Eastern in its oracle — "
-            f"disambiguate fall-back hours explicitly (see "
-            f"fixtures/tz_drift_probe.py)"
+        if name in _WALL_TO_EASTERN_ALLOWLIST:
+            continue
+        # eastern-date's instant→wall double conversion is a total
+        # function (timezone('UTC', ...) inside) — not a hazard
+        flat = " ".join(sql.split())
+        stripped = flat.replace(
+            "timezone('America/New_York', timezone('UTC',", ""
         )
+        assert hazard not in stripped, (
+            f"{name} converts a wall time to Eastern in its oracle — "
+            f"disambiguate fall-back hours explicitly or allowlist with "
+            f"a structural argument (see fixtures/tz_drift_probe.py)"
+        )
+
+
+def test_allowlisted_key_inputs_are_midnight_only(spark):
+    """The epoch-millis-eastern allowlist rests on midnight-only
+    inputs; verify the claim against the data."""
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    non_midnight = o.where(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp"))
+        != F.col("o_orderdate").cast("timestamp")
+    ).count()
+    assert non_midnight == 0
 
 
 def test_eastern_date_boundary_instants(spark):
