@@ -309,3 +309,23 @@ def test_quantiles_twophase_never_holds_the_multiset(spark):
     assert "percentile" not in plan.lower()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_refresh_composite_plan_shape(spark):
+    """The r13 incremental composite: every join across its six
+    stages must stay an equi/bucket-keyed join — never a cartesian or
+    nested-loop fallback — and the vector stage must project the
+    dim-length vector columns away before the ranking window (the
+    knn_join lesson, inherited through incremental_knn)."""
+    plan = explain(spark, Q.QUERIES["corpus-refresh-pipeline"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the subtractive stats fold must not reintroduce the built-in
+    # percentile-style single-reducer state anywhere
+    assert "percentile" not in plan.lower()
+
+
+def test_prep_composite_plan_shape(spark):
+    plan = explain(spark, Q.QUERIES["corpus-prep-pipeline"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
