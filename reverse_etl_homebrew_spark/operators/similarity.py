@@ -421,7 +421,14 @@ def incremental_knn(
                 f"bucket_cap={bucket_cap} < k={k}: a capped bucket could "
                 f"not even fill one probe's top-k"
             )
-        wb = W.partitionBy("bucket").orderBy("r_id")
+        # TOTAL order for the survivor election (the exact-dedup r12
+        # lesson): r_id alone leaves NULL-id rows — and any duplicate
+        # ids a dirty feed slipped past the accept-once ledger — tied,
+        # electing partition-order-dependent survivors. The vector
+        # hash breaks residual ties deterministically.
+        wb = W.partitionBy("bucket").orderBy(
+            F.col("r_id").asc_nulls_last(), F.xxhash64("r_v")
+        )
         ann_index = (
             ann_index.withColumn("__bc", F.row_number().over(wb))
             .filter(F.col("__bc") <= bucket_cap)

@@ -245,3 +245,27 @@ def test_bucket_cap_lever(spark):
 
     with pytest.raises(ValueError, match="bucket_cap"):
         incremental_knn(batch, idx, k=3, planes=6, bucket_cap=2)
+
+
+def test_bucket_cap_survivors_total_order_with_null_ids(spark):
+    """Two NULL-id twins in one bucket under a tight cap: the survivor
+    set must be identical under different input partitionings (the
+    r12 exact-dedup nondeterminism class, preempted for the cap)."""
+    base = _vec(1.0)
+    rows = [(None, [v * (1 + 0.0001 * i) for v in base]) for i in range(6)]
+    rows += [(50 + i, [v * (1 + 0.0001 * (10 + i)) for v in base]) for i in range(6)]
+    batch = spark.createDataFrame(
+        [(1, base)], "vec_id int, embedding array<float>"
+    )
+    outs = []
+    for parts in (1, 7):
+        acc = spark.createDataFrame(
+            rows, "vec_id int, embedding array<float>"
+        ).repartition(parts)
+        idx = build_ann_index(acc, planes=6)
+        out = incremental_knn(batch, idx, k=3, planes=6, bucket_cap=4)
+        outs.append(sorted((r["r_id"], r["score"]) for r in out.collect()))
+    assert outs[0] == outs[1]
+    # identified rows order before NULL-id rows: the cap=4 survivors
+    # are the 4 lowest non-NULL ids, so no NULL-id neighbor appears
+    assert {r for r, _ in outs[0]} <= {50, 51, 52, 53}
