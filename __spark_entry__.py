@@ -146,6 +146,9 @@ _PRIORITY = [
     # -- (d) oldest-r10 refreshes --
     "simhash-dedup-md5", "dup-span-detect",
     # ---- 50-cap boundary ----
+    # displaced late-r13 by incremental-knn + epoch-millis-eastern;
+    # pinned ROLLED_TO_R14 — they lead next round's rotation
+    "threetier-composite", "heavy-hitters",
 ]
 
 

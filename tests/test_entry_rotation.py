@@ -91,6 +91,13 @@ ROLLED_TO_R13 = {
     "token-count",
 }
 
+# Keys displaced from the r13 cap by late-round changed/new keys —
+# pinned as the r14 leads (the ROLLED_TO_R13 convention): they rotate
+# first next round, together with the rest of the r10-evidenced
+# cohort (which turns 4 rounds old at r14) and any key whose code or
+# oracle changes then.
+ROLLED_TO_R14 = {"threetier-composite", "heavy-hitters"}
+
 
 def test_priority_has_no_duplicates_and_resolves():
     qs = entry.queries()
@@ -117,6 +124,13 @@ def test_rolled_to_r13_discharged():
     head = list(entry.queries().keys())[:CAP]
     assert ROLLED_TO_R13 <= set(head)
     assert set(head[: len(ROLLED_TO_R13)]) == ROLLED_TO_R13
+
+
+def test_rolled_to_r14_sit_first_after_the_boundary():
+    order = list(entry.queries().keys())
+    head, tail = set(order[:CAP]), order[CAP:]
+    assert ROLLED_TO_R14 & head == set(), "a rolled key leaked into the cap"
+    assert set(tail[: len(ROLLED_TO_R14)]) == ROLLED_TO_R14
 
 
 def test_low_rotation_tier_membership_resolves():
