@@ -974,6 +974,27 @@ def build_span_index(
     return token_span_windows(corpus, text_col, id_col, n).select("win").distinct()
 
 
+def append_to_span_index(
+    span_index: DataFrame,
+    accepted_batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Index MAINTENANCE for the nightly-ingest loop, the span twin of
+    ``similarity.append_to_ann_index`` (r13 — the docstring promise on
+    ``build_span_index`` made a function): once a probed batch is
+    accepted, union its distinct windows onto the index and
+    re-distinct — append-only, never a rebuild. In production this is
+    an INSERT INTO the win-bucketed index table where the distinct
+    collapses within buckets; appending is EQUIVALENT to rebuilding
+    over corpus ∪ batch by construction (both are the distinct window
+    SET — pinned in tests/test_refresh_pipeline.py), and re-accepting
+    the same batch is a no-op (set union is idempotent)."""
+    delta = build_span_index(accepted_batch, text_col, id_col, n)
+    return span_index.unionByName(delta).distinct()
+
+
 def incremental_dup_spans(
     new_batch: DataFrame,
     span_index: DataFrame,

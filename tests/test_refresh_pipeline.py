@@ -130,6 +130,41 @@ def test_retraction_refresh_equals_recompute_over_survivors(spark, docs, vecs):
             assert row["tokens_total"] == t
 
 
+def test_span_index_append_equals_rebuild(spark, docs):
+    """The span-index maintenance twin of the ANN append invariant:
+    appending an admitted batch's windows ≡ rebuilding over the union,
+    and re-appending the same batch is a no-op (set idempotence)."""
+    from reverse_etl_homebrew_spark.operators.dedup import (
+        append_to_span_index,
+        build_span_index,
+        incremental_dup_spans,
+    )
+
+    old = docs.filter(F.col("doc_id") < 300)
+    batch = docs.filter(F.col("doc_id").between(300, 360)).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text", "lang"
+    )
+    appended = append_to_span_index(build_span_index(old), batch)
+    rebuilt = build_span_index(old.unionByName(batch))
+    a = sorted(r["win"] for r in appended.collect())
+    b = sorted(r["win"] for r in rebuilt.collect())
+    assert a == b
+    again = append_to_span_index(appended, batch)
+    assert again.count() == appended.count()
+    # a follow-up batch probed against the appended index sees exactly
+    # what the rebuilt index shows
+    batch2 = docs.filter(F.col("doc_id") > 400).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text", "lang"
+    )
+    via_append = sorted(
+        map(tuple, incremental_dup_spans(batch2, appended).collect())
+    )
+    via_rebuild = sorted(
+        map(tuple, incremental_dup_spans(batch2, rebuilt).collect())
+    )
+    assert via_append == via_rebuild and via_append
+
+
 def test_append_index_equivalence_through_composite(spark, docs, vecs):
     # refresh admits a batch; a FOLLOW-UP batch probed against the
     # appended index must see exactly what a rebuilt index shows
