@@ -56,23 +56,49 @@ def entry(spark: SparkSession) -> DataFrame:
 #     epoch-millis-eastern (NEW — the reference's to_epoch_millis
 #     naive→Eastern policy, oracle-backed now that the r13 tz probe
 #     established midnight-only inputs sit outside the divergent
-#     ambiguous hour; zero driver history never waits);
-# (c) the ENTIRE r9-evidenced cohort (32 keys — VERDICT r12 #1: "no
-#     key's evidence older than r9 at round end"; with only 3 changed
-#     keys this round the cap finally fits all of them);
+#     ambiguous hour; zero driver history never waits), and the
+#     ENTIRE vector tier (late r13: the component-poison probe found
+#     NaN/Inf/NULL components inside embedding vectors splitting the
+#     engines — silent-vs-loud on centroid decimal sums, divergent
+#     NaN rankings on every similarity surface; the finite-vector
+#     scope landed two-sided on 14 more keys' code AND oracles:
+#     the four topk-similarity variants, the three knn-joins,
+#     similarity-join, embedding-near-dup, embedding-centroid, both
+#     kmeans keys, hybrid-rrf, and array-ops' min/max oracle
+#     rewrite);
+# (c) 18 of the 32 r9-evidenced keys (VERDICT r12 #1 targeted the
+#     full cohort, and the cap fit it until the late-r13 vector-tier
+#     fix claimed 14 slots; the displaced 14 keep r9 evidence — still
+#     within the registry-wide 4-round floor at r13's end — and are
+#     pinned to LEAD r14);
 # (d) 2 remaining slots refresh the oldest r10 keys, preferring the
 #     ones whose machinery no in-cap sibling covers:
 #     simhash-dedup-md5 (the oracle-exact twin that backs rows-only
 #     simhash-dedup's trust), dup-span-detect (the span-window family
 #     head, exempted two rounds running on byte-identity arguments —
-#     re-faced now instead). threetier-composite (r10) and
-#     heavy-hitters (r10) were fillers until incremental-knn's
-#     bucket_cap change and the NEW epoch-millis-eastern claimed
-#     their slots — both roll to r14 with the rest of the r10 cohort
-#     (threetier's cascade machinery is exercised in-cap by
-#     tiered-match-join; heavy-hitters' two-phase Misra-Gries shape
-#     by its r10-green grouped twin and the sketch path, and its own
-#     code is unchanged since r10).
+#     re-faced now instead).
+# The 14 late-r13 vector-tier entrants displace 14 NON-TIER members
+# of the r9 cohort (changed code outranks stale-but-unchanged — the
+# standing rule), each with its sibling-coverage rationale:
+# patient-projection / roi-projection (their projection column lists
+# run INSIDE the in-cap sync pipelines' oracles every round);
+# fk-orphans (left-anti shape: in-cap anti-join twins);
+# retry-threshold / lock-projection / override-skip → retry-threshold
+# and lock-projection roll, override-skip stays as the family's
+# representative single-filter branch; ambiguity-multi /
+# ambiguity-no-key (quarantine branches whose counting twin
+# ambiguity-count is r12-green); dedup-rate-report / dq-audit
+# (report aggs over exact-dedup/groupby machinery in-cap);
+# next-birthday (one-expression date derivation, unit-pinned
+# two-sided incl. the Feb-29 edge); phi-redact (one sha2 expression;
+# exact-dedup's window key is the same machinery); remote-get /
+# remote-search (the snapshot-join model pair — rolls together);
+# vocab-stats (vocabulary-bounded agg, the ngram-topk family shape).
+# All 14 are pinned ROLLED_TO_R14 together with threetier-composite
+# and heavy-hitters (displaced earlier by incremental-knn +
+# epoch-millis-eastern): at r14 their r9 evidence turns five rounds
+# old, so they LEAD the r14 rotation — the mechanical cadence test
+# enforces it.
 # After this round: evidence floor is r10 everywhere — no key older
 # than 3 rounds — and the LOW_ROTATION tier below caps how far the
 # trivially-shaped keys can drift again (VERDICT r12 #2).
@@ -130,25 +156,32 @@ _PRIORITY = [
     "corpus-diff",              # digest injectivity (advisor r12 #1)
     "decontaminate-bloom",      # m guard + auto-selector
     "corpus-refresh-pipeline",  # NEW: incremental refresh composite
-    "incremental-knn",          # bucket_cap skew lever (code changed)
+    "incremental-knn",          # bucket_cap + finite-vector scope
     "epoch-millis-eastern",     # NEW: the third tz policy, oracle-backed
-    # -- (c) the full r9-evidenced cohort --
-    "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
-    "bool-normalize", "bucketed-join", "coalesce-chain",
-    "const-columns", "cube-agg", "dedup-rate-report", "dq-audit",
-    "drop-null-props", "eastern-date", "email-normalize",
-    "epoch-millis", "fk-orphans", "hll-sketch-merge",
-    "identifier-canon", "json-payload", "lock-projection",
-    "merge-upsert", "multimodal-cols", "natural-key",
-    "next-birthday", "override-skip", "patient-projection",
-    "phi-redact", "remote-get", "remote-search", "retry-threshold",
-    "roi-projection", "vocab-stats", "zorder-layout",
+    # late r13: the vector-tier finite-component scope (two-sided)
+    "topk-similarity", "topk-similarity-pandas",
+    "topk-similarity-lsh", "topk-similarity-ivf",
+    "knn-join", "knn-join-tables", "knn-join-lsh",
+    "similarity-join", "embedding-near-dup", "embedding-centroid",
+    "kmeans-assign", "kmeans-iterate", "hybrid-rrf",
+    "array-ops",
+    # -- (c) the r9-evidenced cohort (18 kept; 14 displaced by the
+    #    vector tier, pinned ROLLED_TO_R14) --
+    "bm25-topk", "bool-normalize", "bucketed-join", "coalesce-chain",
+    "const-columns", "cube-agg", "drop-null-props", "eastern-date",
+    "email-normalize", "epoch-millis", "hll-sketch-merge",
+    "identifier-canon", "json-payload", "merge-upsert",
+    "multimodal-cols", "natural-key", "override-skip",
+    "zorder-layout",
     # -- (d) oldest-r10 refreshes --
     "simhash-dedup-md5", "dup-span-detect",
     # ---- 50-cap boundary ----
-    # displaced late-r13 by incremental-knn + epoch-millis-eastern;
-    # pinned ROLLED_TO_R14 — they lead next round's rotation
+    # displaced to r14 (pinned ROLLED_TO_R14) — they lead next round
     "threetier-composite", "heavy-hitters",
+    "ambiguity-multi", "ambiguity-no-key", "dedup-rate-report",
+    "dq-audit", "fk-orphans", "lock-projection", "next-birthday",
+    "patient-projection", "phi-redact", "remote-get", "remote-search",
+    "retry-threshold", "roi-projection", "vocab-stats",
 ]
 
 

@@ -43,6 +43,33 @@ def _sum_terms(terms: Sequence[Column]) -> Column:
     return reduce(lambda a, b: a + b, terms)
 
 
+def finite_vector(col: ColumnOrName) -> Column:
+    """True iff the vector is non-NULL and every component is a
+    non-NULL finite float — the vector-tier scope of the non-finite
+    poison class (r13 probe: NaN/Inf COMPONENTS, which the r11
+    scalar arms never planted, split the engines — DuckDB's decimal
+    cast raises on a NaN component where Spark's silently NULLs it
+    out of a centroid sum, and NaN cosine scores rank differently
+    under the two engines' NaN orderings). A vector with a corrupt
+    component carries no usable geometry, so it is excluded from the
+    vector universe at every operator boundary — the NULL-vector
+    degrade contract extended to non-finite, two-sided via
+    ``FINITE_VEC_SQL``."""
+    c = _c(col)
+    return c.isNotNull() & F.forall(
+        c,
+        lambda x: x.isNotNull()
+        & ~F.isnan(x)
+        & (F.abs(x) < F.lit(float("inf"))),
+    )
+
+
+# The DuckDB twin of ``finite_vector`` lives in sqlfrags (the leaf
+# oracle-fragment module); re-exported here so engine-side callers
+# find scope + twin in one place.
+from ..sqlfrags import FINITE_VEC_SQL  # noqa: E402
+
+
 def infer_dim(df: DataFrame, vec_col: str = "embedding") -> int:
     """Embedding dimensionality from the first NON-NULL row (fixed per
     table). NULL vectors carry no dimension and are skipped (r12 — the
@@ -75,9 +102,20 @@ def query_vector(
     degrades to the stand-in with ``found=False`` — matching the SQL
     side, where a NULL embedding NULLs every score and the top-k over
     NULL scores is as empty as a missing seed — rather than crashing
-    with an opaque ``TypeError: 'NoneType' is not iterable``."""
+    with an opaque ``TypeError: 'NoneType' is not iterable``.
+
+    A seed with NULL or non-finite COMPONENTS (r13, the vector-tier
+    non-finite class) is the same degrade: a NaN/Inf component makes
+    every score NaN, which the two engines rank differently — the
+    seed CTEs scope to ``FINITE_VEC_SQL``, and so does this."""
+    import math
+
     row = df.filter(F.col(id_col) == vec_id).select(vec_col).first()
-    if row is not None and row[vec_col] is not None:
+    if (
+        row is not None
+        and row[vec_col] is not None
+        and all(x is not None and math.isfinite(x) for x in row[vec_col])
+    ):
         return [float(x) for x in row[vec_col]], True
     return [0.0] * (infer_dim(df, vec_col) or 1), False
 

@@ -1271,7 +1271,8 @@ def embedding_near_dup_pairs(
     from .vectorized import table_buckets_pandas
 
     bucketer = table_buckets_pandas(hyperplanes, planes, tables=1)
-    base = df.select(
+    # finite-vector scope (r13 non-finite components class)
+    base = df.where(VEC.finite_vector(F.col(vec_col))).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("nrm"),

@@ -42,8 +42,11 @@ def topk_brute(
         if metric == "cosine"
         else VEC.dot_literal(F.col(vec_col), query)
     )
+    # finite-vector scope (r13 non-finite components class): a NaN
+    # score would rank differently under the two engines' NaN orders
     return (
-        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        df.where(VEC.finite_vector(F.col(vec_col)))
+        .select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -92,9 +95,11 @@ def topk_lsh(
     from .vectorized import table_buckets_pandas
 
     bucketer = table_buckets_pandas(hp, planes, tables=1)
-    cand = df.withColumn(
-        "__bucket", F.element_at(bucketer(F.col(vec_col)), 1)
-    ).filter(F.col("__bucket").isin(probe_buckets))
+    cand = (
+        df.where(VEC.finite_vector(F.col(vec_col)))
+        .withColumn("__bucket", F.element_at(bucketer(F.col(vec_col)), 1))
+        .filter(F.col("__bucket").isin(probe_buckets))
+    )
     return topk_brute(cand, query, k, id_col, vec_col)
 
 
@@ -156,13 +161,14 @@ def knn_join(
         n_right = right.count()
         planes = min(16, max(6, math.ceil(math.log2(max(n_right, 1) / 64 + 1))))
     # norms computed once per vector, not once per candidate pair —
-    # bit-identical score (see VEC.cosine_with_norms)
-    l = left.select(
+    # bit-identical score (see VEC.cosine_with_norms); finite-vector
+    # scope both sides (r13 non-finite components class)
+    l = left.where(VEC.finite_vector(F.col(vec_col))).select(
         F.col(left_id).alias("l_id"),
         F.col(vec_col).alias("l_v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
     )
-    r = right.select(
+    r = right.where(VEC.finite_vector(F.col(vec_col))).select(
         F.col(right_id).alias("r_id"),
         F.col(vec_col).alias("r_v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
@@ -284,7 +290,7 @@ def build_ann_index(
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     return (
-        corpus.where(F.col(vec_col).isNotNull())
+        corpus.where(VEC.finite_vector(F.col(vec_col)))
         .select(
             F.col(id_col).alias("r_id"),
             F.col(vec_col).alias("r_v"),
@@ -332,7 +338,9 @@ def append_to_ann_index(
     ledger upstream, where this collapse is a safety net, not the
     layout mechanism."""
     dim_idx = VEC.infer_dim(ann_index, "r_v")
-    dim_new = VEC.infer_dim(accepted_batch.where(F.col(vec_col).isNotNull()), vec_col)
+    dim_new = VEC.infer_dim(
+        accepted_batch.where(VEC.finite_vector(F.col(vec_col))), vec_col
+    )
     if dim_idx and dim_new and dim_idx != dim_new:
         from ..sources.catalog import SchemaContractError
 
@@ -403,7 +411,7 @@ def incremental_knn(
 
     dim = VEC.infer_dim(ann_index, "r_v")
     dim_batch = VEC.infer_dim(
-        new_batch.where(F.col(vec_col).isNotNull()), vec_col
+        new_batch.where(VEC.finite_vector(F.col(vec_col))), vec_col
     )
     if dim == 0:
         dim = dim_batch  # empty index: plan shape from the batch
@@ -437,7 +445,7 @@ def incremental_knn(
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     l = (
-        new_batch.where(F.col(vec_col).isNotNull())
+        new_batch.where(VEC.finite_vector(F.col(vec_col)))
         .select(
             F.col(id_col).alias("l_id"),
             F.col(vec_col).alias("l_v"),

@@ -39,7 +39,22 @@ def _vector_matrix(vecs: "pd.Series", kernel: str):
             f"tier's population contract (non-NULL vectors) is "
             f"violated; filter or repair the batch upstream"
         )
-    return np.asarray(vecs.tolist(), dtype=np.float64)
+    mat = np.asarray(vecs.tolist(), dtype=np.float64)
+    # r13 non-finite components class: a NaN/Inf component poisons the
+    # whole BLAS batch (NaN scores, garbage sign buckets) — same loud
+    # contract as NULL vectors; every registered operator scopes to
+    # finite_vector upstream, this guards direct kernel API use. Cost
+    # is one O(batch x dim) pass in front of an O(batch x dim x planes)
+    # matmul — the isna() guard's cost class (measured free, SCALE.md).
+    if not np.isfinite(mat).all():
+        from ..sources.catalog import SchemaContractError
+
+        raise SchemaContractError(
+            f"non-finite embedding component reached the {kernel} "
+            f"kernel — the ANN tier's population contract (finite "
+            f"vectors) is violated; filter or repair the batch upstream"
+        )
+    return mat
 
 
 def cosine_scores_pandas(
@@ -64,7 +79,11 @@ def cosine_scores_pandas(
             out = np.where(norms > 0, dots / norms, np.nan)
         return pd.Series(out)
 
-    return df.select(F.col(id_col), score(F.col(vec_col)).alias("score"))
+    from ..functions import vectors as _VEC
+
+    return df.where(_VEC.finite_vector(F.col(vec_col))).select(
+        F.col(id_col), score(F.col(vec_col)).alias("score")
+    )
 
 
 def topk_pandas(
@@ -113,7 +132,11 @@ def ivf_assign_pandas(
         sims = m @ C.T  # (n, k)
         return pd.Series(sims.argmax(axis=1).astype("int32"))
 
-    return df.select(F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell"))
+    from ..functions import vectors as _VEC
+
+    return df.where(_VEC.finite_vector(F.col(vec_col))).select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell")
+    )
 
 
 def topk_ivf(
@@ -299,9 +322,11 @@ def deterministic_centroids(df: DataFrame, n: int, vec_col: str = "embedding", i
     test path; use ``train_centroids`` when recall matters). Rows
     with a NULL vector carry no usable centroid and are skipped (r12,
     the advisor's query_vector NULL-embedding crash class)."""
+    from ..functions import vectors as _VEC
+
     rows = (
         df.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())
+        .filter(_VEC.finite_vector(F.col(vec_col)))
         .withColumn("__h", F.xxhash64(F.col(id_col)))
         .orderBy("__h")
         .limit(n)
@@ -333,7 +358,9 @@ def train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = df.select(
+    from ..functions import vectors as _VEC
+
+    feat = df.where(_VEC.finite_vector(F.col(vec_col))).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(k=n, maxIter=max_iter, seed=seed).fit(feat)

@@ -283,7 +283,7 @@ def q_topk_similarity_pandas(spark, sf_dir):
 
 
 def _ivf_sql() -> str:
-    from .sqlfrags import _DOT_SQL
+    from .sqlfrags import _DOT_SQL, FINITE_VEC_SQL
 
     d_ec = _DOT_SQL.format(a="e.embedding", b="c.cv")
     d_cq = _DOT_SQL.format(a="c.cv", b="q.qv")
@@ -293,15 +293,16 @@ def _ivf_sql() -> str:
     return f"""
     WITH q AS (
       SELECT embedding AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL
+      WHERE vec_id = 0 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), cents AS (
       SELECT vec_id AS cell, embedding AS cv FROM embeddings
-      WHERE vec_id < 8 AND embedding IS NOT NULL
+      WHERE vec_id < 8 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), assign AS (
       SELECT vec_id, cell FROM (
         SELECT e.vec_id, c.cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY {d_ec} DESC, c.cell) AS rn
         FROM embeddings e, cents c
+        WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
       ) WHERE rn = 1
     ), probe AS (
       SELECT cell FROM (
@@ -351,7 +352,7 @@ def q_topk_similarity_ivf(spark, sf_dir):
     # cents CTE filters embedding IS NOT NULL identically)
     cent_rows = (
         emb.filter(F.col("vec_id") < 8)
-        .filter(F.col("embedding").isNotNull())
+        .filter(VEC.finite_vector(F.col("embedding")))
         .orderBy("vec_id")
         .collect()
     )

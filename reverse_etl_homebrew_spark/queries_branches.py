@@ -571,7 +571,7 @@ def _similarity_join_sql() -> str:
     the pruning computes exactly what it claims)."""
     from .operators.dedup import _deterministic_planes
     from .queries_text import _bucket_sql
-    from .sqlfrags import _DOT_SQL
+    from .sqlfrags import _DOT_SQL, FINITE_VEC_SQL
 
     planes = _deterministic_planes(8, 64)
     b_expr = _bucket_sql("embedding", planes)
@@ -588,10 +588,12 @@ def _similarity_join_sql() -> str:
     return f"""
     WITH planted AS (
       SELECT vec_id, embedding FROM embeddings
+      WHERE {FINITE_VEC_SQL.format(c='embedding')}
       UNION ALL
       SELECT vec_id + 1000000,
              list_transform(embedding, (x, i) -> CAST(x + 0.003 * (((i-1) % 5) - 2.0) AS FLOAT))
-      FROM embeddings WHERE vec_id < 100
+      FROM embeddings
+      WHERE vec_id < 100 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), bucketed AS (
       SELECT vec_id, {b_expr} AS b0 FROM planted
     ), probes AS (

@@ -35,6 +35,7 @@ from .functions.exactmath import (
 )
 from .operators import aggregates as AG
 from .queries import register
+from .sqlfrags import FINITE_VEC_SQL
 from .sources.catalog import load_table
 
 
@@ -213,6 +214,7 @@ _MEAN6_SQL = sql_round6_dec6_over_int("s6", "n")
     WITH ex AS (
       SELECT label, i, CAST(embedding[i + 1] AS DOUBLE) AS v
       FROM embeddings, UNNEST(range(len(embedding))) AS r(i)
+      WHERE {FINITE_VEC_SQL.format(c='embedding')}
     ), m AS (
       SELECT label, i,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -247,8 +249,12 @@ def q_embedding_centroid(spark, sf_dir):
     parity sweep. Nonnegative operands make `div`/`//` agree
     (truncation == floor). Shuffled bytes ∝ labels × dims, not rows;
     no driver-side collection anywhere."""
+    from .functions import vectors as VEC
+
     e = _t(spark, sf_dir, "embeddings")
-    ex = e.select(
+    # finite-vector scope (r13): a NaN component otherwise splits the
+    # engines silent-vs-loud at the decimal component sum
+    ex = e.where(VEC.finite_vector(F.col("embedding"))).select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select("label", "pos", F.col("v").cast("double").alias("v"))
     m = ex.groupBy("label", "pos").agg(

@@ -182,8 +182,8 @@ def q_distinct_agg(spark, sf_dir):
            len(embedding) AS dim,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(embedding[len(embedding)] AS DOUBLE) AS last_val,
-           CAST(list_sort(embedding)[1] AS DOUBLE) AS min_val,
-           CAST(list_sort(embedding)[len(embedding)] AS DOUBLE) AS max_val,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
            CAST(embedding[3] AS DOUBLE) AS third_val,
            len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
@@ -191,8 +191,12 @@ def q_distinct_agg(spark, sf_dir):
 )
 def q_array_ops(spark, sf_dir):
     """First-class array-column manipulation: length, element access,
-    sort-based min/max, filtered counts — the nested-type surface
-    multimodal schemas rely on."""
+    min/max, filtered counts — the nested-type surface multimodal
+    schemas rely on. min/max use DuckDB's ``list_aggregate`` (SQL
+    aggregate semantics: NULL components skipped, NaN greatest) to
+    mirror Spark's ``array_min``/``array_max`` exactly — the original
+    ``list_sort(...)[...]`` form kept NULL components in the sort and
+    diverged on the r13 component-poison probe."""
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",

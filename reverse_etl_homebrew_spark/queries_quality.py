@@ -24,6 +24,7 @@ from .functions.exactmath import (
 from .operators import aggregates as AGX
 from .queries import register
 from .sources.catalog import load_table
+from .sqlfrags import FINITE_VEC_SQL
 
 # per-(cluster, dim) decimal-exact mean, 6-decimal rounded by exact
 # integer half-away division — cross-engine stable at ROUND
@@ -437,11 +438,12 @@ _KM_DIST_SQL = (
     sql=f"""
     WITH c AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id < {_KMEANS_K} AND embedding IS NOT NULL
+      WHERE vec_id < {_KMEANS_K} AND {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROUND({_KM_DIST_SQL}, 6) AS dist
       FROM embeddings e, c
+      WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
     ), ranked AS (
       SELECT vec_id, cid, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -466,11 +468,14 @@ def q_kmeans_assign(spark, sf_dir):
     DuckDB's list_sum fold; see functions/vectors.py), argmin picked
     by array_min over (dist, cid) structs. Zero shuffle, zero join:
     at 100 TB this runs at scan speed, embarrassingly parallel."""
+    from .functions import vectors as VEC
+
     e = _t(spark, sf_dir, "embeddings")
+    ef = e.where(VEC.finite_vector(F.col("embedding")))
     seeds = _seed_centroids(e)
     if not seeds:  # r11 empty-input contract: schema-correct empty
-        return _assign_embeddings(e, [(0, [0.0])]).where(F.lit(False))
-    return _assign_embeddings(e, seeds)
+        return _assign_embeddings(ef, [(0, [0.0])]).where(F.lit(False))
+    return _assign_embeddings(ef, seeds)
 
 
 def _seed_centroids(e):
@@ -478,9 +483,11 @@ def _seed_centroids(e):
     # crash the float() unroll (r12, the advisor's query_vector crash
     # class) — excluded on BOTH engines (the oracles' c CTEs filter
     # embedding IS NOT NULL identically).
+    from .functions import vectors as VEC
+
     seeds = (
         e.filter(F.col("vec_id") < _KMEANS_K)
-        .filter(F.col("embedding").isNotNull())
+        .filter(VEC.finite_vector(F.col("embedding")))
         .select("vec_id", "embedding")
         .collect()
     )
@@ -523,11 +530,12 @@ _KM_DIST2_SQL = _KM_DIST_SQL.replace("c.cv", "c1.cv")
     sql=f"""
     WITH c AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id < {_KMEANS_K} AND embedding IS NOT NULL
+      WHERE vec_id < {_KMEANS_K} AND {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROUND({_KM_DIST_SQL}, 6) AS dist
       FROM embeddings e, c
+      WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
     ), a1 AS (
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
@@ -550,6 +558,7 @@ _KM_DIST2_SQL = _KM_DIST_SQL.replace("c.cv", "c1.cv")
       SELECT e.vec_id, c1.cid,
              ROUND({_KM_DIST2_SQL}, 6) AS dist
       FROM embeddings e, c1
+      WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
     ), ranked2 AS (
       SELECT vec_id, cid, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -578,14 +587,17 @@ def q_kmeans_iterate(spark, sf_dir):
     one (cluster, dim)-keyed aggregation per iteration; the K·dim
     collect between rounds is the IVF-seed pattern (bytes, not
     data)."""
+    from .functions import vectors as VEC
+
     e = _t(spark, sf_dir, "embeddings")
+    ef = e.where(VEC.finite_vector(F.col("embedding")))
     seeds = _seed_centroids(e)
     if not seeds:  # r11 empty-input contract: schema-correct empty
-        return _assign_embeddings(e, [(0, [0.0])]).where(F.lit(False))
+        return _assign_embeddings(ef, [(0, [0.0])]).where(F.lit(False))
     dim = len(seeds[0][1])
-    a1 = _assign_embeddings(e, seeds).select("vec_id", "centroid_id")
+    a1 = _assign_embeddings(ef, seeds).select("vec_id", "centroid_id")
     ex = (
-        e.join(a1, "vec_id")
+        ef.join(a1, "vec_id")
         .select("centroid_id", F.posexplode("embedding").alias("pos", "v"))
         .select(
             "centroid_id", "pos", F.col("v").cast("double").alias("v")
@@ -609,4 +621,4 @@ def q_kmeans_iterate(spark, sf_dir):
     updated = sorted(
         (cid, [by_pos[p] for p in range(dim)]) for cid, by_pos in comps.items()
     )
-    return _assign_embeddings(e, updated)
+    return _assign_embeddings(ef, updated)

@@ -193,7 +193,7 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
-from .sqlfrags import _DOT_SQL, _TOPK_SIM_SQL  # noqa: E402
+from .sqlfrags import _DOT_SQL, _TOPK_SIM_SQL, FINITE_VEC_SQL  # noqa: E402
 
 
 def _bucket_sql(vec_expr: str, planes) -> str:
@@ -238,9 +238,11 @@ def q_topk_similarity(spark, sf_dir):
     "knn-join",
     sql=f"""
     WITH l AS (
-      SELECT vec_id AS l_id, embedding AS l_v FROM embeddings WHERE vec_id < 20
+      SELECT vec_id AS l_id, embedding AS l_v FROM embeddings
+      WHERE vec_id < 20 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), r AS (
       SELECT vec_id AS r_id, embedding AS r_v FROM embeddings
+      WHERE {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT l_id, r_id,
              ROUND({_DOT_SQL.format(a='l_v', b='r_v')}
@@ -279,9 +281,11 @@ def _knn_join_tables_sql(tables: int = 3, planes: int = 6) -> str:
     nr = _DOT_SQL.format(a="r.r_v", b="r.r_v")
     return f"""
     WITH l AS (
-      SELECT vec_id AS l_id, embedding AS l_v FROM embeddings WHERE vec_id < 200
+      SELECT vec_id AS l_id, embedding AS l_v FROM embeddings
+      WHERE vec_id < 200 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), r AS (
       SELECT vec_id AS r_id, embedding AS r_v FROM embeddings
+      WHERE {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT l_id, r_id,
              ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
@@ -318,10 +322,10 @@ def _knn_join_lsh_sql() -> str:
     return f"""
     WITH l AS (
       SELECT vec_id AS l_id, embedding AS l_v, CAST({b} AS BIGINT) AS bl
-      FROM embeddings WHERE vec_id < 200
+      FROM embeddings WHERE vec_id < 200 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), r AS (
       SELECT vec_id AS r_id, embedding AS r_v, CAST({b} AS BIGINT) AS br
-      FROM embeddings
+      FROM embeddings WHERE {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT l_id, r_id,
              ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
@@ -358,10 +362,10 @@ def _incremental_knn_sql() -> str:
     return f"""
     WITH l AS (
       SELECT vec_id AS l_id, embedding AS l_v, CAST({b} AS BIGINT) AS bl
-      FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id % 10 = 0 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), r AS (
       SELECT vec_id AS r_id, embedding AS r_v, CAST({b} AS BIGINT) AS br
-      FROM embeddings WHERE vec_id % 10 <> 0 AND embedding IS NOT NULL
+      FROM embeddings WHERE vec_id % 10 <> 0 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT l_id, r_id,
              ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
@@ -874,11 +878,11 @@ def _planted_pairs_sql(threshold: float) -> str:
     nb = _DOT_SQL.format(a="b.embedding", b="b.embedding")
     return f"""
     WITH planted AS (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, embedding FROM embeddings WHERE {FINITE_VEC_SQL.format(c='embedding')}
       UNION ALL
       SELECT vec_id + 1000000,
              list_transform(embedding, (x, i) -> CAST(x + 0.003 * (((i-1) % 5) - 2.0) AS FLOAT))
-      FROM embeddings WHERE vec_id < 100
+      FROM embeddings WHERE vec_id < 100 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              CASE WHEN sqrt({na}) * sqrt({nb}) > 0
@@ -931,11 +935,12 @@ def _topk_lsh_sql() -> str:
     return f"""
     WITH q AS (
       SELECT embedding AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL
+      WHERE vec_id = 0 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), cand AS (
       SELECT e.vec_id, e.embedding, q.qv
       FROM embeddings e, q
       WHERE bit_count(xor(CAST({be} AS BIGINT), CAST({bq} AS BIGINT))) <= 2
+        AND {FINITE_VEC_SQL.format(c='e.embedding')}
     ), scored AS (
       SELECT vec_id,
              {_DOT_SQL.format(a='embedding', b='qv')} AS dp,
@@ -1288,11 +1293,11 @@ def _corpus_refresh_sql(span_n: int = 8, planes: int = 6, k: int = 3) -> str:
     ), l AS (
       SELECT e.vec_id AS l_id, e.embedding AS l_v, CAST({b_l} AS BIGINT) AS bl
       FROM embeddings e JOIN admitted a ON e.vec_id = a.doc_id
-      WHERE e.embedding IS NOT NULL
+      WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
     ), r AS (
       SELECT e.vec_id AS r_id, e.embedding AS r_v, CAST({b_r} AS BIGINT) AS br
       FROM embeddings e JOIN surviving sv ON e.vec_id = sv.doc_id
-      WHERE e.embedding IS NOT NULL
+      WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
     ), scored AS (
       SELECT l_id, r_id,
              ROUND(CASE WHEN sqrt({nl}) * sqrt({nr}) > 0
@@ -1525,7 +1530,7 @@ def q_bm25_topk(spark, sf_dir):
       )
     ), q AS (
       SELECT embedding AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL
+      WHERE vec_id = 0 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), vec AS (
       SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r FROM (
         SELECT e.vec_id AS id,
@@ -1533,6 +1538,7 @@ def q_bm25_topk(spark, sf_dir):
                      / (sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
                         * sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')})), 6) AS score
         FROM embeddings e, q
+        WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
         ORDER BY score DESC, id LIMIT 50
       )
     )

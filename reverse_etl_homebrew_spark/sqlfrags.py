@@ -10,19 +10,28 @@ _DOT_SQL = (
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 )
 
+# DuckDB twin of functions/vectors.finite_vector (r13 vector-tier
+# non-finite class): a vector is in the geometry universe iff it is
+# non-NULL and every component is a non-NULL finite float.
+FINITE_VEC_SQL = (
+    "({c} IS NOT NULL AND "
+    "len(list_filter({c}, x -> x IS NULL OR NOT isfinite(x))) = 0)"
+)
+
 # Shared by topk-similarity (codegen fold scorer) and
 # topk-similarity-pandas (Arrow/numpy scorer): both round scores to 6
 # decimals, so one brute-force SQL oracle checks either physical path.
 _TOPK_SIM_SQL = f"""
     WITH q AS (
       SELECT embedding AS qv FROM embeddings
-      WHERE vec_id = 0 AND embedding IS NOT NULL
+      WHERE vec_id = 0 AND {FINITE_VEC_SQL.format(c='embedding')}
     ), scored AS (
       SELECT e.vec_id,
              {_DOT_SQL.format(a='e.embedding', b='q.qv')} AS dp,
              sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS na,
              sqrt({_DOT_SQL.format(a='q.qv', b='q.qv')}) AS nq
       FROM embeddings e, q
+      WHERE {FINITE_VEC_SQL.format(c='e.embedding')}
     )
     SELECT vec_id,
            ROUND(CASE WHEN na * nq > 0 THEN dp / (na * nq) END, 6) AS score

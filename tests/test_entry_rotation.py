@@ -45,19 +45,17 @@ def _latest_evidence() -> dict[str, int]:
 #     first, as VERDICT r12 #1 mandates;
 # (b) every key whose code or oracle changed THIS round: corpus-diff
 #     (snapshot_diff digest injectivity — advisor r12), decontaminate-
-#     bloom (m guard + exact-vs-prefiltered auto-selector), and the
-#     NEW corpus-refresh-pipeline (zero driver history never waits),
-#     and incremental-knn (bucket_cap lever — changed code outranks
-#     its default-off plan identity, the r12 precedent), and the NEW
-#     epoch-millis-eastern (the third tz policy, oracle-backed after
-#     the tz probe's midnight-safety argument);
-# (c) the ENTIRE r9-evidenced cohort (32 keys) — after this round no
-#     key's evidence is older than r10;
+#     bloom (m guard + exact-vs-prefiltered auto-selector), the NEW
+#     corpus-refresh-pipeline and epoch-millis-eastern (zero driver
+#     history never waits), incremental-knn (bucket_cap lever), and —
+#     late r13 — the 14 vector-tier keys whose code AND oracles
+#     gained the finite-component scope (the component-poison class);
+# (c) 18 of the 32 r9-evidenced keys (the other 14 were displaced by
+#     the vector tier — changed code outranks stale-but-unchanged —
+#     and are pinned ROLLED_TO_R14 below);
 # (d) 2 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
 #     twin's trust), dup-span-detect (exempted two rounds on
-#     byte-identity arguments — re-faced now). threetier-composite
-#     and heavy-hitters lost their slots to incremental-knn and
-#     epoch-millis-eastern; both roll to r14 with the r10 cohort.
+#     byte-identity arguments — re-faced now).
 MUST_RUN_R13 = {
     # (a) the ROLLED_TO_R13 leads
     "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
@@ -67,17 +65,18 @@ MUST_RUN_R13 = {
     # (b) changed this round
     "corpus-diff", "decontaminate-bloom", "corpus-refresh-pipeline",
     "incremental-knn", "epoch-millis-eastern",
-    # (c) the full r9 cohort
-    "ambiguity-multi", "ambiguity-no-key", "bm25-topk",
-    "bool-normalize", "bucketed-join", "coalesce-chain",
-    "const-columns", "cube-agg", "dedup-rate-report", "dq-audit",
-    "drop-null-props", "eastern-date", "email-normalize",
-    "epoch-millis", "fk-orphans", "hll-sketch-merge",
-    "identifier-canon", "json-payload", "lock-projection",
-    "merge-upsert", "multimodal-cols", "natural-key",
-    "next-birthday", "override-skip", "patient-projection",
-    "phi-redact", "remote-get", "remote-search", "retry-threshold",
-    "roi-projection", "vocab-stats", "zorder-layout",
+    "topk-similarity", "topk-similarity-pandas",
+    "topk-similarity-lsh", "topk-similarity-ivf",
+    "knn-join", "knn-join-tables", "knn-join-lsh",
+    "similarity-join", "embedding-near-dup", "embedding-centroid",
+    "kmeans-assign", "kmeans-iterate", "hybrid-rrf", "array-ops",
+    # (c) the kept r9 cohort
+    "bm25-topk", "bool-normalize", "bucketed-join", "coalesce-chain",
+    "const-columns", "cube-agg", "drop-null-props", "eastern-date",
+    "email-normalize", "epoch-millis", "hll-sketch-merge",
+    "identifier-canon", "json-payload", "merge-upsert",
+    "multimodal-cols", "natural-key", "override-skip",
+    "zorder-layout",
     # (d) oldest-r10 refreshes
     "simhash-dedup-md5", "dup-span-detect",
 }
@@ -95,8 +94,16 @@ ROLLED_TO_R13 = {
 # pinned as the r14 leads (the ROLLED_TO_R13 convention): they rotate
 # first next round, together with the rest of the r10-evidenced
 # cohort (which turns 4 rounds old at r14) and any key whose code or
-# oracle changes then.
-ROLLED_TO_R14 = {"threetier-composite", "heavy-hitters"}
+# oracle changes then. The 14 r9-evidenced members were displaced by
+# the vector-tier finite-component fix; at r14 their evidence turns
+# five rounds old, so the cadence test forces them into that cap.
+ROLLED_TO_R14 = {
+    "threetier-composite", "heavy-hitters",
+    "ambiguity-multi", "ambiguity-no-key", "dedup-rate-report",
+    "dq-audit", "fk-orphans", "lock-projection", "next-birthday",
+    "patient-projection", "phi-redact", "remote-get", "remote-search",
+    "retry-threshold", "roi-projection", "vocab-stats",
+}
 
 
 def test_priority_has_no_duplicates_and_resolves():
