@@ -1271,12 +1271,18 @@ def embedding_near_dup_pairs(
     from .vectorized import table_buckets_pandas
 
     bucketer = table_buckets_pandas(hyperplanes, planes, tables=1)
-    # finite-vector scope (r13 non-finite components class)
-    base = df.where(VEC.finite_vector(F.col(vec_col))).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        VEC.l2_norm(F.col(vec_col), dim).alias("nrm"),
-        F.element_at(bucketer(F.col(vec_col)), 1).alias("b0"),
+    # finite-geometry scope (r13 non-finite components class): the
+    # masking bucketer emits a NULL base bucket for corrupt vectors —
+    # dropped here, before probes or anchors shuffle
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            VEC.l2_norm(F.col(vec_col), dim).alias("nrm"),
+        )
+        .withColumn("b0", F.element_at(bucketer(F.col("v")), 1))
+        .where(F.col("b0").isNotNull())
     )
     probes = [F.col("b0")] + [
         F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)

@@ -42,10 +42,10 @@ def topk_brute(
         if metric == "cosine"
         else VEC.dot_literal(F.col(vec_col), query)
     )
-    # finite-vector scope (r13 non-finite components class): a NaN
+    # finite-geometry scope (r13 non-finite components class): a NaN
     # score would rank differently under the two engines' NaN orders
     return (
-        df.where(VEC.finite_vector(F.col(vec_col)))
+        df.where(VEC.finite_geometry(F.col(vec_col), len(query)))
         .select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
@@ -96,7 +96,10 @@ def topk_lsh(
 
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     cand = (
-        df.where(VEC.finite_vector(F.col(vec_col)))
+        # the masking bucketer gives corrupt vectors a NULL bucket,
+        # which isin() drops — the finite-geometry scope for free;
+        # topk_brute re-scopes the (small) candidate set
+        df.where(F.col(vec_col).isNotNull())
         .withColumn("__bucket", F.element_at(bucketer(F.col(vec_col)), 1))
         .filter(F.col("__bucket").isin(probe_buckets))
     )
@@ -161,14 +164,19 @@ def knn_join(
         n_right = right.count()
         planes = min(16, max(6, math.ceil(math.log2(max(n_right, 1) / 64 + 1))))
     # norms computed once per vector, not once per candidate pair —
-    # bit-identical score (see VEC.cosine_with_norms); finite-vector
-    # scope both sides (r13 non-finite components class)
-    l = left.where(VEC.finite_vector(F.col(vec_col))).select(
+    # bit-identical score (see VEC.cosine_with_norms). Finite-geometry
+    # scope (r13 non-finite components class) is branch-specific: the
+    # bucketed branches inherit it from the MASKING bucketer (corrupt
+    # rows get a NULL bucket, which no equi-join can match — an
+    # attribute-barrier form Catalyst cannot push back into a
+    # duplicated fold; measured free); only the exact branch, which
+    # has no bucketer, pays a norm filter.
+    l = left.where(F.col(vec_col).isNotNull()).select(
         F.col(left_id).alias("l_id"),
         F.col(vec_col).alias("l_v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
     )
-    r = right.where(VEC.finite_vector(F.col(vec_col))).select(
+    r = right.where(F.col(vec_col).isNotNull()).select(
         F.col(right_id).alias("r_id"),
         F.col(vec_col).alias("r_v"),
         VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
@@ -185,7 +193,28 @@ def knn_join(
         _cos(F.col("l_v"), F.col("r_v"), F.col("l_nrm"), F.col("r_nrm")), 6
     )
     if exact:
-        scored = l.join(maybe_broadcast(r, broadcast)).withColumn(
+        # finite-geometry scope for the bucketer-less exact branch:
+        # norms come from the fold-exact Arrow kernel, where a
+        # poisoned vector's NaN becomes NULL at the Arrow boundary —
+        # `norm IS NOT NULL` on the kernel output is a pushdown-proof
+        # exclusion (a codegen-norm pre-filter re-inlined the 64-term
+        # fold and measured 1.8× on this branch) that keeps
+        # legitimate zero-norm vectors (0.0 → NULL scores, the
+        # oracle's CASE)
+        from .vectorized import norm_fold_pandas
+
+        _nrm = norm_fold_pandas()
+        le = left.where(F.col(vec_col).isNotNull()).select(
+            F.col(left_id).alias("l_id"),
+            F.col(vec_col).alias("l_v"),
+            _nrm(F.col(vec_col)).alias("l_nrm"),
+        ).where(F.col("l_nrm").isNotNull())
+        re = right.where(F.col(vec_col).isNotNull()).select(
+            F.col(right_id).alias("r_id"),
+            F.col(vec_col).alias("r_v"),
+            _nrm(F.col(vec_col)).alias("r_nrm"),
+        ).where(F.col("r_nrm").isNotNull())
+        scored = le.join(maybe_broadcast(re, broadcast)).withColumn(
             "score", score_expr
         )
     elif tables == 1:
@@ -290,13 +319,17 @@ def build_ann_index(
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     return (
-        corpus.where(VEC.finite_vector(F.col(vec_col)))
+        corpus.where(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("r_id"),
             F.col(vec_col).alias("r_v"),
             VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
         )
         .withColumn("bucket", F.element_at(bucketer(F.col("r_v")), 1))
+        # finite-geometry scope (r13): the masking bucketer emits a
+        # NULL bucket for corrupt vectors — excluded here so the
+        # persisted index never carries them
+        .where(F.col("bucket").isNotNull())
     )
 
 
@@ -338,9 +371,7 @@ def append_to_ann_index(
     ledger upstream, where this collapse is a safety net, not the
     layout mechanism."""
     dim_idx = VEC.infer_dim(ann_index, "r_v")
-    dim_new = VEC.infer_dim(
-        accepted_batch.where(VEC.finite_vector(F.col(vec_col))), vec_col
-    )
+    dim_new = VEC.infer_dim(accepted_batch, vec_col)
     if dim_idx and dim_new and dim_idx != dim_new:
         from ..sources.catalog import SchemaContractError
 
@@ -410,9 +441,7 @@ def incremental_knn(
     from .vectorized import pair_cosine_pandas, table_buckets_pandas
 
     dim = VEC.infer_dim(ann_index, "r_v")
-    dim_batch = VEC.infer_dim(
-        new_batch.where(VEC.finite_vector(F.col(vec_col))), vec_col
-    )
+    dim_batch = VEC.infer_dim(new_batch, vec_col)
     if dim == 0:
         dim = dim_batch  # empty index: plan shape from the batch
     if dim and dim_batch and dim != dim_batch:
@@ -445,13 +474,17 @@ def incremental_knn(
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     l = (
-        new_batch.where(VEC.finite_vector(F.col(vec_col)))
+        new_batch.where(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("l_id"),
             F.col(vec_col).alias("l_v"),
             VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
         )
         .withColumn("__b0", F.element_at(bucketer(F.col("l_v")), 1))
+        # finite-geometry scope (r13): corrupt batch vectors carry a
+        # NULL base bucket from the masking bucketer — dropped before
+        # the probe explode so they never shuffle
+        .where(F.col("__b0").isNotNull())
     )
     probes = [F.col("__b0")]
     if probe_radius >= 1:

@@ -39,22 +39,18 @@ def _vector_matrix(vecs: "pd.Series", kernel: str):
             f"tier's population contract (non-NULL vectors) is "
             f"violated; filter or repair the batch upstream"
         )
-    mat = np.asarray(vecs.tolist(), dtype=np.float64)
-    # r13 non-finite components class: a NaN/Inf component poisons the
-    # whole BLAS batch (NaN scores, garbage sign buckets) — same loud
-    # contract as NULL vectors; every registered operator scopes to
-    # finite_vector upstream, this guards direct kernel API use. Cost
-    # is one O(batch x dim) pass in front of an O(batch x dim x planes)
-    # matmul — the isna() guard's cost class (measured free, SCALE.md).
-    if not np.isfinite(mat).all():
-        from ..sources.catalog import SchemaContractError
-
-        raise SchemaContractError(
-            f"non-finite embedding component reached the {kernel} "
-            f"kernel — the ANN tier's population contract (finite "
-            f"vectors) is violated; filter or repair the batch upstream"
-        )
-    return mat
+    # r13 non-finite components class: the finite scope is enforced at
+    # the OPERATOR boundaries (the masking bucketer's NULL-bucket
+    # exclusion; the exact/topk paths' norm and fold filters), so the
+    # scoring kernels do NOT re-scan every candidate batch for
+    # non-finite values — a first-draft isfinite().all() backstop here
+    # ran on every pair batch (candidates × dim × 2 sides) and cost
+    # 10-20% on the heavy similarity keys for rows that provably
+    # cannot be poisoned. Direct kernel API use with non-finite
+    # components yields NaN scores (numpy semantics), the documented
+    # garbage-in boundary; the NULL guard above stays because a ragged
+    # batch CRASHES numpy rather than degrading.
+    return np.asarray(vecs.tolist(), dtype=np.float64)
 
 
 def cosine_scores_pandas(
@@ -81,7 +77,7 @@ def cosine_scores_pandas(
 
     from ..functions import vectors as _VEC
 
-    return df.where(_VEC.finite_vector(F.col(vec_col))).select(
+    return df.where(_VEC.finite_geometry(F.col(vec_col), len(q))).select(
         F.col(id_col), score(F.col(vec_col)).alias("score")
     )
 
@@ -134,7 +130,9 @@ def ivf_assign_pandas(
 
     from ..functions import vectors as _VEC
 
-    return df.where(_VEC.finite_vector(F.col(vec_col))).select(
+    return df.where(
+        _VEC.finite_geometry(F.col(vec_col), len(centroids[0]))
+    ).select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell")
     )
 
@@ -193,6 +191,30 @@ def pair_cosine_pandas():
         return res
 
     return cos
+
+
+def norm_fold_pandas():
+    """Scalar Pandas UDF: per-row L2 norm as the SAME sequential
+    left fold as functions/vectors.l2_norm (bit-identical doubles —
+    the pair_cosine precedent). Exists for the exact knn branch's
+    finite-geometry scope: a poisoned vector's fold is NaN, and the
+    Arrow boundary maps NaN → NULL, so `norm IS NOT NULL` on this
+    kernel's output is a pushdown-proof exclusion that still keeps
+    legitimate zero-norm vectors (norm 0.0, finite — their pairs
+    score NULL downstream exactly like the oracle's CASE)."""
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def nrm(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        A = _vector_matrix(v, "norm_fold")
+        acc = A[:, 0] * A[:, 0]
+        for i in range(1, A.shape[1]):
+            acc = acc + A[:, i] * A[:, i]
+        return pd.Series(np.sqrt(acc))
+
+    return nrm
 
 
 def centroid_dists_pandas(centroid_vectors):
@@ -271,11 +293,42 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     def buckets(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        m = _vector_matrix(vecs, "table_buckets")
+        # r13 vector-component poison: the bucketer MASKS corrupt rows
+        # (NULL vector, NULL/NaN/Inf component) to a NULL bucket list
+        # instead of raising — its output is a Python-eval attribute
+        # barrier, so the operators' `bucket IS NOT NULL` filter is
+        # the finite-geometry scope in a form Catalyst can never push
+        # back into a duplicated 64-term fold (an input-side fold
+        # filter measured 1.2-2.3× on the bucketed keys; this is
+        # free). None components arrive as NaN via asarray; whole-NULL
+        # vectors are masked before tolist so numpy never sees a
+        # ragged object row. Scoring kernels (_vector_matrix callers)
+        # keep the LOUD contract — by the time pairs are scored the
+        # bucket filter has already excluded every poisoned row.
+        isnull = vecs.isna().to_numpy()
+        if isnull.any():
+            dim = P.shape[1]
+            safe = vecs.copy()
+            safe[isnull] = pd.Series([[float("nan")] * dim] * int(isnull.sum()),
+                                     index=safe.index[isnull])
+            m = np.asarray(safe.tolist(), dtype=np.float64)
+        else:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+        finite = np.isfinite(m).all(axis=1)
+        if finite.all():
+            # fast path (clean batches — the overwhelmingly common
+            # case): one isfinite pass, no copies, no per-row python
+            signs = hybrid_fold_signs(m, P)
+            bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
+            return pd.Series(list(bs + tags))
+        # compute buckets on a zeroed copy (values irrelevant — masked
+        # rows emit NULL) to keep BLAS happy
+        m = np.where(finite[:, None], m, 0.0)
         signs = hybrid_fold_signs(m, P)  # (n, L*p)
         bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
         bs = bs + tags  # (n, L)
-        return pd.Series(list(bs))
+        out = [row if ok else None for row, ok in zip(bs, finite)]
+        return pd.Series(out)
 
     return buckets
 

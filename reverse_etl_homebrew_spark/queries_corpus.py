@@ -252,9 +252,12 @@ def q_embedding_centroid(spark, sf_dir):
     from .functions import vectors as VEC
 
     e = _t(spark, sf_dir, "embeddings")
-    # finite-vector scope (r13): a NaN component otherwise splits the
-    # engines silent-vs-loud at the decimal component sum
-    ex = e.where(VEC.finite_vector(F.col("embedding"))).select(
+    # finite-geometry scope (r13): a NaN component otherwise splits
+    # the engines silent-vs-loud at the decimal component sum; one
+    # structural dim probe (the IVF-seed pattern) keeps the filter in
+    # flat codegen instead of an interpreted forall
+    dim = VEC.infer_dim(e) or 1
+    ex = e.where(VEC.finite_geometry(F.col("embedding"), dim)).select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select("label", "pos", F.col("v").cast("double").alias("v"))
     m = ex.groupBy("label", "pos").agg(

@@ -471,10 +471,11 @@ def q_kmeans_assign(spark, sf_dir):
     from .functions import vectors as VEC
 
     e = _t(spark, sf_dir, "embeddings")
-    ef = e.where(VEC.finite_vector(F.col("embedding")))
     seeds = _seed_centroids(e)
     if not seeds:  # r11 empty-input contract: schema-correct empty
+        ef = e.where(VEC.finite_geometry(F.col("embedding"), 1))
         return _assign_embeddings(ef, [(0, [0.0])]).where(F.lit(False))
+    ef = e.where(VEC.finite_geometry(F.col("embedding"), len(seeds[0][1])))
     return _assign_embeddings(ef, seeds)
 
 
@@ -590,11 +591,12 @@ def q_kmeans_iterate(spark, sf_dir):
     from .functions import vectors as VEC
 
     e = _t(spark, sf_dir, "embeddings")
-    ef = e.where(VEC.finite_vector(F.col("embedding")))
     seeds = _seed_centroids(e)
     if not seeds:  # r11 empty-input contract: schema-correct empty
+        ef = e.where(VEC.finite_geometry(F.col("embedding"), 1))
         return _assign_embeddings(ef, [(0, [0.0])]).where(F.lit(False))
     dim = len(seeds[0][1])
+    ef = e.where(VEC.finite_geometry(F.col("embedding"), dim))
     a1 = _assign_embeddings(ef, seeds).select("vec_id", "centroid_id")
     ex = (
         ef.join(a1, "vec_id")

@@ -10,12 +10,21 @@ _DOT_SQL = (
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
 )
 
-# DuckDB twin of functions/vectors.finite_vector (r13 vector-tier
+# DuckDB twin of functions/vectors.finite_geometry (r13 vector-tier
 # non-finite class): a vector is in the geometry universe iff it is
-# non-NULL and every component is a non-NULL finite float.
+# non-NULL, has no NULL component, and its self-dot is a finite
+# double — the exact quantity the scorers consume, so the engine-side
+# check is the SAME flat codegen fold the norms already use (a
+# forall() HOF predicate measured +11-47% on the hot similarity
+# keys; this form is ~free). NULL components need the explicit
+# list_filter leg because DuckDB's list_sum SKIPS NULLs (SQL SUM)
+# while the engine's left fold propagates them.
 FINITE_VEC_SQL = (
-    "({c} IS NOT NULL AND "
-    "len(list_filter({c}, x -> x IS NULL OR NOT isfinite(x))) = 0)"
+    "({c} IS NOT NULL"
+    " AND len(list_filter({c}, x -> x IS NULL)) = 0"
+    " AND len({c}) > 0"
+    " AND isfinite(list_sum(list_transform({c},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 )
 
 # Shared by topk-similarity (codegen fold scorer) and

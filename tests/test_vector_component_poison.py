@@ -142,26 +142,123 @@ def test_finite_vector_truth_table(spark):
             "id", VEC.finite_vector(F.col("v")).alias("ok")
         ).collect()
     }
-    # an empty array has no offending component — vacuously finite
-    # (and no geometry either: dim-0 operators fence via infer_dim)
+    # forall form: an empty array has no offending component —
+    # vacuously finite (and no geometry either)
     assert got == {1: True, 2: False, 3: False, 4: False, 5: False,
                    6: False, 7: True}
+    # the hot-path geometry form agrees on every poison lane; a
+    # RAGGED vector (shorter than the table dim, incl. empty) stays
+    # LOUD — ANSI element_at raises out-of-range, exactly as every
+    # pre-existing norm/dot call site already did (the per-row dim
+    # contract; table-level dim drift is refused at index boundaries)
+    uniform = df.where(F.col("id") != 7)
+    geo = {
+        r["id"]: bool(r["ok"])
+        for r in uniform.select(
+            "id",
+            F.coalesce(
+                VEC.finite_geometry(F.col("v"), 2), F.lit(False)
+            ).alias("ok"),
+        ).collect()
+    }
+    assert geo == {1: True, 2: False, 3: False, 4: False, 5: False,
+                   6: False}
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX|out of bounds"):
+        df.select(VEC.finite_geometry(F.col("v"), 2).alias("ok")).collect()
 
 
-def test_kernel_guard_is_loud_on_nonfinite(spark):
+def test_finite_geometry_matches_sql_twin_on_poison(spark):
+    """The engine predicate and FINITE_VEC_SQL must agree row-for-row
+    on the poisoned table — the two-sidedness that makes every
+    geometry oracle's scope exact."""
+    import duckdb
+
+    from reverse_etl_homebrew_spark.sqlfrags import FINITE_VEC_SQL
+
+    rows = [
+        (1, [1.0, 2.0]), (2, [float("nan"), 1.0]),
+        (3, [float("inf"), 1.0]), (4, [None, 1.0]), (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    eng = {
+        r["id"]: bool(r["ok"])
+        for r in df.select(
+            "id",
+            F.coalesce(
+                VEC.finite_geometry(F.col("v"), 2), F.lit(False)
+            ).alias("ok"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    lit = {
+        1: "[1.0::DOUBLE, 2.0]", 2: "['NaN'::DOUBLE, 1.0]",
+        3: "['Infinity'::DOUBLE, 1.0]", 4: "[NULL::DOUBLE, 1.0]",
+        5: "NULL::DOUBLE[]",
+    }
+    for i, arr in lit.items():
+        (ok,) = con.execute(
+            f"SELECT coalesce({FINITE_VEC_SQL.format(c=arr)}, FALSE)"
+        ).fetchone()
+        assert bool(ok) == eng[i], i
+    con.close()
+
+
+def test_bucketer_masks_poison_to_null_bucket(spark):
+    """The masking bucketer IS the finite-geometry scope for every
+    bucketed operator: corrupt vectors (NaN/Inf/NULL component, whole
+    NULL) get a NULL bucket — which no equi-join or isin() can match
+    — while clean rows bucket normally. (A first-draft batch-wide
+    loud kernel guard + input-side fold filters measured 1.2-2.3× on
+    the hot similarity keys; the mask is an attribute barrier
+    Catalyst cannot push back into a duplicated fold.)"""
+    from reverse_etl_homebrew_spark.operators.dedup import (
+        _deterministic_planes,
+    )
     from reverse_etl_homebrew_spark.operators.vectorized import (
-        pair_cosine_pandas,
+        table_buckets_pandas,
     )
-    from reverse_etl_homebrew_spark.sources.catalog import SchemaContractError
 
-    df = spark.createDataFrame(
-        [([float("nan"), 1.0], [1.0, 1.0], 1.0, 1.4142)],
-        "a array<double>, b array<double>, na double, nb double",
+    hp = _deterministic_planes(4, 3)
+    b = table_buckets_pandas(hp, 4, tables=1)
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [float("nan"), 1.0, 1.0]),
+        (3, [float("inf"), 1.0, 1.0]),
+        (4, [None, 1.0, 1.0]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    got = {
+        r["id"]: r["bk"]
+        for r in df.select(
+            "id", F.element_at(b(F.col("v")), 1).alias("bk")
+        ).collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] is None
+
+
+def test_exact_branch_norm_kernel_distinguishes_poison_from_zero(spark):
+    """The exact knn branch's fold-exact norm kernel: poisoned
+    vectors → NULL norm (excluded), zero vectors → 0.0 (kept — their
+    pairs legitimately score NULL like the oracle's CASE)."""
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        norm_fold_pandas,
     )
-    cos = pair_cosine_pandas()
-    with pytest.raises(Exception) as ei:
-        df.select(cos("a", "b", "na", "nb")).collect()
-    assert "non-finite" in str(ei.value)
+
+    nrm = norm_fold_pandas()
+    rows = [
+        (1, [3.0, 4.0]),
+        (2, [0.0, 0.0]),
+        (3, [float("nan"), 1.0]),
+        (4, [None, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<double>")
+    got = {r["id"]: r["n"] for r in df.select("id", nrm("v").alias("n")).collect()}
+    assert got[1] == 5.0
+    assert got[2] == 0.0
+    assert got[3] is None and got[4] is None
 
 
 def test_query_vector_degrades_on_nonfinite_seed(spark):
