@@ -124,17 +124,31 @@ def ivf_assign_pandas(
 
     @F.pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        m = _vector_matrix(vecs, "ivf_assign")  # (n, d)
+        # r13: mask corrupt rows to a NULL cell (the bucketer idiom);
+        # callers' downstream cell filters exclude them for free
+        isnull = vecs.isna().to_numpy()
+        if isnull.any():
+            safe = vecs.copy()
+            safe[isnull] = pd.Series(
+                [[float("nan")] * C.shape[1]] * int(isnull.sum()),
+                index=safe.index[isnull],
+            )
+            m = np.asarray(safe.tolist(), dtype=np.float64)
+        else:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+        finite = np.isfinite(m).all(axis=1)
+        if not finite.all():
+            m = np.where(finite[:, None], m, 0.0)
         sims = m @ C.T  # (n, k)
-        return pd.Series(sims.argmax(axis=1).astype("int32"))
+        cells = pd.Series(sims.argmax(axis=1).astype("int32"))
+        if finite.all():
+            return cells
+        cells[~finite] = None
+        return cells
 
-    from ..functions import vectors as _VEC
-
-    return df.where(
-        _VEC.finite_geometry(F.col(vec_col), len(centroids[0]))
-    ).select(
+    return df.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell")
-    )
+    ).where(F.col("ivf_cell").isNotNull())
 
 
 def topk_ivf(
@@ -239,7 +253,27 @@ def centroid_dists_pandas(centroid_vectors):
     def dists(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        A = _vector_matrix(vecs, "centroid_dists")
+        # r13 vector-component poison: MASK corrupt rows (NULL vector,
+        # NULL/NaN/Inf component) to a NULL distance list — the same
+        # attribute-barrier exclusion as the bucketer. The kmeans
+        # callers filter `dists IS NOT NULL` on this output; an
+        # input-side fold filter referenced across the iterate plan's
+        # three consumers re-inlined the 64-term fold everywhere and
+        # measured 7× (the janino/pushdown class).
+        isnull = vecs.isna().to_numpy()
+        if isnull.any():
+            safe = vecs.copy()
+            dim = C.shape[1]
+            safe[isnull] = pd.Series(
+                [[float("nan")] * dim] * int(isnull.sum()),
+                index=safe.index[isnull],
+            )
+            A = np.asarray(safe.tolist(), dtype=np.float64)
+        else:
+            A = np.asarray(vecs.tolist(), dtype=np.float64)
+        finite = np.isfinite(A).all(axis=1)
+        if not finite.all():
+            A = np.where(finite[:, None], A, 0.0)
         cols = []
         for j in range(C.shape[0]):
             d0 = A[:, 0] - C[j, 0]
@@ -248,7 +282,10 @@ def centroid_dists_pandas(centroid_vectors):
                 di = A[:, i] - C[j, i]
                 acc = acc + di * di
             cols.append(acc)
-        return pd.Series(list(np.stack(cols, axis=1)))
+        M = np.stack(cols, axis=1)
+        if finite.all():
+            return pd.Series(list(M))
+        return pd.Series([row if ok else None for row, ok in zip(M, finite)])
 
     return dists
 

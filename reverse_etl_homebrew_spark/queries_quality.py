@@ -473,10 +473,11 @@ def q_kmeans_assign(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(e)
     if not seeds:  # r11 empty-input contract: schema-correct empty
-        ef = e.where(VEC.finite_geometry(F.col("embedding"), 1))
-        return _assign_embeddings(ef, [(0, [0.0])]).where(F.lit(False))
-    ef = e.where(VEC.finite_geometry(F.col("embedding"), len(seeds[0][1])))
-    return _assign_embeddings(ef, seeds)
+        return _assign_embeddings(e, [(0, [0.0])]).where(F.lit(False))
+    # finite scope comes from the masking distance kernel inside
+    # _assign_embeddings — no input-side fold filter (measured 7×
+    # through the iterate plan's fan-out)
+    return _assign_embeddings(e, seeds)
 
 
 def _seed_centroids(e):
@@ -508,7 +509,11 @@ def _assign_embeddings(e, centroids):
     from .operators.vectorized import centroid_dists_pandas
 
     dists = centroid_dists_pandas([cv for _, cv in centroids])
-    d = e.select("vec_id", dists(F.col("embedding")).alias("__d"))
+    # the masking kernel emits NULL for corrupt vectors — the
+    # finite-geometry scope as an attribute-barrier filter
+    d = e.select("vec_id", dists(F.col("embedding")).alias("__d")).where(
+        F.col("__d").isNotNull()
+    )
     choices = F.array(*[
         F.struct(
             F.round(F.element_at(F.col("__d"), j + 1), 6).alias("dist"),
@@ -593,13 +598,14 @@ def q_kmeans_iterate(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     seeds = _seed_centroids(e)
     if not seeds:  # r11 empty-input contract: schema-correct empty
-        ef = e.where(VEC.finite_geometry(F.col("embedding"), 1))
-        return _assign_embeddings(ef, [(0, [0.0])]).where(F.lit(False))
+        return _assign_embeddings(e, [(0, [0.0])]).where(F.lit(False))
     dim = len(seeds[0][1])
-    ef = e.where(VEC.finite_geometry(F.col("embedding"), dim))
-    a1 = _assign_embeddings(ef, seeds).select("vec_id", "centroid_id")
+    # finite scope via the masking kernel inside _assign_embeddings;
+    # the update step joins on the ASSIGNED ids, so corrupt vectors
+    # never reach the mean either
+    a1 = _assign_embeddings(e, seeds).select("vec_id", "centroid_id")
     ex = (
-        ef.join(a1, "vec_id")
+        e.join(a1, "vec_id")
         .select("centroid_id", F.posexplode("embedding").alias("pos", "v"))
         .select(
             "centroid_id", "pos", F.col("v").cast("double").alias("v")
@@ -623,4 +629,4 @@ def q_kmeans_iterate(spark, sf_dir):
     updated = sorted(
         (cid, [by_pos[p] for p in range(dim)]) for cid, by_pos in comps.items()
     )
-    return _assign_embeddings(ef, updated)
+    return _assign_embeddings(e, updated)
