@@ -59,13 +59,23 @@ def finite_vector(col: ColumnOrName) -> Column:
     element — measured +11-47% on the hot similarity keys. Use it on
     COLD paths only (driver-side seed/centroid collection); hot
     operators scope with ``finite_geometry`` below, whose SQL twin is
-    ``FINITE_VEC_SQL``."""
+    ``FINITE_VEC_SQL``.
+
+    Length-0 vectors are OUT of scope (r14, advisor): ``F.forall``
+    over an empty array is vacuously true, but an empty embedding
+    carries no geometry and ``FINITE_VEC_SQL`` already requires
+    ``len(c) > 0`` — the size leg makes the engine scope match the
+    declared SQL twin exactly."""
     c = _c(col)
-    return c.isNotNull() & F.forall(
-        c,
-        lambda x: x.isNotNull()
-        & ~F.isnan(x)
-        & (F.abs(x) < F.lit(float("inf"))),
+    return (
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & F.forall(
+            c,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) < F.lit(float("inf"))),
+        )
     )
 
 
@@ -145,13 +155,18 @@ def query_vector(
     A seed with NULL or non-finite COMPONENTS (r13, the vector-tier
     non-finite class) is the same degrade: a NaN/Inf component makes
     every score NaN, which the two engines rank differently — the
-    seed CTEs scope to ``FINITE_VEC_SQL``, and so does this."""
+    seed CTEs scope to ``FINITE_VEC_SQL``, and so does this. A
+    LENGTH-0 (non-NULL) seed embedding is the same degrade too (r14,
+    advisor: Python's ``all()`` over an empty list is vacuously true,
+    but ``FINITE_VEC_SQL`` requires ``len(c) > 0`` — an empty seed
+    carries no geometry and the oracle's seed CTE excludes it)."""
     import math
 
     row = df.filter(F.col(id_col) == vec_id).select(vec_col).first()
     if (
         row is not None
         and row[vec_col] is not None
+        and len(row[vec_col]) > 0
         and all(x is not None and math.isfinite(x) for x in row[vec_col])
     ):
         return [float(x) for x in row[vec_col]], True

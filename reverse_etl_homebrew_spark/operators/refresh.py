@@ -214,6 +214,11 @@ def corpus_refresh_report(
         _negated(retired_part, "lang"),
         "lang",
     )
+    # r14 (advisor): a lang whose EVERY doc was retired folds to an
+    # n=0 state row, but the refreshed corpus has no rows in that lang
+    # — the oracle's from-scratch recompute produces no row, so the
+    # subtractive fold must drop the empty group to stay lossless.
+    merged = merged.where(F.col("n") > 0)
     stats = merged.select(
         "lang",
         F.col("n").cast("long").alias("n_docs_total"),

@@ -196,11 +196,18 @@ def knn_join(
         # finite-geometry scope for the bucketer-less exact branch:
         # norms come from the fold-exact Arrow kernel, where a
         # poisoned vector's NaN becomes NULL at the Arrow boundary —
-        # `norm IS NOT NULL` on the kernel output is a pushdown-proof
-        # exclusion (a codegen-norm pre-filter re-inlined the 64-term
-        # fold and measured 1.8× on this branch) that keeps
-        # legitimate zero-norm vectors (0.0 → NULL scores, the
-        # oracle's CASE)
+        # a filter on the kernel output is a pushdown-proof exclusion
+        # (a codegen-norm pre-filter re-inlined the 64-term fold and
+        # measured 1.8× on this branch) that keeps legitimate
+        # zero-norm vectors (0.0 → NULL scores, the oracle's CASE).
+        # BOTH legs are needed (r14, advisor): a NaN-component fold is
+        # NaN → NULL at the Arrow boundary, but an Inf-component fold
+        # OVERFLOWS to +Inf — not NaN, so not NULL — and would survive
+        # an isNotNull-only filter, join with NULL cosine scores, and
+        # enter the top-k whenever a left row has fewer than k finite
+        # candidates, diverging from FINITE_VEC_SQL's exclusion. The
+        # `< inf` comparison on the computed norm column is the
+        # finite_norm form — one scalar comparison, no fold re-inline.
         from .vectorized import norm_fold_pandas
 
         _nrm = norm_fold_pandas()
@@ -208,12 +215,18 @@ def knn_join(
             F.col(left_id).alias("l_id"),
             F.col(vec_col).alias("l_v"),
             _nrm(F.col(vec_col)).alias("l_nrm"),
-        ).where(F.col("l_nrm").isNotNull())
+        ).where(
+            F.col("l_nrm").isNotNull()
+            & (F.col("l_nrm") < F.lit(float("inf")))
+        )
         re = right.where(F.col(vec_col).isNotNull()).select(
             F.col(right_id).alias("r_id"),
             F.col(vec_col).alias("r_v"),
             _nrm(F.col(vec_col)).alias("r_nrm"),
-        ).where(F.col("r_nrm").isNotNull())
+        ).where(
+            F.col("r_nrm").isNotNull()
+            & (F.col("r_nrm") < F.lit(float("inf")))
+        )
         scored = le.join(maybe_broadcast(re, broadcast)).withColumn(
             "score", score_expr
         )

@@ -140,11 +140,16 @@ def ivf_assign_pandas(
         if not finite.all():
             m = np.where(finite[:, None], m, 0.0)
         sims = m @ C.T  # (n, k)
-        cells = pd.Series(sims.argmax(axis=1).astype("int32"))
+        argmax = sims.argmax(axis=1)
         if finite.all():
-            return cells
-        cells[~finite] = None
-        return cells
+            return pd.Series(argmax.astype("int32"))
+        # nullable masking built explicitly (r14, advisor): assigning
+        # None into an int32 Series relies on a silent dtype upcast —
+        # a FutureWarning in pandas 2.x and a TypeError in 3.0
+        return pd.Series(
+            [int(c) if ok else None for c, ok in zip(argmax, finite)],
+            dtype="object",
+        )
 
     return df.select(
         F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell")

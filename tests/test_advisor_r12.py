@@ -258,6 +258,14 @@ def test_arrow_kernels_exclude_partial_null_two_sided(spark, partial_null_dir):
     cur = duck.execute(Q.ORACLE["kmeans-assign"])
     d = _rowset([c[0] for c in cur.description], cur.fetchall())
     assert s == d
-    # and the NULL-vector row is genuinely excluded, not mis-scored
-    assert all(r[0] != 3 for r in cur.fetchall() or []) or True
-    assert not [x for x in s if ("i", 3) in x[:1]]
+    # and the NULL-vector row is genuinely excluded, not mis-scored —
+    # asserted on the COLLECTED rowsets (r14, advisor: the previous
+    # form exhausted the cursor before iterating and carried an
+    # always-true `or True`). _rowset sorts columns by name, so for
+    # (vec_id, centroid_id, dist) output vec_id lands at index 2 of
+    # each (centroid_id, dist, vec_id) tuple.
+    cols_sorted = sorted(sdf.columns)
+    vi = cols_sorted.index("vec_id")
+    assert s, "fixture should still assign the healthy vectors"
+    assert all(row[vi] != 3 for row in s), "NULL-vector row mis-scored by Spark"
+    assert all(row[vi] != 3 for row in d), "NULL-vector row mis-scored by DuckDB"

@@ -118,16 +118,17 @@ def test_retraction_refresh_equals_recompute_over_survivors(spark, docs, vecs):
         .collect()
     }
     assert sum(r["n_retired"] for r in rep.values()) == sum(dropped.values())
+    # r14 (advisor): a lang whose every doc was retired must VANISH
+    # from the report — the oracle recomputes from the refreshed
+    # corpus, where that lang has no rows — instead of surviving as an
+    # n=0 fold artifact. The report's lang universe IS the survivors'.
+    assert set(rep) == set(want)
     for lang, row in rep.items():
         assert row["n_retired"] == dropped.get(lang, 0)
         assert row["n_candidates"] == 0 and row["n_admitted"] == 0
-        # langs fully retired keep a 0-count row from the state fold
-        n, t = want.get(lang, (0, None))
+        n, t = want[lang]
         assert row["n_docs_total"] == n
-        if n == 0:
-            assert row["tokens_total"] in (None, 0)
-        else:
-            assert row["tokens_total"] == t
+        assert row["tokens_total"] == t
 
 
 def test_span_index_append_equals_rebuild(spark, docs):

@@ -142,10 +142,11 @@ def test_finite_vector_truth_table(spark):
             "id", VEC.finite_vector(F.col("v")).alias("ok")
         ).collect()
     }
-    # forall form: an empty array has no offending component —
-    # vacuously finite (and no geometry either)
+    # r14 (advisor): the empty array is OUT — forall alone was
+    # vacuously true on it, but it carries no geometry and the
+    # declared SQL twin FINITE_VEC_SQL requires len(c) > 0
     assert got == {1: True, 2: False, 3: False, 4: False, 5: False,
-                   6: False, 7: True}
+                   6: False, 7: False}
     # the hot-path geometry form agrees on every poison lane; a
     # RAGGED vector (shorter than the table dim, incl. empty) stays
     # LOUD — ANSI element_at raises out-of-range, exactly as every
