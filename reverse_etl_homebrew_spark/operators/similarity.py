@@ -346,12 +346,42 @@ def build_ann_index(
     )
 
 
+def _cap_buckets(ann_index: DataFrame, bucket_cap: int, k: int = 0) -> DataFrame:
+    """Keep at most ``bucket_cap`` index rows per bucket with a
+    DETERMINISTIC total-order election: lowest ``r_id`` first
+    (NULLs last), residual ties broken by the vector hash (the
+    content-dedup discipline — r_id alone leaves NULL-id rows and
+    dirty-feed duplicate ids tied on partition order).
+
+    The total order makes the cap IDEMPOTENT and APPEND-STABLE: a row
+    evicted by an earlier cap ranks after every survivor in its
+    bucket, so capping (capped index ∪ delta) equals capping the full
+    rebuild over (corpus ∪ delta) — the append≡rebuild-under-cap
+    invariant pinned in tests/test_incremental_knn.py."""
+    from pyspark.sql import Window as W
+
+    if k and bucket_cap < k:
+        raise ValueError(
+            f"bucket_cap={bucket_cap} < k={k}: a capped bucket could "
+            f"not even fill one probe's top-k"
+        )
+    wb = W.partitionBy("bucket").orderBy(
+        F.col("r_id").asc_nulls_last(), F.xxhash64("r_v")
+    )
+    return (
+        ann_index.withColumn("__bc", F.row_number().over(wb))
+        .filter(F.col("__bc") <= bucket_cap)
+        .drop("__bc")
+    )
+
+
 def append_to_ann_index(
     ann_index: DataFrame,
     accepted_batch: DataFrame,
     planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: "int | None" = None,
 ) -> DataFrame:
     """Index MAINTENANCE for the nightly-ingest loop: once a probed
     batch is accepted into the corpus, bucket it with the SAME planes
@@ -382,7 +412,18 @@ def append_to_ann_index(
     properties. The local distinct shuffles the index; the production
     form is INSERT INTO the bucketed table with the accept-once
     ledger upstream, where this collapse is a safety net, not the
-    layout mechanism."""
+    layout mechanism.
+
+    ``bucket_cap`` (r14, VERDICT r13 #4): the skew cap is enforced
+    HERE, at maintenance time — the place the incremental_knn
+    docstring always said production enforces it. Pass the same cap
+    the probe path uses and the maintained index keeps ≤cap rows per
+    bucket with the deterministic lowest-r_id election
+    (``_cap_buckets``); the probe join then never needs its own
+    index-side ranking window, so the bucketed layout's
+    no-index-shuffle property survives. The total order makes
+    cap-on-append ≡ cap-on-rebuild exact (pinned in
+    tests/test_incremental_knn.py)."""
     dim_idx = VEC.infer_dim(ann_index, "r_v")
     dim_new = VEC.infer_dim(accepted_batch, vec_col)
     if dim_idx and dim_new and dim_idx != dim_new:
@@ -394,7 +435,10 @@ def append_to_ann_index(
             f"index, fix the producer"
         )
     delta = build_ann_index(accepted_batch, planes, id_col, vec_col)
-    return ann_index.unionByName(delta).distinct()
+    merged = ann_index.unionByName(delta).distinct()
+    if bucket_cap is not None:
+        merged = _cap_buckets(merged, bucket_cap)
+    return merged
 
 
 def incremental_knn(
@@ -466,24 +510,11 @@ def incremental_knn(
             f"fix the producer"
         )
     if bucket_cap is not None:
-        if bucket_cap < k:
-            raise ValueError(
-                f"bucket_cap={bucket_cap} < k={k}: a capped bucket could "
-                f"not even fill one probe's top-k"
-            )
-        # TOTAL order for the survivor election (the exact-dedup r12
-        # lesson): r_id alone leaves NULL-id rows — and any duplicate
-        # ids a dirty feed slipped past the accept-once ledger — tied,
-        # electing partition-order-dependent survivors. The vector
-        # hash breaks residual ties deterministically.
-        wb = W.partitionBy("bucket").orderBy(
-            F.col("r_id").asc_nulls_last(), F.xxhash64("r_v")
-        )
-        ann_index = (
-            ann_index.withColumn("__bc", F.row_number().over(wb))
-            .filter(F.col("__bc") <= bucket_cap)
-            .drop("__bc")
-        )
+        # the shared deterministic election (_cap_buckets) — in
+        # production the cap is already enforced at maintenance time
+        # (append_to_ann_index) and this probe-side ranking is a no-op
+        # on an already-capped index (the cap is idempotent)
+        ann_index = _cap_buckets(ann_index, bucket_cap, k=k)
     hp = _deterministic_planes(planes, dim)
     bucketer = table_buckets_pandas(hp, planes, tables=1)
     l = (

@@ -6,7 +6,7 @@ must be *counted*: the keys whose code changed that round landed at
 positions 52-54 and got no driver row. These tests pin the invariants
 so a future rotation can't repeat that.
 
-Round 13 adds the LOW-ROTATION tier (VERDICT r12 #2): ~20
+Round 13 added the LOW-ROTATION tier (VERDICT r12 #2): 21
 trivially-shaped keys whose machinery in-cap siblings exercise every
 round get a documented 4-round refresh cadence instead of competing
 with substantive keys for cap slots. The cadence is enforced HERE,
@@ -23,7 +23,7 @@ import re
 import __spark_entry__ as entry
 
 CAP = 50
-ROUND = 13  # bump each round — the cadence assertions key off it
+ROUND = 14  # bump each round — the cadence assertions key off it
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -40,63 +40,47 @@ def _latest_evidence() -> dict[str, int]:
     return latest
 
 
-# Keys that MUST be inside the cap this round (round 13):
-# (a) the 11 keys pinned as ROLLED_TO_R13 by round 12 — discharged
-#     first, as VERDICT r12 #1 mandates;
-# (b) every key whose code or oracle changed THIS round: corpus-diff
-#     (snapshot_diff digest injectivity — advisor r12), decontaminate-
-#     bloom (m guard + exact-vs-prefiltered auto-selector), the NEW
-#     corpus-refresh-pipeline and epoch-millis-eastern (zero driver
-#     history never waits), incremental-knn (bucket_cap lever), and —
-#     late r13 — the 14 vector-tier keys whose code AND oracles
-#     gained the finite-component scope (the component-poison class);
-# (c) 18 of the 32 r9-evidenced keys (the other 14 were displaced by
-#     the vector tier — changed code outranks stale-but-unchanged —
-#     and are pinned ROLLED_TO_R14 below);
-# (d) 2 oldest-r10 refreshes: simhash-dedup-md5 (backs the rows-only
-#     twin's trust), dup-span-detect (exempted two rounds on
-#     byte-identity arguments — re-faced now).
-MUST_RUN_R13 = {
-    # (a) the ROLLED_TO_R13 leads
-    "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
-    "delta-scan", "doc-fingerprint",
-    "union-all", "set-intersect", "max-ifnull-agg", "set-except",
-    "token-count",
+# Keys that MUST be inside the cap this round (round 14):
+# (a) the 16 keys pinned as ROLLED_TO_R14 by round 13 — discharged
+#     first, as VERDICT r13 #1 mandates (their r9/r10 evidence hits
+#     the cadence floor this round);
+# (b) every key whose code or oracle changed THIS round: the r13
+#     advisor fixes — knn-join (exact-branch Inf-norm exclusion),
+#     the finite_vector/query_vector empty-embedding scope (the four
+#     topk-similarity variants, hybrid-rrf, both kmeans keys),
+#     corpus-refresh-pipeline (fully-retired langs dropped from the
+#     subtractive fold), incremental-knn (bucket_cap enforced at
+#     append time, VERDICT r13 #4). knn-join-tables / knn-join-lsh
+#     are byte-identity exempt (the exact-branch edit is dead code on
+#     the bucketed branches; neither calls query_vector) and carry
+#     fresh r13 evidence;
+# (c) the full remaining r10-evidenced cohort (24 keys), whose
+#     evidence turns four rounds old at r14's end.
+MUST_RUN_R14 = {
+    # (a) the ROLLED_TO_R14 leads
+    "threetier-composite", "heavy-hitters",
+    "ambiguity-multi", "ambiguity-no-key", "dedup-rate-report",
+    "dq-audit", "fk-orphans", "lock-projection", "next-birthday",
+    "patient-projection", "phi-redact", "remote-get", "remote-search",
+    "retry-threshold", "roi-projection", "vocab-stats",
     # (b) changed this round
-    "corpus-diff", "decontaminate-bloom", "corpus-refresh-pipeline",
-    "incremental-knn", "epoch-millis-eastern",
+    "knn-join",
     "topk-similarity", "topk-similarity-pandas",
     "topk-similarity-lsh", "topk-similarity-ivf",
-    "knn-join", "knn-join-tables", "knn-join-lsh",
-    "similarity-join", "embedding-near-dup", "embedding-centroid",
-    "kmeans-assign", "kmeans-iterate", "hybrid-rrf", "array-ops",
-    # (c) the kept r9 cohort
-    "bm25-topk", "bool-normalize", "bucketed-join", "coalesce-chain",
-    "const-columns", "cube-agg", "drop-null-props", "eastern-date",
-    "email-normalize", "epoch-millis", "hll-sketch-merge",
-    "identifier-canon", "json-payload", "merge-upsert",
-    "multimodal-cols", "natural-key", "override-skip",
-    "zorder-layout",
-    # (d) oldest-r10 refreshes
-    "simhash-dedup-md5", "dup-span-detect",
+    "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
+    "corpus-refresh-pipeline", "incremental-knn",
+    # (c) the r10 cohort
+    "audio-resample", "bigram-lift-topk", "distinct-agg",
+    "domain-stats", "entropy-quality", "explode-posexplode",
+    "funnel-steps", "gap-fill", "heavy-hitters-by-group",
+    "image-resize", "lag-lead", "length-histogram", "merge-intervals",
+    "mix-weights", "ngram-topk", "ngram-topk-sketch", "null-safe-join",
+    "range-join", "rollup-agg", "split-assign", "stratified-sample",
+    "trigram-lm-score", "video-frame-index", "watermark-filter",
 }
 
-# The set pinned by round 12's test file — r13 must discharge it
-# exactly (VERDICT r12 #1).
-ROLLED_TO_R13 = {
-    "simhash-dedup", "full-scan", "point-lookup", "topk-sort",
-    "delta-scan", "doc-fingerprint",
-    "union-all", "set-intersect", "max-ifnull-agg", "set-except",
-    "token-count",
-}
-
-# Keys displaced from the r13 cap by late-round changed/new keys —
-# pinned as the r14 leads (the ROLLED_TO_R13 convention): they rotate
-# first next round, together with the rest of the r10-evidenced
-# cohort (which turns 4 rounds old at r14) and any key whose code or
-# oracle changes then. The 14 r9-evidenced members were displaced by
-# the vector-tier finite-component fix; at r14 their evidence turns
-# five rounds old, so the cadence test forces them into that cap.
+# The set pinned by round 13's test file — r14 must discharge it
+# exactly (VERDICT r13 #1).
 ROLLED_TO_R14 = {
     "threetier-composite", "heavy-hitters",
     "ambiguity-multi", "ambiguity-no-key", "dedup-rate-report",
@@ -104,6 +88,13 @@ ROLLED_TO_R14 = {
     "patient-projection", "phi-redact", "remote-get", "remote-search",
     "retry-threshold", "roi-projection", "vocab-stats",
 }
+
+# Keys displaced from the r14 cap by late-round changed/new keys —
+# pinned as the r15 leads (the ROLLED_TO_R13/R14 convention). Empty
+# so far: the r14 cap fit its three cohorts exactly. Any later-round
+# change must displace a (c)-cohort member INTO this set, never
+# silently exceed the cap.
+ROLLED_TO_R15: set[str] = set()
 
 
 def test_priority_has_no_duplicates_and_resolves():
@@ -116,28 +107,28 @@ def test_priority_has_no_duplicates_and_resolves():
 def test_cap_is_exactly_saturated():
     # any key that gains a code/oracle change later in the round must
     # DISPLACE a filler key here, never silently exceed the cap
-    assert len(MUST_RUN_R13) == CAP
+    assert len(MUST_RUN_R14) == CAP
 
 
 def test_must_run_keys_inside_cap():
     head = list(entry.queries().keys())[:CAP]
     assert len(head) == CAP
-    outside = MUST_RUN_R13 - set(head)
+    outside = MUST_RUN_R14 - set(head)
     assert not outside, f"must-run keys fell outside the {CAP}-cap: {outside}"
 
 
-def test_rolled_to_r13_discharged():
-    # the r12 roll leads the cap, as pinned
+def test_rolled_to_r14_discharged():
+    # the r13 roll leads the cap, as pinned
     head = list(entry.queries().keys())[:CAP]
-    assert ROLLED_TO_R13 <= set(head)
-    assert set(head[: len(ROLLED_TO_R13)]) == ROLLED_TO_R13
+    assert ROLLED_TO_R14 <= set(head)
+    assert set(head[: len(ROLLED_TO_R14)]) == ROLLED_TO_R14
 
 
-def test_rolled_to_r14_sit_first_after_the_boundary():
+def test_rolled_to_r15_sit_first_after_the_boundary():
     order = list(entry.queries().keys())
     head, tail = set(order[:CAP]), order[CAP:]
-    assert ROLLED_TO_R14 & head == set(), "a rolled key leaked into the cap"
-    assert set(tail[: len(ROLLED_TO_R14)]) == ROLLED_TO_R14
+    assert ROLLED_TO_R15 & head == set(), "a rolled key leaked into the cap"
+    assert set(tail[: len(ROLLED_TO_R15)]) == ROLLED_TO_R15
 
 
 def test_low_rotation_tier_membership_resolves():
@@ -161,7 +152,7 @@ def test_low_rotation_cadence():
     stale = {
         k
         for k in entry._LOW_ROTATION
-        if latest.get(k, 0) < ROUND - 3 and k not in MUST_RUN_R13
+        if latest.get(k, 0) < ROUND - 3 and k not in MUST_RUN_R14
     }
     assert not stale, f"low-rotation keys past their 4-round cadence: {stale}"
 
@@ -176,7 +167,7 @@ def test_no_key_evidence_older_than_four_rounds():
     violations = {
         k
         for k in qs
-        if latest.get(k, 0) < ROUND - 4 and k not in MUST_RUN_R13
+        if latest.get(k, 0) < ROUND - 4 and k not in MUST_RUN_R14
     }
     assert not violations, (
         f"keys whose evidence would end the round older than 4 rounds: "

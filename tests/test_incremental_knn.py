@@ -269,3 +269,80 @@ def test_bucket_cap_survivors_total_order_with_null_ids(spark):
     # identified rows order before NULL-id rows: the cap=4 survivors
     # are the 4 lowest non-NULL ids, so no NULL-id neighbor appears
     assert {r for r, _ in outs[0]} <= {50, 51, 52, 53}
+
+
+def test_bucket_cap_enforced_at_append_time(spark):
+    """r14 (VERDICT r13 #4): the maintenance path itself enforces the
+    cap — append_to_ann_index(bucket_cap=) keeps ≤cap rows per bucket
+    with the same deterministic lowest-r_id election the probe path
+    uses, so a caller on the documented maintenance path never hands
+    the probe an uncapped index."""
+    from reverse_etl_homebrew_spark.operators.similarity import (
+        append_to_ann_index,
+    )
+
+    base = _vec(1.0)
+    corpus = spark.createDataFrame(
+        [(100 + i, [v * (1 + 0.0001 * i) for v in base]) for i in range(8)],
+        "vec_id int, embedding array<float>",
+    )
+    hot_batch = spark.createDataFrame(
+        [(200 + i, [v * (1 + 0.0001 * (20 + i)) for v in base]) for i in range(8)],
+        "vec_id int, embedding array<float>",
+    )
+    idx = append_to_ann_index(
+        build_ann_index(corpus, planes=6), hot_batch, planes=6, bucket_cap=5
+    )
+    per_bucket = idx.groupBy("bucket").count().collect()
+    assert per_bucket and all(r["count"] <= 5 for r in per_bucket)
+    # survivors are the lowest r_ids of the merged bucket
+    hot_ids = sorted(r["r_id"] for r in idx.collect())
+    assert hot_ids == [100, 101, 102, 103, 104]
+
+
+def test_bucket_cap_append_equals_rebuild_under_cap(spark):
+    """The append≡rebuild invariant UNDER the cap: capping an already-
+    capped index merged with a delta equals capping a full rebuild
+    over corpus ∪ delta — the total order guarantees a row evicted by
+    an earlier cap ranks after every survivor in its bucket, so it
+    can never have re-entered. Probe results must agree exactly, and
+    capping is idempotent."""
+    from reverse_etl_homebrew_spark.operators.similarity import (
+        _cap_buckets,
+        append_to_ann_index,
+    )
+
+    base = _vec(1.0)
+    hot = [(100 + i, [v * (1 + 0.0001 * i) for v in base]) for i in range(12)]
+    cold = [(300 + i, _vec(-5.0 + 3.1 * i)) for i in range(8)]
+    corpus = spark.createDataFrame(
+        hot + cold, "vec_id int, embedding array<float>"
+    )
+    delta = spark.createDataFrame(
+        [(90 + i, [v * (1 + 0.0001 * (40 + i)) for v in base]) for i in range(6)]
+        + [(400, _vec(7.5))],
+        "vec_id int, embedding array<float>",
+    )
+    cap = 5
+    capped_base = append_to_ann_index(
+        build_ann_index(corpus.limit(0), planes=6), corpus, planes=6,
+        bucket_cap=cap,
+    )
+    appended = append_to_ann_index(capped_base, delta, planes=6, bucket_cap=cap)
+    rebuilt = _cap_buckets(
+        build_ann_index(corpus.unionByName(delta), planes=6), cap
+    )
+    key = lambda df: sorted(
+        (r["r_id"], r["bucket"]) for r in df.select("r_id", "bucket").collect()
+    )
+    assert key(appended) == key(rebuilt)
+    # idempotent: re-capping changes nothing
+    assert key(_cap_buckets(appended, cap)) == key(appended)
+    # and the probe over either index agrees
+    batch = spark.createDataFrame(
+        [(1, base), (2, _vec(7.5))], "vec_id int, embedding array<float>"
+    )
+    probe = lambda idx: sorted(
+        map(tuple, incremental_knn(batch, idx, k=3, planes=6).collect())
+    )
+    assert probe(appended) == probe(rebuilt)
