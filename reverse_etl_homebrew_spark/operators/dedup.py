@@ -492,7 +492,64 @@ def incremental_dedup(
     fingerprint table, so the anti-join co-locates without a fact
     shuffle); the batch side is a single hash-partitioned pass. No
     full-corpus re-dedup per ingest."""
-    seen_fp = seen.select(TX.sha_fingerprint(text_col).alias("__fp")).distinct()
+    return incremental_dedup_against_index(
+        new_batch,
+        build_fingerprint_index(seen, text_col, fp_col="__fp"),
+        text_col,
+        id_col,
+        fp_col="__fp",
+    )
+
+
+def build_fingerprint_index(
+    corpus: DataFrame, text_col: str = "text", fp_col: str = "fp"
+) -> DataFrame:
+    """The accepted-corpus FINGERPRINT index: the distinct content
+    fingerprints of the corpus, one narrow string column — the
+    doc-tier sibling of ``build_span_index``/``build_ann_index``
+    (r14): in production a persisted table bucketed on the
+    fingerprint, so the nightly ``incremental_dedup_against_index``
+    anti-join co-locates without moving the index. Append-only
+    maintenance: INSERT the accepted batch's fingerprints and
+    re-distinct within buckets (set union — idempotent)."""
+    return corpus.select(TX.sha_fingerprint(text_col).alias(fp_col)).distinct()
+
+
+def append_to_fingerprint_index(
+    fp_index: DataFrame,
+    accepted_batch: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Index MAINTENANCE for the doc tier (r14) — the fingerprint twin
+    of ``append_to_span_index``/``append_to_ann_index``: once a probed
+    batch is accepted, union its fingerprints onto the index and
+    re-distinct. Appending is EQUIVALENT to rebuilding over
+    corpus ∪ batch by construction (both are the distinct fingerprint
+    SET — pinned in tests/test_refresh_pipeline.py) and re-accepting
+    the same batch is a no-op (set union is idempotent). In production
+    this is an INSERT INTO the fp-bucketed index table where the
+    distinct collapses within buckets."""
+    delta = build_fingerprint_index(accepted_batch, text_col, fp_col)
+    return fp_index.unionByName(delta).distinct()
+
+
+def incremental_dedup_against_index(
+    new_batch: DataFrame,
+    fp_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """``incremental_dedup`` with the accepted corpus ALREADY reduced
+    to its persisted fingerprint index (``build_fingerprint_index``)
+    — the probe-side form a production nightly run executes, where
+    the index is a bucketed table and only the batch is new work
+    (r14, VERDICT r13 #2). ``fp_index`` must be the distinct
+    fingerprint SET (the builder guarantees it; no defensive
+    re-distinct here — it would re-shuffle the persisted index the
+    bucketed layout exists to keep in place)."""
+    seen_fp = fp_index.select(F.col(fp_col).alias("__fp"))
     batch = new_batch.withColumn("__fp", TX.sha_fingerprint(text_col))
     fresh = batch.join(seen_fp, ["__fp"], "left_anti")
     w_min = (
@@ -1002,6 +1059,7 @@ def incremental_dup_spans(
     id_col: str = "doc_id",
     n: int = 8,
     index_win_col: str = "win",
+    index_is_set: bool = False,
 ) -> DataFrame:
     """Span-level incremental dedup — the nightly-ingest twin of
     ``duplicate_spans``, completing the ``exact-dedup →
@@ -1022,13 +1080,23 @@ def incremental_dup_spans(
     index; cost per ingest is O(batch tokens), never a full-corpus
     re-scan. A NULL-text or short doc contributes no windows (strict
     ``token_span_windows`` semantics), so poisoned batches cannot
-    inject degenerate windows."""
+    inject degenerate windows.
+
+    ``index_is_set`` (r14, the tenx_refresh decomposition): the
+    defensive ``distinct()`` below protects the left join's row counts
+    from a duplicate-bearing index, but it is a full hash-agg over the
+    ENTIRE index — O(corpus windows) CPU per probe, the single largest
+    corpus-proportional term the 10× fixture measured. When the index
+    comes from ``build_span_index``/``append_to_span_index`` (distinct
+    by construction) or a persisted bucketed index table maintained
+    through them, pass True and the probe skips the re-distinct —
+    the join then reads the index in place, scan-only."""
     wins = token_span_windows(new_batch, text_col, id_col, n)
-    idx = (
-        span_index.select(F.col(index_win_col).alias("win"))
-        .where(F.col("win").isNotNull())
-        .distinct()
+    idx = span_index.select(F.col(index_win_col).alias("win")).where(
+        F.col("win").isNotNull()
     )
+    if not index_is_set:
+        idx = idx.distinct()
     counted = wins.groupBy("win").agg(
         F.countDistinct(id_col).alias("n_docs"),
         F.count(F.lit(1)).alias("n_spans"),

@@ -62,8 +62,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions import text as TX
 from .dedup import (
+    build_fingerprint_index,
     build_span_index,
-    incremental_dedup,
+    incremental_dedup_against_index,
     incremental_dup_spans,
     token_span_windows,
 )
@@ -119,7 +120,14 @@ def corpus_refresh_report(
 
     Output: (lang, n_candidates, n_admitted, admitted_tokens,
     n_span_flagged, n_knn_pairs, n_retired, n_docs_total,
-    tokens_total)."""
+    tokens_total).
+
+    This local form derives all four accepted-corpus artifacts
+    (fingerprint index, span index, ANN index, rollup state) INLINE
+    from the survivors and delegates to ``corpus_refresh_probe`` —
+    the probe-side core a production nightly run executes against the
+    PERSISTED bucketed artifact tables (fixtures/tenx_refresh.py
+    measures that form's wall flat at 10× corpus)."""
     old = old.select("doc_id", "text", "lang")
     new = new.select("doc_id", "text", "lang")
 
@@ -137,6 +145,130 @@ def corpus_refresh_report(
         ),
         storage,
     )
+    retired = diff.where(F.col("status").isin("removed", "changed")).select(
+        "doc_id"
+    )
+
+    # 2. retire first: every probe below runs against the survivors.
+    # In production the artifacts below are persisted bucketed tables
+    # maintained at accept time (append_to_* / INSERT INTO), not
+    # derived per refresh — this inline derivation is the local /
+    # bootstrap form.
+    surviving = old.join(retired, ["doc_id"], "left_anti")
+    fingerprints = build_fingerprint_index(
+        surviving.where(F.col("text").isNotNull()), "text", fp_col="__fp"
+    )
+    span_index = build_span_index(surviving, "text", "doc_id", span_n)
+    acc_vecs = embeddings.join(
+        surviving.select(F.col("doc_id").alias("vec_id")), ["vec_id"], "left_semi"
+    )
+    ann_index = build_ann_index(acc_vecs, planes)
+    tok = TX.token_count(F.col("text"))
+    state = rollup_partial(
+        old.select("lang", tok.alias("toks"), "doc_id"), "lang", "toks", "doc_id"
+    )
+    return corpus_refresh_probe(
+        old,
+        new,
+        embeddings,
+        fingerprints,
+        span_index,
+        ann_index,
+        state,
+        span_n=span_n,
+        planes=planes,
+        k=k,
+        storage=storage,
+        diff=diff,
+    )
+
+
+def accept_time_doc_stats(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """The accept-time ``(doc_id, lang, toks)`` sidecar
+    ``corpus_refresh_probe`` consumes for retraction attribution
+    (r14): token counts are computed at admission anyway, so in
+    production this is three narrow columns appended to the admission
+    staging write — maintained by the same INSERT that admits the doc,
+    one row per accepted doc. Retiring a doc then never re-reads its
+    text."""
+    return corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        TX.token_count(F.col(text_col)).alias("toks"),
+    )
+
+
+def corpus_refresh_probe(
+    old: DataFrame,
+    new: DataFrame,
+    embeddings: DataFrame,
+    fingerprints: DataFrame,
+    span_index: DataFrame,
+    ann_index: DataFrame,
+    state: DataFrame,
+    span_n: int = 8,
+    planes: int = 6,
+    k: int = 3,
+    storage: str | None = None,
+    diff: DataFrame | None = None,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """The PROBE-SIDE refresh core (r14, VERDICT r13 #2): the exact
+    ``corpus_refresh_report`` algebra with the four accepted-corpus
+    artifacts supplied instead of derived — the form a production
+    nightly run executes, where the fingerprint index
+    (``build_fingerprint_index``, bucketed on fp), span index
+    (``build_span_index``, bucketed on win), ANN index
+    (``build_ann_index``, bucketed on bucket) and rollup state are
+    PERSISTED tables maintained at accept time, so per-refresh cost is
+    the delta's probes plus artifact scans — never an artifact
+    rebuild. Equivalence to the local form is pinned row-for-row in
+    tests/test_refresh_pipeline.py; the wall is measured flat at 10×
+    corpus in fixtures/tenx_refresh.py (SCALE.md).
+
+    Artifact contracts: ``fingerprints`` is the survivors' distinct
+    fingerprint set (single column, any name); ``span_index`` the
+    survivors' distinct ``win`` set; ``ann_index`` the survivors'
+    ``(r_id, r_v, r_nrm, bucket)`` rows built with the SAME
+    ``planes``; ``state`` the rollup over the FULL old corpus (the
+    retraction below folds the retired rows out — pre-retirement
+    state is exactly what last night's accept-time maintenance left
+    behind). ``diff`` may be a precomputed decision table (the
+    CDC-fed form — the reference's watermark shape, main.py:537-538);
+    when None it is computed from the snapshots here, which adds the
+    one corpus-proportional term snapshot CDC inherently pays (the
+    narrow digest scan). When ``diff`` IS supplied, ``new`` may be
+    just the day's DELTA rows (any superset of the rows the diff
+    nominated — the reference's watermark read, main.py:537-538): the
+    admission semi-join keeps exactly the nominated keys either way.
+
+    ``doc_stats`` (r14, the tenx_refresh decomposition): an optional
+    accept-time sidecar ``(doc_id, lang, toks)`` over the old corpus
+    (``accept_time_doc_stats`` — token counts are computed at
+    admission anyway, persisting them is free). When supplied, the
+    retraction arm (retired rows' lang + token attribution) reads this
+    NARROW table instead of re-scanning — and re-tokenizing — the old
+    corpus' text column; combined with a supplied ``diff`` the probe
+    then never touches ``old`` at all, which is what makes the
+    CDC-fed cell's wall flat at 10× corpus in the fixture."""
+    old = old.select("doc_id", "text", "lang")
+    new = new.select("doc_id", "text", "lang")
+
+    if diff is None:
+        diff = _pin(
+            snapshot_diff(
+                old.select("doc_id", "text"),
+                new.select("doc_id", "text"),
+                "doc_id",
+                F.md5("text"),
+            ),
+            storage,
+        )
     reprocess = diff.where(F.col("status").isin("added", "changed")).select(
         "doc_id"
     )
@@ -144,10 +276,7 @@ def corpus_refresh_report(
         "doc_id"
     )
 
-    # 2. retire first: every probe below runs against the survivors
-    surviving = old.join(retired, ["doc_id"], "left_anti")
-
-    # 3. doc-tier admission
+    # 3. doc-tier admission against the fingerprint index
     cand = new.join(reprocess, ["doc_id"], "left_semi").where(
         F.col("text").isNotNull()
     )
@@ -156,14 +285,18 @@ def corpus_refresh_report(
     # report) — the anti-join + survivor election would recompute per
     # consumer, and in production admission IS a durable staging write.
     admitted = _pin(
-        incremental_dedup(cand, surviving.where(F.col("text").isNotNull())),
+        incremental_dedup_against_index(
+            cand, fingerprints, "text", "doc_id", fp_col=fingerprints.columns[0]
+        ),
         storage,
     )
 
-    # 4. span-tier signal on the admitted batch
-    span_index = build_span_index(surviving, "text", "doc_id", span_n)
+    # 4. span-tier signal on the admitted batch. The artifact contract
+    # guarantees a distinct window set, so the probe skips the
+    # defensive index re-distinct (index_is_set — the O(corpus
+    # windows) hash-agg the 10× fixture caught).
     flagged = incremental_dup_spans(
-        admitted, span_index, "text", "doc_id", span_n
+        admitted, span_index, "text", "doc_id", span_n, index_is_set=True
     )
     adm_wins = token_span_windows(admitted, "text", "doc_id", span_n)
     span_docs = (
@@ -181,11 +314,7 @@ def corpus_refresh_report(
     adm_vecs = embeddings.join(
         admitted.select(F.col("doc_id").alias("vec_id")), ["vec_id"], "left_semi"
     )
-    acc_vecs = embeddings.join(
-        surviving.select(F.col("doc_id").alias("vec_id")), ["vec_id"], "left_semi"
-    )
-    idx = build_ann_index(acc_vecs, planes)
-    pairs = incremental_knn(adm_vecs, idx, k=k, planes=planes)
+    pairs = incremental_knn(adm_vecs, ann_index, k=k, planes=planes)
     knn_lang = (
         pairs.join(
             admitted.select(F.col("doc_id").alias("l_id"), "lang"), ["l_id"]
@@ -194,19 +323,25 @@ def corpus_refresh_report(
         .agg(F.count(F.lit(1)).alias("n_knn_pairs"))
     )
 
-    # 6. stats refresh: state(old) + partial(admitted) − partial(retired)
+    # 6. stats refresh: state(old) + partial(admitted) − partial(retired).
+    # Retired-row attribution reads the accept-time (doc_id, lang,
+    # toks) sidecar when supplied — narrow columns, no text re-scan /
+    # re-tokenize of the old corpus.
     tok = TX.token_count(F.col("text"))
-    state = rollup_partial(
-        old.select("lang", tok.alias("toks"), "doc_id"), "lang", "toks", "doc_id"
-    )
+    if doc_stats is not None:
+        retired_rows = doc_stats.select("doc_id", "lang", "toks").join(
+            retired, ["doc_id"], "left_semi"
+        )
+    else:
+        retired_rows = old.join(retired, ["doc_id"], "left_semi").select(
+            "doc_id", "lang", tok.alias("toks")
+        )
     added_part = rollup_partial(
         admitted.select("lang", tok.alias("toks"), "doc_id"),
         "lang", "toks", "doc_id",
     )
     retired_part = rollup_partial(
-        old.join(retired, ["doc_id"], "left_semi").select(
-            "lang", tok.alias("toks"), "doc_id"
-        ),
+        retired_rows.select("lang", "toks", "doc_id"),
         "lang", "toks", "doc_id",
     )
     merged = merge_rollup_state(
@@ -237,10 +372,8 @@ def corpus_refresh_report(
         F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("admitted_tokens"),
     )
     # retirements attributed by the OLD side's lang (the side leaving)
-    ret_lang = (
-        old.join(retired, ["doc_id"], "left_semi")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_retired"))
+    ret_lang = retired_rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_retired")
     )
     zero = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
     return (
