@@ -151,8 +151,13 @@ def ivf_assign_pandas(
             dtype="object",
         )
 
+    # nondeterministic mark: see table_buckets_pandas — the cell
+    # filter below (and topk_ivf's probe isin) would otherwise re-plan
+    # the kernel a second time under the pushed-down predicate
     return df.select(
-        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("ivf_cell")
+        F.col(id_col),
+        F.col(vec_col),
+        assign.asNondeterministic()(F.col(vec_col)).alias("ivf_cell"),
     ).where(F.col("ivf_cell").isNotNull())
 
 
@@ -233,7 +238,10 @@ def norm_fold_pandas():
             acc = acc + A[:, i] * A[:, i]
         return pd.Series(np.sqrt(acc))
 
-    return nrm
+    # nondeterministic mark: see table_buckets_pandas — the exact knn
+    # branch filters `nrm IS NOT NULL AND < inf` on this output, and
+    # predicate pushdown would otherwise run the fold twice per side
+    return nrm.asNondeterministic()
 
 
 def centroid_dists_pandas(centroid_vectors):
@@ -292,7 +300,11 @@ def centroid_dists_pandas(centroid_vectors):
             return pd.Series(list(M))
         return pd.Series([row if ok else None for row, ok in zip(M, finite)])
 
-    return dists
+    # nondeterministic mark: see table_buckets_pandas — the kmeans
+    # assigners filter `dists IS NOT NULL` on this output, and
+    # predicate pushdown would otherwise run the K-centroid kernel
+    # twice per assignment pass
+    return dists.asNondeterministic()
 
 
 def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
@@ -372,7 +384,17 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
         out = [row if ok else None for row, ok in zip(bs, finite)]
         return pd.Series(out)
 
-    return buckets
+    # r14 (ab_r14_ledger attribution): deterministic in FACT, marked
+    # nondeterministic so the optimizer cannot re-inline the kernel
+    # into its consumers' filters — PushDownPredicate substitutes the
+    # projected alias into a `bucket IS NOT NULL` / probe `isin()`
+    # filter and plans a SECOND ArrowEvalPython, silently doubling
+    # every kernel evaluation (measured 1.34× on incremental-knn; the
+    # r13 "attribute barrier" claim held for Project collapse but not
+    # for filter pushdown). The annotation's only effect is disabling
+    # those moves: the filter stays ABOVE the projection and the
+    # kernel runs once.
+    return buckets.asNondeterministic()
 
 
 def hybrid_fold_signs(m, P):

@@ -346,3 +346,37 @@ def test_bucket_cap_append_equals_rebuild_under_cap(spark):
         map(tuple, incremental_knn(batch, idx, k=3, planes=6).collect())
     )
     assert probe(appended) == probe(rebuilt)
+
+
+def test_masking_kernels_run_once(spark):
+    """Regression pin for the r14 kernel-duplication class
+    (fixtures/ab_r14_ledger.py attribution): a consumer filter on a
+    masking kernel's output column (`bucket IS NOT NULL`, probe
+    `isin`, `nrm < inf`, `dists IS NOT NULL`) used to be pushed below
+    the projection by PushDownPredicate, re-inlining the Python UDF
+    and planning a SECOND ArrowEvalPython — every kernel evaluation
+    silently ran twice (measured 1.34x on incremental-knn). The
+    kernels are now marked nondeterministic (deterministic in fact —
+    the mark only disables the re-inlining moves), so each registered
+    plan carries exactly one ArrowEvalPython per kernel application,
+    and never a row-at-a-time BatchEvalPython."""
+    from reverse_etl_homebrew_spark import queries as Q
+
+    expected = {
+        # 2 bucketers (index + batch) + 1 pair-cosine
+        "incremental-knn": 3,
+        "knn-join-lsh": 3,
+        "knn-join": 3,
+        # 1 centroid-distance kernel per assignment pass
+        "kmeans-assign": 1,
+        # 2 bucketers + pair-cosine verify + scoring kernel
+        "similarity-join": 4,
+        "embedding-near-dup": 4,
+    }
+    for key, want in expected.items():
+        df = Q.QUERIES[key](spark, SF)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = plan.count("ArrowEvalPython")
+        assert got == want, (key, got, want)
+        assert plan.count("BatchEvalPython") == 0, key
