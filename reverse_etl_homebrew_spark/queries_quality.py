@@ -24,7 +24,7 @@ from .functions.exactmath import (
 from .operators import aggregates as AGX
 from .queries import register
 from .sources.catalog import load_table
-from .sqlfrags import FINITE_VEC_SQL
+from .sqlfrags import FINITE_VEC_SQL, word_ngram_rows
 
 # per-(cluster, dim) decimal-exact mean, 6-decimal rounded by exact
 # integer half-away division — cross-engine stable at ROUND
@@ -121,8 +121,7 @@ _CONTAINMENT_SCORE_SQL = sql_round6_int_ratio(
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams AS (
-      SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS g
-      FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+      SELECT DISTINCT id, g FROM ({word_ngram_rows('toks', 3)})
     ), sizes AS (
       SELECT id, COUNT(*) AS ng FROM grams GROUP BY id
     ), pairs AS (
@@ -230,8 +229,7 @@ def _directed_containment(grams, threshold: float):
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams0 AS (
-      SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS g
-      FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+      SELECT DISTINCT id, g FROM ({word_ngram_rows('toks', 3)})
     ), dfs AS (
       SELECT g, COUNT(*) AS df FROM grams0 GROUP BY g
     ), grams AS (

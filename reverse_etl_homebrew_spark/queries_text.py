@@ -193,7 +193,12 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
-from .sqlfrags import _DOT_SQL, _TOPK_SIM_SQL, FINITE_VEC_SQL  # noqa: E402
+from .sqlfrags import (  # noqa: E402
+    _DOT_SQL,
+    _TOPK_SIM_SQL,
+    FINITE_VEC_SQL,
+    word_ngram_rows,
+)
 
 
 def _bucket_sql(vec_expr: str, planes) -> str:
@@ -411,15 +416,14 @@ def q_incremental_knn(spark, sf_dir):
 # (adversarial recall oracle for MinHash banding), `ngram-jaccard`
 # (exact operator parity), and — via a recursive-CTE connected
 # components extension — `fuzzy-dedup-clusters`.
-_JACCARD_CTES = r"""norm AS (
+_JACCARD_CTES = rf"""norm AS (
   SELECT doc_id AS id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
   FROM documents WHERE text IS NOT NULL
 ), toks AS (
   SELECT id, string_split(t, ' ') AS w FROM norm
 ), grams AS (
-  SELECT DISTINCT id, array_to_string(w[i:i+2], ' ') AS g
-  FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+  SELECT DISTINCT id, g FROM ({word_ngram_rows('toks', 3)})
 ), pruned AS (
   SELECT * FROM grams WHERE g NOT IN (SELECT g FROM grams GROUP BY g HAVING count(*) > 100)
 ), sizes AS (
@@ -506,7 +510,7 @@ def _corpus_nn(spark, sf_dir):
 # Shared by `decontaminate` and its Bloom-prefiltered twin: the
 # prefilter is EXACT by construction (hash collisions only admit false
 # candidates to an exact join), so both keys answer to one oracle.
-_DECON_SQL = r"""
+_DECON_SQL = rf"""
     WITH norm AS (
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
@@ -514,8 +518,7 @@ _DECON_SQL = r"""
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), grams AS (
-      SELECT DISTINCT id, array_to_string(w[i:i+7], ' ') AS g
-      FROM toks, unnest(generate_series(1, greatest(len(w) - 7, 1))) AS u(i)
+      SELECT DISTINCT id, g FROM ({word_ngram_rows('toks', 8)})
     ), bench AS (
       SELECT DISTINCT g FROM grams WHERE id % 10 = 0
     )
@@ -579,9 +582,8 @@ _SPAN_WINS_SQL = rf"""
       SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt
       FROM documents
     ), wins AS (
-      SELECT doc_id, array_to_string(tt[i:i+{_SPAN_L - 1}], ' ') AS win
-      FROM toks, unnest(generate_series(1, len(tt) - {_SPAN_L - 1})) AS u(i)
-      WHERE len(tt) >= {_SPAN_L}
+      {word_ngram_rows('toks', _SPAN_L, id_expr='doc_id', tok_expr='tt',
+                       id_alias='doc_id', win_alias='win', short_docs='drop')}
     )
 """
 
@@ -686,7 +688,7 @@ def q_incremental_dup_spans(spark, sf_dir):
 
 @register(
     "repetition-metrics",
-    sql=r"""
+    sql=rf"""
     WITH norm AS (
       SELECT doc_id AS id,
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
@@ -694,15 +696,13 @@ def q_incremental_dup_spans(spark, sf_dir):
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), g AS (
-      SELECT id, list_transform(generate_series(1, greatest(len(w) - 1, 1)),
-                                i -> array_to_string(w[i:i+1], ' ')) AS grams
-      FROM toks
+      {word_ngram_rows('toks', 2)}
     )
     SELECT id AS doc_id,
-           CAST(len(grams) AS BIGINT) AS n_bigrams,
-           CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_bigrams,
-           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS dup_frac
-    FROM g
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams,
+           1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
+    FROM g GROUP BY id
     """,
 )
 def q_repetition_metrics(spark, sf_dir):
@@ -1119,7 +1119,7 @@ def q_corpus_diff(spark, sf_dir):
 
 @register(
     "corpus-prep-pipeline",
-    sql=r"""
+    sql=rf"""
     WITH base AS (
       SELECT DISTINCT doc_id, text, lang FROM documents
       WHERE doc_id IS NOT NULL AND text IS NOT NULL
@@ -1141,11 +1141,11 @@ def q_corpus_diff(spark, sf_dir):
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS t
       FROM bench_src
     ), grams_t AS (
-      SELECT DISTINCT id, array_to_string(string_split(t, ' ')[i:i+7], ' ') AS g
-      FROM norm_t, unnest(generate_series(1, greatest(len(string_split(t, ' ')) - 7, 1))) AS u(i)
+      SELECT DISTINCT id, g
+      FROM ({word_ngram_rows('norm_t', 8, tok_expr="string_split(t, ' ')")})
     ), grams_b AS (
-      SELECT DISTINCT array_to_string(string_split(t, ' ')[i:i+7], ' ') AS g
-      FROM norm_b, unnest(generate_series(1, greatest(len(string_split(t, ' ')) - 7, 1))) AS u(i)
+      SELECT DISTINCT g
+      FROM ({word_ngram_rows('norm_b', 8, tok_expr="string_split(t, ' ')")})
     ), contaminated AS (
       SELECT DISTINCT id FROM grams_t JOIN grams_b USING (g)
     ), clean AS (
@@ -1224,7 +1224,6 @@ def _corpus_refresh_sql(span_n: int = 8, planes: int = 6, k: int = 3) -> str:
     nl = _DOT_SQL.format(a="l.l_v", b="l.l_v")
     nr = _DOT_SQL.format(a="r.r_v", b="r.r_v")
     norm = _NORM_SQL.format(c="text")
-    s = span_n - 1
     return rf"""
     WITH old AS (
       SELECT doc_id, text, lang FROM documents WHERE doc_id IS NOT NULL
@@ -1271,15 +1270,15 @@ def _corpus_refresh_sql(span_n: int = 8, planes: int = 6, k: int = 3) -> str:
     ), toks_s AS (
       SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt FROM surviving
     ), idx AS (
-      SELECT DISTINCT array_to_string(tt[i:i+{s}], ' ') AS win
-      FROM toks_s, unnest(generate_series(1, len(tt) - {s})) AS u(i)
-      WHERE len(tt) >= {span_n}
+      SELECT DISTINCT win
+      FROM ({word_ngram_rows('toks_s', span_n, id_expr='doc_id',
+                             tok_expr='tt', id_alias='doc_id',
+                             win_alias='win', short_docs='drop')})
     ), toks_a AS (
       SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS tt FROM admitted
     ), wins_a AS (
-      SELECT doc_id, array_to_string(tt[i:i+{s}], ' ') AS win
-      FROM toks_a, unnest(generate_series(1, len(tt) - {s})) AS u(i)
-      WHERE len(tt) >= {span_n}
+      {word_ngram_rows('toks_a', span_n, id_expr='doc_id', tok_expr='tt',
+                       id_alias='doc_id', win_alias='win', short_docs='drop')}
     ), wcount AS (
       SELECT win, count(DISTINCT doc_id) AS nd FROM wins_a GROUP BY win
     ), flagged AS (

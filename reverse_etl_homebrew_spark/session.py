@@ -39,6 +39,14 @@ _RUNTIME_CONFS = {
     # Predicate pushdown into Python data sources (the external
     # DuckDB-backed connector, sources/duckdb_source.py).
     "spark.sql.python.filterPushdown.enabled": "true",
+    # Giant-rows defense (eleventh poison class): Arrow batches are
+    # row-count-bounded by default (10000), so a run of pathological
+    # crawl pages (hundreds of kB each) would assemble a multi-GB
+    # batch in every Pandas-UDF kernel; the Spark 4 byte bound splits
+    # the stream regardless of row width. Ordinary corpora never hit
+    # it (the row-count bound binds first), so plans and results are
+    # unchanged off the poison path.
+    "spark.sql.execution.arrow.maxBytesPerBatch": "67108864",
 }
 
 
@@ -113,6 +121,8 @@ def cluster_conf(
         "spark.sql.files.maxPartitionBytes": "256m",
         "spark.sql.autoBroadcastJoinThreshold": "64m",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # the giant-rows byte bound rides in from _RUNTIME_CONFS
+        # (measured: tests/test_giant_rows.py::test_arrow_batches_byte_bounded)
         "spark.sql.parquet.compression.codec": "zstd",
         # checkpoint-file GC for the iterative storage-mode operators
         "spark.cleaner.referenceTracking.cleanCheckpoints": "true",

@@ -48,3 +48,75 @@ _TOPK_SIM_SQL = f"""
     ORDER BY score DESC, vec_id
     LIMIT 10
     """
+
+
+def word_ngram_rows(
+    src: str,
+    n: int,
+    *,
+    id_expr: str = "id",
+    tok_expr: str = "w",
+    id_alias: str = "id",
+    win_alias: str = "g",
+    carry: str = "",
+    short_docs: str = "truncate",
+) -> str:
+    """Linear DuckDB word-n-gram/window row generator: one output row
+    per length-``n`` window of ``tok_expr`` (a token LIST column or
+    expression over ``src``), assembled via zipped unnest + lead()
+    instead of the lateral ``FROM toks, unnest(generate_series(...))``
+    + ``list[i:i+k]`` slice idiom the oracles originally used.
+
+    The lateral form is CORRECT but quadratic in practice: DuckDB
+    materializes the full token list once per lateral output row, so a
+    single 60k-token document (the giant-rows poison class, r14) costs
+    60k list copies of 60k elements — the oracle side of the span and
+    gram keys ran >25 min on ONE poisoned row where this form takes
+    seconds (measured in fixtures/giant_rows_probe.py; value-equality
+    old-vs-new pinned on clean corpora before the swap).
+
+    ``short_docs``:
+      - ``"truncate"``: docs with fewer than ``n`` tokens emit ONE
+        truncated window holding the whole doc — the semantics of the
+        original ``generate_series(1, greatest(len(w) - (n-1), 1))``
+        sites (gram oracles);
+      - ``"drop"``: docs with fewer than ``n`` tokens emit nothing —
+        the strict ``WHERE len(tt) >= n`` sites (span oracles).
+
+    Windows are assembled per-document via a synthetic per-ROW
+    partition key (``row_number()``), never the id column alone: two
+    NULL-id documents in one partition would interleave tokens across
+    documents (the r11 NULL-key class, which deliberately keeps
+    NULL-id docs in corpus-frequency scope).
+
+    ``carry`` names extra source columns to project through, as
+    ``", col1, col2"``.
+    """
+    if short_docs not in ("truncate", "drop"):
+        raise ValueError(f"short_docs must be truncate|drop, got {short_docs!r}")
+    leads = [f"lead(t, {k}) OVER w" for k in range(1, n)]
+    full = " || ' ' || ".join(["t", *leads])
+    if short_docs == "truncate":
+        prefix = " || ".join(
+            ["t", *[f"coalesce(' ' || {ld}, '')" for ld in leads]]
+        )
+        win_expr = (
+            f"CASE WHEN {leads[-1]} IS NOT NULL THEN {full} "
+            f"WHEN i = 1 THEN {prefix} END"
+        )
+    else:
+        win_expr = f"CASE WHEN {leads[-1]} IS NOT NULL THEN {full} END"
+    return f"""
+      SELECT {id_alias}{carry}, {win_alias} FROM (
+        SELECT {id_alias}{carry}, i, {win_expr} AS {win_alias}
+        FROM (
+          SELECT {id_alias}{carry}, __r,
+                 unnest(__tl) AS t,
+                 unnest(generate_series(1, len(__tl))) AS i
+          FROM (SELECT {id_expr} AS {id_alias}{carry}, {tok_expr} AS __tl,
+                       row_number() OVER () AS __r
+                FROM {src})
+        )
+        WINDOW w AS (PARTITION BY __r ORDER BY i)
+      ) WHERE {win_alias} IS NOT NULL
+    """
