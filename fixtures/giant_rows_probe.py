@@ -48,30 +48,52 @@ stale small n_chars would dodge the operators this probe exists to
 stress).
 
 Adjudication (r14, sf0.001, full 163-key oracle registry, idle host):
-  - **161 OK / 0 engine errors / 0 memory blowups**; slowest key under
-    poison 10.2 s (fuzzy-dedup-clusters), suite-wide wall 320 s vs 283 s
-    clean — the explode plans are volume-linear, as designed.
-  - 2 non-OK, BOTH the documented sketch-guard boundary (loud, never
-    silent): `ngram-topk-sketch` and `heavy-hitters-by-group` raised
-    their in-plan provable-regime guards — lane 85's 40k distinct
-    trigrams from one row flatten the tail below sketch_k=255's
-    pigeonhole bound; sketch_k=1023 returns the exact oracle top-k
-    again (the same knob the adversarial-text arm measured; pinned in
-    tests/test_giant_rows.py::test_sketch_guard_under_giant_vocab).
-  - fuzzy-dedup / clusters / survivorship stay EXACT: giant docs don't
-    depress existing clone pairs (the banding boundary is about
-    *diluting* planted pairs, and a giant doc is its own cluster).
-  - the chunker, span windows, trigram-lm, and both fingerprint paths
-    agree with DuckDB pair-for-pair on all five lanes — stride
-    arithmetic at len(tt)=60 750 and the no-padded-window rule at
-    n=1 both hold (pinned in tests/test_giant_rows.py).
-  - DLQ clamps agree two-sided AND with Python's json.dumps()[:90000]
-    at the exact boundary with an astral-plane codepoint straddling it
-    (all three count codepoints; pinned).
+  **161 OK / 0 MISMATCH / 0 engine errors / 0 DuckDB errors / 0 memory
+  blowups; suite wall 242.7 s** (clean-corpus parity is ~180 s, so the
+  five giant rows cost ~35%, all volume-linear); slowest keys under
+  poison: knn-join-tables 12.3 s (vector key, poison-independent),
+  corpus-prep 9.5, corpus-refresh 9.1, fuzzy-dedup 9.1. The 2 non-OK
+  are BOTH the documented sketch-guard boundary (loud, never silent):
+  `ngram-topk-sketch` / `heavy-hitters-by-group` raised their in-plan
+  provable-regime guards — the giant lanes' char-trigram mass flattens
+  the tail below sketch_k=255's pigeonhole bound; a larger sketch_k
+  (4095) returns the exact top-k again (same knob as the
+  adversarial-text arm; pinned in
+  tests/test_giant_rows.py::test_sketch_guard_under_giant_vocab).
+  fuzzy-dedup / clusters / survivorship stay EXACT (a giant doc is its
+  own cluster — the banding boundary is about diluting planted pairs,
+  not adding mass). Chunker stride arithmetic at ~49k tokens, span
+  linearity, the single-token degenerate case, and the three-way DLQ
+  clamp agreement (engine / DuckDB / the reference's literal Python
+  slice, astral codepoint at the boundary) are all pinned in
+  tests/test_giant_rows.py.
+
+The probe's real finds — each fixed, none visible on ordinary corpora:
+  1. ENGINE: pii-scrub's textbook unbounded email regex sent Java's
+     backtracking matcher quadratic on the 200k single-token lane
+     (pinned the executor for minutes; DuckDB's RE2 is linear).
+     Fixed with \b anchoring + RFC-bounded quantifiers — one pattern
+     string feeds both engines, so parity is unchanged (see
+     queries_text._PII_EMAIL).
+  2. ORACLE HARNESS: the lateral `FROM toks, unnest(generate_series)`
+     + `list[i:i+k]` window idiom copies the whole token list per
+     output row — dup-span-rate's oracle alone ran >25 min on ONE
+     poisoned row. All word-window/gram oracles now share
+     sqlfrags.word_ngram_rows (zipped unnest + lead(), linear;
+     value-equality old-vs-new verified at sf0.001 + sf0.01 before
+     the swap). Same class: the lateral-JOIN form of plain unnest
+     (bigram-lift's uni, entropy-quality's chars) vs the streaming
+     SELECT-list unnest — 76.5 s vs 0.1 s measured.
+  3. ORACLE HARNESS: DuckDB re-evaluates a non-materialized 1-row
+     aggregate CTE per probe row under CROSS JOIN — bigram-lift-topk's
+     `tot` cost 60 s of its 195.7 s; `AS MATERIALIZED` on uni/tot
+     makes the whole key 0.1 s.
 Arrow posture: `spark.sql.execution.arrow.maxBytesPerBatch` (Spark 4)
-is set in cluster_conf — measured locally to split a giant-row stream
-into ~bounded batches where the default row-count bound built one
-multi-hundred-MB batch (tests/test_giant_rows.py::test_arrow_batches_byte_bounded).
+rides in _RUNTIME_CONFS — measured locally to split a giant-row stream
+into byte-bounded batches where the row-count bound alone built one
+~64 MB batch (tests/test_giant_rows.py::test_arrow_batches_byte_bounded);
+at 10k rows/batch of crawl-page-sized rows that is the difference
+between a bounded kernel and a multi-GB allocation per core.
 
 Usage:
     python fixtures/giant_rows_probe.py [sf_dir] [key ...]

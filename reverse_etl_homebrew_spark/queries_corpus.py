@@ -35,7 +35,7 @@ from .functions.exactmath import (
 )
 from .operators import aggregates as AG
 from .queries import register
-from .sqlfrags import FINITE_VEC_SQL
+from .sqlfrags import FINITE_VEC_SQL, word_ngram_rows
 from .sources.catalog import load_table
 
 
@@ -49,15 +49,16 @@ def _t(spark, sf_dir, name):
 
 @register(
     "ngram-topk",
-    sql=r"""
+    sql=rf"""
     WITH toks AS (
       SELECT regexp_extract_all(lower(trim(text)), '\S+') AS t
       FROM documents
       WHERE len(regexp_extract_all(lower(trim(text)), '\S+')) >= 2
     ),
     pairs AS (
-      SELECT t[i] || ' ' || t[i + 1] AS bigram
-      FROM toks, UNNEST(range(1, len(t))) AS r(i)
+      SELECT g AS bigram
+      FROM ({word_ngram_rows("toks", 2, id_expr="1", tok_expr="t",
+                             short_docs="drop")})
     )
     SELECT bigram, COUNT(*) AS n
     FROM pairs
@@ -688,14 +689,15 @@ def q_heavy_hitters(spark, sf_dir):
 
 @register(
     "ngram-topk-sketch",
-    sql="""
+    sql=f"""
     WITH norm AS (
       SELECT lower(trim(text)) AS t
       FROM documents
       WHERE length(trim(text)) >= 3
     ), grams AS (
-      SELECT substr(t, i, 3) AS g
-      FROM norm, UNNEST(range(1, length(t) - 1)) AS r(i)
+      {word_ngram_rows("norm", 3, id_expr="1",
+                       tok_expr="string_split(t, '')",
+                       sep="", short_docs="drop")}
     )
     SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
     FROM grams
@@ -744,14 +746,15 @@ def q_ngram_topk_sketch(spark, sf_dir):
 
 @register(
     "heavy-hitters-by-group",
-    sql=r"""
+    sql=rf"""
     WITH norm AS (
       SELECT lang, lower(trim(text)) AS t
       FROM documents
       WHERE length(trim(text)) >= 3
     ), grams AS (
-      SELECT lang, substr(t, i, 3) AS g
-      FROM norm, UNNEST(range(1, length(t) - 1)) AS r(i)
+      {word_ngram_rows("norm", 3, id_expr="lang", id_alias="lang",
+                       tok_expr="string_split(t, '')",
+                       sep="", short_docs="drop")}
     ), c AS (
       SELECT lang, g, COUNT(*) AS cnt FROM grams GROUP BY lang, g
     )
@@ -814,17 +817,23 @@ _LIFT_SQL = sql_round6_int_ratio(
     WITH toks AS (
       SELECT regexp_extract_all(lower(trim(text)), '\S+') AS t
       FROM documents
-    ), uni AS (
-      SELECT u.tok AS w, CAST(COUNT(*) AS BIGINT) AS c1
-      FROM toks, UNNEST(t) AS u(tok)
-      GROUP BY u.tok
-    ), tot AS (
+    ), uni AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(t) AS w FROM toks)
+      GROUP BY w
+    ), tot AS MATERIALIZED (
       SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni
+    ), bi0 AS (
+      SELECT tk AS x, lead(tk, 1) OVER (PARTITION BY __r ORDER BY i) AS y
+      FROM (
+        SELECT __r, unnest(t) AS tk,
+               unnest(generate_series(1, len(t))) AS i
+        FROM (SELECT t, row_number() OVER () AS __r FROM toks)
+      )
     ), bi AS (
-      SELECT t[i] AS x, t[i + 1] AS y, CAST(COUNT(*) AS BIGINT) AS cxy
-      FROM toks, UNNEST(range(1, len(t))) AS r(i)
-      WHERE len(t) >= 2
-      GROUP BY t[i], t[i + 1]
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM bi0 WHERE y IS NOT NULL
+      GROUP BY x, y
     ), scored AS (
       SELECT bi.x || ' ' || bi.y AS bigram, cxy, ux.c1 AS cx, uy.c1 AS cy, n
       FROM bi JOIN uni ux ON bi.x = ux.w

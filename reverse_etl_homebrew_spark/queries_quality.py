@@ -52,9 +52,9 @@ def _t(spark, sf_dir, name):
                '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ', '') AS t
       FROM documents
     ), chars AS (
-      SELECT doc_id, u.ch
-      FROM norm, UNNEST(string_split(t, '')) AS u(ch)
-      WHERE u.ch <> ''
+      SELECT doc_id, ch
+      FROM (SELECT doc_id, unnest(string_split(t, '')) AS ch FROM norm)
+      WHERE ch <> ''
     ), counts AS (
       SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
     ), agg AS (

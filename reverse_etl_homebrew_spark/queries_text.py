@@ -1640,8 +1640,8 @@ _XENT_SQL = sql_round6_dec6_over_int(
       SELECT doc_id AS id, {_NORM_SQL.format(c='text')} AS t FROM documents
       WHERE text IS NOT NULL
     ), grams AS (
-      SELECT id, substr(t, i, 3) AS g
-      FROM norm, unnest(generate_series(1, greatest(length(t) - 2, 1))) AS u(i)
+      {word_ngram_rows('norm', 3, tok_expr="string_split(t, '')",
+                       sep='', short_docs='truncate')}
     ), c3 AS (
       SELECT g, COUNT(*) AS c3 FROM grams GROUP BY g
     ), ctx AS (
@@ -1722,7 +1722,16 @@ def q_weighted_sample(spark, sf_dir):
 # Patterns shared by the Spark and DuckDB sides of pii-scrub: the
 # common Java-regex/RE2 subset (no lookaround, no \d shorthand inside
 # classes) so both engines match the exact same spans.
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# \b-anchored and RFC-bounded ({1,64} local / {1,255} domain), not the
+# textbook unbounded [..]+@[..]+ form: Spark compiles Java regex, whose
+# backtracking find() is O(len^2) on a giant in-class run with no '@' —
+# a single 200k-char token (giant-rows poison lane 34) pinned the
+# engine for minutes while DuckDB's RE2 (linear, no backtracking)
+# finished instantly. The \b makes every mid-run start position fail in
+# O(1) and the bounds cap the per-attempt backtrack at 64; one pattern
+# string feeds BOTH engines, so parity is unaffected (Java and RE2
+# agree on \b = \w boundary). tests/test_giant_rows.py pins the lane.
+_PII_EMAIL = r"\b[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,}"
 _PII_PHONE = r"\b555-[0-9]{4}\b"
 _PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 

@@ -60,6 +60,7 @@ def word_ngram_rows(
     win_alias: str = "g",
     carry: str = "",
     short_docs: str = "truncate",
+    sep: str = " ",
 ) -> str:
     """Linear DuckDB word-n-gram/window row generator: one output row
     per length-``n`` window of ``tok_expr`` (a token LIST column or
@@ -95,10 +96,12 @@ def word_ngram_rows(
     if short_docs not in ("truncate", "drop"):
         raise ValueError(f"short_docs must be truncate|drop, got {short_docs!r}")
     leads = [f"lead(t, {k}) OVER w" for k in range(1, n)]
-    full = " || ' ' || ".join(["t", *leads])
+    joiner = f" || '{sep}' || " if sep else " || "
+    full = joiner.join(["t", *leads])
     if short_docs == "truncate":
+        sep_lit = f"'{sep}' || " if sep else ""
         prefix = " || ".join(
-            ["t", *[f"coalesce(' ' || {ld}, '')" for ld in leads]]
+            ["t", *[f"coalesce({sep_lit}{ld}, '')" for ld in leads]]
         )
         win_expr = (
             f"CASE WHEN {leads[-1]} IS NOT NULL THEN {full} "

@@ -200,3 +200,64 @@ def test_cluster_conf_ships_byte_bounded_arrow():
 
     conf = cluster_conf()
     assert "spark.sql.execution.arrow.maxBytesPerBatch" in conf
+
+
+# ------------------------------------------------ sketch guard under poison
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "fixtures"))
+
+from giant_rows_probe import build_giant_dir  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def giant_dir():
+    return build_giant_dir(SF_DIR)
+
+
+def _char_grams(spark, sf_dir):
+    """The exact gram stream of ngram-topk-sketch (queries_corpus)."""
+    from reverse_etl_homebrew_spark.functions import text as TX
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    return (
+        d.select(t.alias("t"))
+        .filter(F.length("t") >= 3)
+        .select(TX.char_array(F.col("t")).alias("ch"))
+        .select(F.explode(TX.char_ngrams_from(F.col("ch"), 3)).alias("gram"))
+    )
+
+
+def test_sketch_guard_under_giant_vocab(spark, giant_dir):
+    """The giant lanes flatten the char-trigram tail (one 300 kB
+    minified-JS page contributes more gram mass than the rest of the
+    corpus): sketch_k=255 must RAISE the provable-regime guard — loud,
+    never a silent truncation — and the documented knob (a larger
+    sketch_k) must return the exact top-50 again, same contract the
+    adversarial-text corpus pinned (tests/test_adversarial_knobs.py)."""
+    from reverse_etl_homebrew_spark.operators.vectorized import (
+        topk_frequent_sketch,
+    )
+
+    grams = _char_grams(spark, giant_dir)
+    with pytest.raises(Exception, match="provable regime"):
+        topk_frequent_sketch(grams, "gram", k=50, sketch_k=255).collect()
+
+    exact = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(50)
+        .collect()
+    )
+    got = (
+        topk_frequent_sketch(grams, "gram", k=50, sketch_k=4095)
+        .select("gram", "cnt")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
