@@ -59,13 +59,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #     dead code on their bucketed branches and neither calls
 #     query_vector (the dup-span-detect precedent — argued, bounded,
 #     and both carry fresh r13 evidence);
-# (c) the full remaining r10-evidenced cohort (24 keys) — their
-#     evidence turns four rounds old at r14's end, so refreshing them
-#     all now leaves the registry-wide evidence floor at r11.
-# 16 + 10 + 24 = 50 — the cap, exactly saturated. Any key whose code
-# changes later in the round displaces a (c)-cohort member (changed
-# code outranks stale-but-unchanged — the standing rule), and the
-# displaced member is pinned ROLLED_TO_R15.
+# (c) the r10-evidenced cohort — their evidence turns four rounds
+#     old at r14's end; 21 of the 24 stay in-cap (refreshing leaves
+#     the registry-wide evidence floor at r11 for them);
+# (d) keys changed LATE in the round by the duplicate-key/tie poison
+#     class (merge-upsert, running-window, repetition-metrics —
+#     lag-lead also changed but already sits in (c)) — changed code
+#     outranks stale-but-unchanged, so these displaced three (c)
+#     members (split-assign, stratified-sample, watermark-filter)
+#     into ROLLED_TO_R15; the displaced keys' r10 evidence is exactly
+#     4 rounds old at round end, inside the hard floor, and they lead
+#     the r15 cap.
+# 16 + 10 + 21 + 3 = 50 — the cap, exactly saturated.
 #
 # simhash-dedup cap-slot policy (VERDICT r13 #7, the decision
 # recorded): the key is rows-only BY DESIGN — its driver row can only
@@ -134,15 +139,30 @@ _PRIORITY = [
     "topk-similarity-lsh", "topk-similarity-ivf",
     "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
     "corpus-refresh-pipeline", "incremental-knn",
-    # -- (c) the full remaining r10-evidenced cohort --
+    # -- (c) the r10-evidenced cohort (21 after the (d) displacement)
     "audio-resample", "bigram-lift-topk", "distinct-agg",
     "domain-stats", "entropy-quality", "explode-posexplode",
     "funnel-steps", "gap-fill", "heavy-hitters-by-group",
     "image-resize", "lag-lead", "length-histogram", "merge-intervals",
     "mix-weights", "ngram-topk", "ngram-topk-sketch", "null-safe-join",
-    "range-join", "rollup-agg", "split-assign", "stratified-sample",
-    "trigram-lm-score", "video-frame-index", "watermark-filter",
+    "range-join", "rollup-agg",
+    "trigram-lm-score", "video-frame-index",
+    # -- (d) changed LATE in round 14 (the duplicate-key/tie poison
+    #    class, fixtures/dupkey_tie_probe.py): merge-upsert's window
+    #    gained the payload-arbitration total order (code + oracle),
+    #    running-window's and lag-lead's orderings gained the
+    #    o_totalprice tie-break (lag-lead was already in (c)), and
+    #    repetition-metrics' oracle regrouped per physical row after
+    #    the giant-rows rewrite briefly grouped by id (caught by the
+    #    r12 conflict arm inside this round's suite). Changed code
+    #    outranks stale-but-unchanged: these displace the three
+    #    (c)-cohort members below into ROLLED_TO_R15.
+    "merge-upsert", "running-window", "repetition-metrics",
     # ---- 50-cap boundary ----
+    # displaced to r15 (pinned in tests/test_entry_rotation.py; their
+    # r10 evidence is exactly 4 rounds old at r14's end — the hard
+    # floor holds — and they lead the r15 cap)
+    "split-assign", "stratified-sample", "watermark-filter",
 ]
 
 

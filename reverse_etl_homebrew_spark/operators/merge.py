@@ -31,12 +31,30 @@ def upsert_merge(
     Ties on ``order_col`` break toward the incoming batch (__src=1),
     matching MERGE's matched-update-wins behavior; duplicate keys
     *within* the incoming batch also converge deterministically
-    (main.py FIXTURES branch 12 — last writer by order_col wins)."""
+    (main.py FIXTURES branch 12 — last writer by order_col wins).
+
+    The window's ordering must be a TOTAL order over rows that can
+    tie: duplicate keys *within one batch* with equal ``order_col``
+    (the r14 duplicate-key/tie poison class,
+    fixtures/dupkey_tie_probe.py) are otherwise decided by partition
+    merge order — a different winner per re-run, per cluster width,
+    per AQE re-plan. (The reference's serial loop resolves the same
+    tie by ROW ORDER in the batch, which a distributed engine cannot
+    reproduce; BigQuery MERGE itself refuses duplicate source keys.)
+    Arbitration: after (order_col DESC, __src DESC), the remaining
+    payload columns DESC NULLS LAST in schema order — any total rule
+    works, this one is oracle-expressible verbatim and collapses
+    full-duplicate rows to the same output either way."""
     cols = existing.columns
     tagged = existing.select(*cols).withColumn("__src", F.lit(0)).unionByName(
         incoming.select(*cols).withColumn("__src", F.lit(1))
     )
-    w = W.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("__src"))
+    arb = [
+        F.desc_nulls_last(c)
+        for c in cols
+        if c not in keys and c != order_col
+    ]
+    w = W.partitionBy(*keys).orderBy(F.desc(order_col), F.desc("__src"), *arb)
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -557,7 +557,9 @@ def q_set_except(spark, sf_dir):
     SELECT key, val, updated_at FROM (
       SELECT * FROM existing UNION ALL SELECT * FROM incoming
     )
-    QUALIFY row_number() OVER (PARTITION BY key ORDER BY updated_at DESC, src DESC) = 1
+    QUALIFY row_number() OVER (PARTITION BY key
+                               ORDER BY updated_at DESC, src DESC,
+                                        val DESC NULLS LAST) = 1
     """,
 )
 def q_merge_upsert(spark, sf_dir):

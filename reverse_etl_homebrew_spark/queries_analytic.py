@@ -204,10 +204,12 @@ def q_pivot_agg(spark, sf_dir):
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
                   OVER (PARTITION BY o_custkey
-                        ORDER BY o_orderdate NULLS FIRST, o_orderkey
+                        ORDER BY o_orderdate NULLS FIRST, o_orderkey,
+                                 o_totalprice NULLS FIRST
                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
            row_number() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS order_seq
+                              ORDER BY o_orderdate NULLS FIRST, o_orderkey,
+                                       o_totalprice NULLS FIRST) AS order_seq
     FROM orders
     """,
 )
@@ -217,10 +219,19 @@ def q_running_window(spark, sf_dir):
     explicitly on BOTH sides: Spark's ASC default is NULLS FIRST but
     DuckDB's is NULLS LAST, so an implicit ORDER BY over a nullable
     column silently diverges the engines (found by the r10 NULL-
-    robustness probe, fixtures/null_robustness_probe.py)."""
+    robustness probe, fixtures/null_robustness_probe.py).
+
+    o_totalprice rides as the final tie-break (r14 duplicate-key/tie
+    class, fixtures/dupkey_tie_probe.py): the ordering assumed
+    o_orderkey is a unique PK, so duplicate-PK corruption rows tying
+    on (date, key) accumulated in partition-merge order — a different
+    running_spend per re-run on BOTH engines. Price is the only
+    window-visible differing column, so adding it makes the output
+    MULTISET deterministic even for full-duplicate rows."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
-        F.asc_nulls_first("o_orderdate"), "o_orderkey"
+        F.asc_nulls_first("o_orderdate"), "o_orderkey",
+        F.asc_nulls_first("o_totalprice"),
     )
     return o.select(
         "o_custkey",
@@ -238,17 +249,23 @@ def q_running_window(spark, sf_dir):
     sql="""
     SELECT o_custkey, o_orderkey,
            lag(o_totalprice) OVER (PARTITION BY o_custkey
-                                   ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev_price,
+                                   ORDER BY o_orderdate NULLS FIRST, o_orderkey,
+                                            o_totalprice NULLS FIRST) AS prev_price,
            lead(o_totalprice) OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS next_price
+                                    ORDER BY o_orderdate NULLS FIRST, o_orderkey,
+                                             o_totalprice NULLS FIRST) AS next_price
     FROM orders
     """,
 )
 def q_lag_lead(spark, sf_dir):
-    """NULLS FIRST made explicit on both sides — see q_running_window."""
+    """NULLS FIRST made explicit on both sides — see q_running_window,
+    including the r14 o_totalprice tie-break (duplicate-PK rows tying
+    on (date, key) otherwise swap their lag/lead neighbors per
+    re-run)."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
-        F.asc_nulls_first("o_orderdate"), "o_orderkey"
+        F.asc_nulls_first("o_orderdate"), "o_orderkey",
+        F.asc_nulls_first("o_totalprice"),
     )
     return o.select(
         "o_custkey",

@@ -696,13 +696,13 @@ def q_incremental_dup_spans(spark, sf_dir):
     ), toks AS (
       SELECT id, string_split(t, ' ') AS w FROM norm
     ), g AS (
-      {word_ngram_rows('toks', 2)}
+      {word_ngram_rows('toks', 2, row_alias='__r')}
     )
     SELECT id AS doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams,
            1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_frac
-    FROM g GROUP BY id
+    FROM g GROUP BY __r, id
     """,
 )
 def q_repetition_metrics(spark, sf_dir):
@@ -714,11 +714,15 @@ def q_repetition_metrics(spark, sf_dir):
     sides (r10 NULL-robustness probe — the gram floor otherwise gives
     the two engines different degenerate rows for them).
 
-    The oracle is per-row list math (len/list_distinct over the gram
-    LIST), not unnest + GROUP BY id: grouping silently assumes doc_id
-    uniqueness, and the r11 NULL-key probe showed all NULL-id docs
-    collapsing into one oracle row while the engine — correctly —
-    stays per-row map-side."""
+    The oracle groups by the generator's synthetic per-PHYSICAL-ROW
+    key (``row_alias``), never doc_id alone: grouping by id silently
+    assumes doc_id uniqueness — the r11 NULL-key probe showed NULL-id
+    docs collapsing into one oracle row, and the r12
+    conflicting-redelivery arm showed same-id conflicting versions
+    merging their bigram sets — while the engine, correctly, stays
+    per-row map-side. (The r14 giant-rows oracle rewrite to the linear
+    window generator briefly grouped by id and the conflict arm caught
+    it — the per-row key restores the pinned contract.)"""
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", F.split(TX.normalized_text(F.col("text")), " ").alias("__toks")

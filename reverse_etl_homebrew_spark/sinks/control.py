@@ -196,7 +196,13 @@ class ControlTables:
                 & (F.col("status") == "success")
                 & F.col("high_watermark").isNotNull()
             )
-            .orderBy(F.desc("finished_at"))
+            # (finished_at DESC, high_watermark DESC) is a TOTAL order
+            # over the rows that can tie: two successes finishing at
+            # the same instant (r14 duplicate-key/tie class) must
+            # yield ONE deterministic watermark — the max among the
+            # tied finishes, the monotone choice. finished_at alone
+            # left the pick to partition merge order.
+            .orderBy(F.desc("finished_at"), F.desc("high_watermark"))
             .limit(1)
             .select("high_watermark")
             .first()

@@ -61,6 +61,7 @@ def word_ngram_rows(
     carry: str = "",
     short_docs: str = "truncate",
     sep: str = " ",
+    row_alias: str = "",
 ) -> str:
     """Linear DuckDB word-n-gram/window row generator: one output row
     per length-``n`` window of ``tok_expr`` (a token LIST column or
@@ -92,6 +93,14 @@ def word_ngram_rows(
 
     ``carry`` names extra source columns to project through, as
     ``", col1, col2"``.
+
+    ``row_alias``, when non-empty, projects the synthetic per-row key
+    itself out under that name, so a caller whose aggregation is
+    per-PHYSICAL-ROW (not per-id) can ``GROUP BY`` it. Grouping on the
+    id column alone silently assumes id uniqueness — under duplicate
+    ids (the r12 conflicting-redelivery arm, same doc_id delivered
+    twice with different text) a per-id group merges the versions'
+    windows while a per-row engine plan keeps them separate.
     """
     if short_docs not in ("truncate", "drop"):
         raise ValueError(f"short_docs must be truncate|drop, got {short_docs!r}")
@@ -109,9 +118,11 @@ def word_ngram_rows(
         )
     else:
         win_expr = f"CASE WHEN {leads[-1]} IS NOT NULL THEN {full} END"
+    row_out = f", __r AS {row_alias}" if row_alias else ""
+    row_mid = ", __r" if row_alias else ""
     return f"""
-      SELECT {id_alias}{carry}, {win_alias} FROM (
-        SELECT {id_alias}{carry}, i, {win_expr} AS {win_alias}
+      SELECT {id_alias}{carry}, {win_alias}{row_out} FROM (
+        SELECT {id_alias}{carry}, i{row_mid}, {win_expr} AS {win_alias}
         FROM (
           SELECT {id_alias}{carry}, __r,
                  unnest(__tl) AS t,

@@ -54,8 +54,10 @@ def _latest_evidence() -> dict[str, int]:
 #     are byte-identity exempt (the exact-branch edit is dead code on
 #     the bucketed branches; neither calls query_vector) and carry
 #     fresh r13 evidence;
-# (c) the full remaining r10-evidenced cohort (24 keys), whose
-#     evidence turns four rounds old at r14's end.
+# (c) the r10-evidenced cohort (21 of 24 — three displaced into
+#     ROLLED_TO_R15 by the late-round (d) changes), whose evidence
+#     turns four rounds old at r14's end;
+# (d) keys changed late in the round by the duplicate-key/tie class.
 MUST_RUN_R14 = {
     # (a) the ROLLED_TO_R14 leads
     "threetier-composite", "heavy-hitters",
@@ -69,14 +71,20 @@ MUST_RUN_R14 = {
     "topk-similarity-lsh", "topk-similarity-ivf",
     "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
     "corpus-refresh-pipeline", "incremental-knn",
-    # (c) the r10 cohort
+    # (c) the r10 cohort (21 of 24 — three displaced by (d))
     "audio-resample", "bigram-lift-topk", "distinct-agg",
     "domain-stats", "entropy-quality", "explode-posexplode",
     "funnel-steps", "gap-fill", "heavy-hitters-by-group",
     "image-resize", "lag-lead", "length-histogram", "merge-intervals",
     "mix-weights", "ngram-topk", "ngram-topk-sketch", "null-safe-join",
-    "range-join", "rollup-agg", "split-assign", "stratified-sample",
-    "trigram-lm-score", "video-frame-index", "watermark-filter",
+    "range-join", "rollup-agg",
+    "trigram-lm-score", "video-frame-index",
+    # (d) changed late in round 14 — the duplicate-key/tie poison
+    # class fixes (fixtures/dupkey_tie_probe.py): merge-upsert's
+    # payload-arbitration total order (code + oracle), running-window
+    # and lag-lead's o_totalprice tie-break (lag-lead already in (c)),
+    # and repetition-metrics' per-physical-row oracle regroup
+    "merge-upsert", "running-window", "repetition-metrics",
 }
 
 # The set pinned by round 13's test file — r14 must discharge it
@@ -89,12 +97,15 @@ ROLLED_TO_R14 = {
     "retry-threshold", "roi-projection", "vocab-stats",
 }
 
-# Keys displaced from the r14 cap by late-round changed/new keys —
-# pinned as the r15 leads (the ROLLED_TO_R13/R14 convention). Empty
-# so far: the r14 cap fit its three cohorts exactly. Any later-round
-# change must displace a (c)-cohort member INTO this set, never
-# silently exceed the cap.
-ROLLED_TO_R15: set[str] = set()
+# Keys displaced from the r14 cap by late-round changed keys (the
+# ROLLED_TO_R13/R14 convention): the duplicate-key/tie class changed
+# merge-upsert / running-window / repetition-metrics after the cap
+# was counted, displacing these three (c)-cohort members. Their r10
+# evidence is exactly 4 rounds old at r14's end — inside the hard
+# floor below — and they lead the r15 cap.
+ROLLED_TO_R15: set[str] = {
+    "split-assign", "stratified-sample", "watermark-filter",
+}
 
 
 def test_priority_has_no_duplicates_and_resolves():
