@@ -62,15 +62,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the r10-evidenced cohort — their evidence turns four rounds
 #     old at r14's end; 21 of the 24 stay in-cap (refreshing leaves
 #     the registry-wide evidence floor at r11 for them);
-# (d) keys changed LATE in the round by the duplicate-key/tie poison
-#     class (merge-upsert, running-window, repetition-metrics —
-#     lag-lead also changed but already sits in (c)) — changed code
-#     outranks stale-but-unchanged, so these displaced three (c)
-#     members (split-assign, stratified-sample, watermark-filter)
-#     into ROLLED_TO_R15; the displaced keys' r10 evidence is exactly
-#     4 rounds old at round end, inside the hard floor, and they lead
-#     the r15 cap.
-# 16 + 10 + 21 + 3 = 50 — the cap, exactly saturated.
+# (d) keys changed or NEW late in the round: the duplicate-key/tie
+#     poison class changed merge-upsert, running-window,
+#     repetition-metrics (lag-lead also changed but already sits in
+#     (c)), and pack-chunks shipped new — changed/new code
+#     outranks stale-but-unchanged, so these displaced four (c)
+#     members (split-assign, stratified-sample, watermark-filter,
+#     merge-intervals) into ROLLED_TO_R15; the displaced keys' r10
+#     evidence is exactly 4 rounds old at round end, inside the hard
+#     floor, and they lead the r15 cap.
+# 16 + 10 + 20 + 4 = 50 — the cap, exactly saturated.
 #
 # simhash-dedup cap-slot policy (VERDICT r13 #7, the decision
 # recorded): the key is rows-only BY DESIGN — its driver row can only
@@ -143,26 +144,30 @@ _PRIORITY = [
     "audio-resample", "bigram-lift-topk", "distinct-agg",
     "domain-stats", "entropy-quality", "explode-posexplode",
     "funnel-steps", "gap-fill", "heavy-hitters-by-group",
-    "image-resize", "lag-lead", "length-histogram", "merge-intervals",
+    "image-resize", "lag-lead", "length-histogram",
     "mix-weights", "ngram-topk", "ngram-topk-sketch", "null-safe-join",
     "range-join", "rollup-agg",
     "trigram-lm-score", "video-frame-index",
-    # -- (d) changed LATE in round 14 (the duplicate-key/tie poison
-    #    class, fixtures/dupkey_tie_probe.py): merge-upsert's window
-    #    gained the payload-arbitration total order (code + oracle),
-    #    running-window's and lag-lead's orderings gained the
-    #    o_totalprice tie-break (lag-lead was already in (c)), and
+    # -- (d) changed or NEW late in round 14: the duplicate-key/tie
+    #    poison class (fixtures/dupkey_tie_probe.py) changed
+    #    merge-upsert's window (payload-arbitration total order, code
+    #    + oracle) and running-window / lag-lead's orderings
+    #    (o_totalprice tie-break; lag-lead was already in (c));
     #    repetition-metrics' oracle regrouped per physical row after
     #    the giant-rows rewrite briefly grouped by id (caught by the
-    #    r12 conflict arm inside this round's suite). Changed code
-    #    outranks stale-but-unchanged: these displace the three
-    #    (c)-cohort members below into ROLLED_TO_R15.
+    #    r12 conflict arm inside this round's suite); and
+    #    pack-chunks is NEW (the chunk → pack composite — the
+    #    zero-history-never-waits rule). Changed/new code outranks
+    #    stale-but-unchanged: these displace the four (c)-cohort
+    #    members below into ROLLED_TO_R15.
     "merge-upsert", "running-window", "repetition-metrics",
+    "pack-chunks",
     # ---- 50-cap boundary ----
     # displaced to r15 (pinned in tests/test_entry_rotation.py; their
     # r10 evidence is exactly 4 rounds old at r14's end — the hard
     # floor holds — and they lead the r15 cap)
     "split-assign", "stratified-sample", "watermark-filter",
+    "merge-intervals",
 ]
 
 

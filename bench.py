@@ -163,6 +163,11 @@ HEAVY_ADDITIONS = [
     # corpus-prep-pipeline so the batch-vs-incremental cost of the
     # same chain stays measured
     "corpus-refresh-pipeline",
+    # r14: the chunk → pack composite (GPT-style 512-token packing,
+    # shard-local sequence ids, ONE window shuffle, chunk text pruned
+    # out of the plan); its ledger row sits next to chunk-documents
+    # so the packer's marginal cost over the chunker stays measured
+    "pack-chunks",
 ]
 
 

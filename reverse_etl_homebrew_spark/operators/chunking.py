@@ -83,3 +83,75 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    cap: int,
+    shard_cols: tuple = ("lang",),
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    ntok_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Token-packing layout for training-sequence assembly: map each
+    chunk onto fixed-capacity (``cap``-token) sequences by contiguous
+    concatenation within a shard — the GPT-style packing recipe where
+    the token stream is split at exact ``cap`` boundaries and a chunk
+    may straddle two (or more) sequences. The reference ships whole
+    rows (main.py:558-575 builds per-row payloads); this is the
+    extension-tier step AFTER chunk_documents that turns a filtered
+    corpus into the dense fixed-length batches a trainer consumes.
+
+    Output: one row per input chunk —
+    ``(*shard_cols, id_col, chunk_col, n_tok, tok_start, seq_first,
+    seq_last, seq_offset)`` where ``tok_start`` is the chunk's 0-based
+    offset in its shard's token stream, ``seq_first``/``seq_last`` the
+    shard-local sequence ids it lands in (``seq_last > seq_first`` iff
+    the chunk straddles a boundary), and ``seq_offset`` its offset
+    inside ``seq_first``. All arithmetic is integer-exact (``div`` /
+    ``%``, never double division — a shard's token stream can exceed
+    2^53 long before it exceeds int64).
+
+    Scale shape: ONE shuffle — the per-shard window sort — then pure
+    arithmetic; output volume equals input volume. Sequence ids are
+    deliberately SHARD-LOCAL (the composite key (*shard_cols, seq_id)
+    is globally unique): a global id would need a second all-shard
+    pass for offsets, while shard-local ids make packing
+    embarrassingly parallel — the 100 TB contract is that shards
+    (lang × hash-bucket in production) are sized to an executor, the
+    same discipline as the span/ANN bucket layouts. The ordering
+    (id, chunk, n_tok) is TOTAL over output-distinguishable rows (the
+    r14 duplicate-key/tie class): rows tying on all three are
+    output-identical, so the packing multiset is deterministic at any
+    width even under duplicate-id corruption.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap=}")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(*shard_cols)
+        .orderBy(id_col, chunk_col, ntok_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tok_start = (F.sum(ntok_col).over(w) - F.col(ntok_col)).cast("long")
+    out = chunks.select(
+        *shard_cols,
+        id_col,
+        chunk_col,
+        F.col(ntok_col).cast("long").alias("n_tok"),
+        tok_start.alias("tok_start"),
+    )
+    c = F.lit(int(cap))
+    return out.select(
+        *shard_cols,
+        id_col,
+        chunk_col,
+        "n_tok",
+        "tok_start",
+        F.expr(f"tok_start div {int(cap)}").cast("long").alias("seq_first"),
+        F.expr(f"(tok_start + n_tok - 1) div {int(cap)}")
+        .cast("long")
+        .alias("seq_last"),
+        (F.col("tok_start") % c).cast("long").alias("seq_offset"),
+    )

@@ -1058,6 +1058,60 @@ def q_chunk_documents(spark, sf_dir):
 
 
 @register(
+    "pack-chunks",
+    sql=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(trim(text), '\S+')) AS n
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), ch AS (
+      SELECT doc_id, lang,
+             CAST((i - 1) / 48 AS BIGINT) AS chunk_id,
+             CAST(least(64, n - i + 1) AS BIGINT) AS n_tok
+      FROM toks, unnest(generate_series(1, greatest(n - 16, 1), 48)) AS u(i)
+      WHERE n >= 1
+    ), packed AS (
+      SELECT lang, doc_id, chunk_id, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY lang
+                                   ORDER BY doc_id, chunk_id, n_tok
+                                   ROWS UNBOUNDED PRECEDING) - n_tok
+                  AS BIGINT) AS tok_start
+      FROM ch
+    )
+    SELECT lang, doc_id, chunk_id, n_tok, tok_start,
+           CAST(tok_start // 512 AS BIGINT) AS seq_first,
+           CAST((tok_start + n_tok - 1) // 512 AS BIGINT) AS seq_last,
+           CAST(tok_start % 512 AS BIGINT) AS seq_offset
+    FROM packed
+    """,
+)
+def q_pack_chunks(spark, sf_dir):
+    """Chunk → pack composite: GPT-style token packing of the CHUNKED
+    corpus into 512-token training sequences at exact token
+    boundaries (chunks straddle), sharded per lang
+    (operators/chunking.py::pack_sequences — the step the chunker's
+    docstring promises). The sibling `pack-sequences` key is the
+    DOC-granular greedy packer (whole docs into ~2048-token bins, a
+    per-bin report); this one emits the chunk→sequence LAYOUT a
+    trainer's data loader consumes. The chunk TEXT is never
+    materialized: the packer consumes only (shard, id, chunk_id,
+    n_tok), so Catalyst prunes the slice/concat out of the plan and
+    the oracle computes n_tok arithmetically (least(64, n - i + 1)).
+    One shuffle total — the per-shard window sort; sequence ids are
+    shard-local by design (see the operator docstring's 100 TB
+    contract)."""
+    chunks = CH.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        size=64,
+        stride=48,
+        carry=("lang",),
+    )
+    return CH.pack_sequences(chunks, cap=512, shard_cols=("lang",))
+
+
+@register(
     "corpus-diff",
     sql="""
     WITH a AS (

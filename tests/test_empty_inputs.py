@@ -63,6 +63,9 @@ KEYS = [
     # must flow through diff → admission → probes → subtractive stats
     # to a schema-correct empty report
     "corpus-refresh-pipeline",
+    # r14: the chunk → pack composite — an empty corpus must yield a
+    # schema-correct empty packing (the window over zero rows)
+    "pack-chunks",
 ]
 
 

@@ -71,20 +71,22 @@ MUST_RUN_R14 = {
     "topk-similarity-lsh", "topk-similarity-ivf",
     "hybrid-rrf", "kmeans-assign", "kmeans-iterate",
     "corpus-refresh-pipeline", "incremental-knn",
-    # (c) the r10 cohort (21 of 24 — three displaced by (d))
+    # (c) the r10 cohort (20 of 24 — four displaced by (d))
     "audio-resample", "bigram-lift-topk", "distinct-agg",
     "domain-stats", "entropy-quality", "explode-posexplode",
     "funnel-steps", "gap-fill", "heavy-hitters-by-group",
-    "image-resize", "lag-lead", "length-histogram", "merge-intervals",
+    "image-resize", "lag-lead", "length-histogram",
     "mix-weights", "ngram-topk", "ngram-topk-sketch", "null-safe-join",
     "range-join", "rollup-agg",
     "trigram-lm-score", "video-frame-index",
-    # (d) changed late in round 14 — the duplicate-key/tie poison
-    # class fixes (fixtures/dupkey_tie_probe.py): merge-upsert's
+    # (d) changed or NEW late in round 14 — the duplicate-key/tie
+    # poison class fixes (fixtures/dupkey_tie_probe.py): merge-upsert's
     # payload-arbitration total order (code + oracle), running-window
     # and lag-lead's o_totalprice tie-break (lag-lead already in (c)),
-    # and repetition-metrics' per-physical-row oracle regroup
+    # repetition-metrics' per-physical-row oracle regroup, and the new
+    # pack-chunks composite (zero-history-never-waits)
     "merge-upsert", "running-window", "repetition-metrics",
+    "pack-chunks",
 }
 
 # The set pinned by round 13's test file — r14 must discharge it
@@ -97,14 +99,16 @@ ROLLED_TO_R14 = {
     "retry-threshold", "roi-projection", "vocab-stats",
 }
 
-# Keys displaced from the r14 cap by late-round changed keys (the
+# Keys displaced from the r14 cap by late-round changed/new keys (the
 # ROLLED_TO_R13/R14 convention): the duplicate-key/tie class changed
-# merge-upsert / running-window / repetition-metrics after the cap
-# was counted, displacing these three (c)-cohort members. Their r10
-# evidence is exactly 4 rounds old at r14's end — inside the hard
-# floor below — and they lead the r15 cap.
+# merge-upsert / running-window / repetition-metrics, and
+# pack-chunks shipped new, after the cap was counted — displacing
+# these four (c)-cohort members. Their r10 evidence is exactly 4
+# rounds old at r14's end — inside the hard floor below — and they
+# lead the r15 cap.
 ROLLED_TO_R15: set[str] = {
     "split-assign", "stratified-sample", "watermark-filter",
+    "merge-intervals",
 }
 
 
