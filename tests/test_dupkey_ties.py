@@ -72,6 +72,7 @@ def duck(dup_dir):
 
 
 def _engine_rowset(spark, name, data_dir, width):
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         sdf = Q.QUERIES[name](spark, data_dir)
@@ -79,7 +80,7 @@ def _engine_rowset(spark, name, data_dir, width):
             sdf.columns, [tuple(r) for r in sdf.collect()]
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 @pytest.mark.parametrize("name", TIE_KEYS)
@@ -108,6 +109,7 @@ def test_upsert_merge_in_batch_tie_is_deterministic(spark):
         [(1, 77.0, ts), (1, 33.0, ts), (3, 5.0, ts)],
         "key long, val double, updated_at timestamp",
     )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     for width in (2, 16):
         spark.conf.set("spark.sql.shuffle.partitions", str(width))
         try:
@@ -118,7 +120,7 @@ def test_upsert_merge_in_batch_tie_is_deterministic(spark):
                 ).collect()
             }
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
         assert out == {1: 77.0, 2: 20.0, 3: 5.0}
 
 

@@ -85,12 +85,13 @@ def test_width_invariance(spark):
     """Packing is deterministic at any shuffle width (the r14
     duplicate-key/tie discipline)."""
     outs = []
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     for width in ("5", "32"):
         spark.conf.set("spark.sql.shuffle.partitions", width)
         try:
             outs.append(sorted(map(tuple, _packed(spark).collect())))
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert outs[0] == outs[1]
 
 
