@@ -33,10 +33,61 @@ def topk_brute(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    pre_scoped: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine (or dot) against a literal query vector.
     Scores are rounded to 6 decimals for cross-run determinism, with
-    the id as tie-break."""
+    the id as tie-break.
+
+    ``pre_scoped=True`` (r14 optimization round): the caller
+    guarantees every input row already passed the finite-geometry
+    scope — true for the LSH/IVF candidate paths, whose masking
+    kernels (NULL bucket / NULL cell) excluded corrupt vectors before
+    the probe filter. Skipping the redundant ``finite_geometry``
+    filter here removes a second inlined dim-term fold from the
+    candidate-scoring stage; with it, that stage's generated
+    ``processNext()`` crossed janino's 64 KB method limit and the
+    WHOLE stage (probe ``isin`` over every row + scoring) silently
+    ran interpreted (ERROR CodeGenerator fallback — measured 10.8 s
+    vs 1.3 s at sf0.1 on topk-similarity-lsh). Results are identical:
+    the scope was already applied upstream."""
+    if not pre_scoped and metric == "cosine":
+        # Un-scoped cosine spelling (r14 optimization round): the old
+        # form — finite_geometry filter + cosine_literal — inlined
+        # THREE dim-term folds into one stage (filter self-dot + the
+        # when-condition norm + the denominator norm) and crossed
+        # janino's 64 KB method limit at dim 64, so the whole scoring
+        # stage ran interpreted (hybrid-rrf's vector leg: measured
+        # 8.8 s → 3.9 s at sf0.1 once compiled). The exact-knn-branch
+        # idiom fixes the width structurally: the per-row norm comes
+        # from the fold-exact Arrow kernel (bit-identical doubles,
+        # nondeterministic = pushdown barrier), the finite-geometry
+        # scope becomes a SCALAR filter on that column (NaN fold →
+        # NULL at the Arrow boundary; overflow → +Inf — both legs,
+        # the r14 advisor contract), and codegen keeps exactly ONE
+        # dim-term fold (the query dot). Scores are bit-identical:
+        # same fold doubles, same (norm × qn) denominator, same
+        # when(den > 0) NULL semantics for zero-norm vectors.
+        import math
+
+        from .vectorized import norm_fold_pandas
+
+        qn = F.lit(math.sqrt(VEC._py_dot(query, query)))
+        _nrm = norm_fold_pandas()
+        base = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), F.col(vec_col), _nrm(F.col(vec_col)).alias("__nrm"))
+            .where(F.col("__nrm").isNotNull() & (F.col("__nrm") < F.lit(float("inf"))))
+        )
+        score = F.when(
+            F.col("__nrm") * qn > 0,
+            VEC.dot_literal(F.col(vec_col), query) / (F.col("__nrm") * qn),
+        )
+        return (
+            base.select(F.col(id_col), F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k)
+        )
     score = (
         VEC.cosine_literal(F.col(vec_col), query)
         if metric == "cosine"
@@ -44,9 +95,10 @@ def topk_brute(
     )
     # finite-geometry scope (r13 non-finite components class): a NaN
     # score would rank differently under the two engines' NaN orders
+    if not pre_scoped:
+        df = df.where(VEC.finite_geometry(F.col(vec_col), len(query)))
     return (
-        df.where(VEC.finite_geometry(F.col(vec_col), len(query)))
-        .select(F.col(id_col), F.round(score, 6).alias("score"))
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -98,12 +150,14 @@ def topk_lsh(
     cand = (
         # the masking bucketer gives corrupt vectors a NULL bucket,
         # which isin() drops — the finite-geometry scope for free;
-        # topk_brute re-scopes the (small) candidate set
+        # pre_scoped tells topk_brute NOT to re-scope (the redundant
+        # second fold pushed the candidate stage past janino's 64 KB
+        # method limit and the probe filter ran interpreted — r14)
         df.where(F.col(vec_col).isNotNull())
         .withColumn("__bucket", F.element_at(bucketer(F.col(vec_col)), 1))
         .filter(F.col("__bucket").isin(probe_buckets))
     )
-    return topk_brute(cand, query, k, id_col, vec_col)
+    return topk_brute(cand, query, k, id_col, vec_col, pre_scoped=True)
 
 
 def knn_join(

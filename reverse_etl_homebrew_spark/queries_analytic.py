@@ -387,7 +387,11 @@ def q_topk_similarity_ivf(spark, sf_dir):
     cand = assigned.filter(F.col("ivf_cell").isin(probe_cells)).select(
         "vec_id", "embedding"
     )
-    out = topk_brute(cand, query, k=10)
+    # pre_scoped: the masking assign kernel gave corrupt vectors a
+    # NULL cell, which isin() dropped — re-scoping with a second
+    # inlined fold pushed the candidate stage past janino's 64 KB
+    # method limit and it ran interpreted (r14 optimization round)
+    out = topk_brute(cand, query, k=10, pre_scoped=True)
     return out if found else out.where(F.lit(False))
 
 
