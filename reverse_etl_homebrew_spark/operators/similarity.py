@@ -683,14 +683,28 @@ def bm25_topk(
         F.col(id_col).alias("id"),
         F.explode(F.split(TX.normalized_text(F.col(text_col)), " ")).alias("term"),
     )
-    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # r14 optimization round: ONE corpus tokenize instead of two. The
+    # old shape consumed `toks` twice (doc lengths + query-term tf),
+    # re-running the normalize→split→explode corpus scan per consumer.
+    # The masked regroup (the heavy-hitters recount idiom) folds both
+    # into a single explode + single (id, masked-term) aggregation:
+    # non-query terms collapse into one NULL bucket per doc, so the
+    # shuffle carries ≤ |query|+1 partially-aggregated rows per doc,
+    # and dl / tf / stats all derive from the pinned tiny result
+    # (≤ (|query|+1) × docs rows — a staging table in production
+    # terms). Counts are integers, identical by construction.
+    mterm = F.when(F.col("term").isin(terms), F.col("term"))
+    grouped = (
+        toks.groupBy("id", mterm.alias("term"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    doclen = grouped.groupBy("id").agg(F.sum("cnt").cast("long").alias("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = grouped.filter(F.col("term").isNotNull()).select(
+        "id", "term", F.col("cnt").alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
@@ -811,7 +825,21 @@ def trigram_lm_score(
         "id",
         F.explode(TX.char_ngrams_from(F.col("__ch"), 3)).alias("g"),
     )
-    c3 = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
+    # r14 optimization round: pin the trigram count table. c3 feeds
+    # THREE consumers (ctx re-aggregation, the alphabet count, the
+    # model join spine) and each reference otherwise re-runs the
+    # whole normalize→char-split→explode corpus scan — the before
+    # plan held FOUR Generate passes over documents for one query.
+    # c3 is vocabulary-bounded (≤ V³ rows — ~32k at sf0.1), so the
+    # pin is a tiny staging table in production terms (the _pin
+    # discipline), and the corpus is now scanned exactly twice:
+    # once to count, once to score — the two-scan floor this
+    # operator shares with heavy-hitters.
+    c3 = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .localCheckpoint(eager=False)
+    )
     ctx = c3.groupBy(F.substring("g", 1, 2).alias("pfx")).agg(
         F.sum("c3").alias("c2")
     )
@@ -833,7 +861,16 @@ def trigram_lm_score(
         )
     )
     return (
-        grams.join(model, ["g"])
+        # broadcast the model DELIBERATELY (guide §3.1): it is
+        # vocabulary-bounded by construction, but Catalyst cannot
+        # estimate a post-aggregation size — locally it had picked the
+        # reverse build side (broadcasting the EXPLODED gram stream,
+        # which only "fits" because the sf0.1 file-size estimate is
+        # small; at corpus scale that flips to a sort-merge join that
+        # shuffles every gram occurrence by its trigram). With the
+        # hint the occurrence stream never shuffles: explode → probe
+        # the broadcast model → partial-agg per doc.
+        grams.join(F.broadcast(model), ["g"])
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),

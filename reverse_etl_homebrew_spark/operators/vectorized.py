@@ -525,15 +525,38 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     item_type = df.schema[col].dataType
     arrow_item = to_arrow_type(item_type)
 
+    # Arrow batches arrive at ~10k rows; merging distinct items per
+    # batch runs the Python pair loop once per batch over that batch's
+    # distinct set. Buffering ~256k rows per C++ value_counts keeps
+    # the loop at distinct-per-CHUNK — the same ~25× Python-loop cut
+    # the grouped twin (misra_gries_candidates_by_group) already
+    # documents; the mergeable-summaries algebra is indifferent to the
+    # chunking (pre-counted chunks merge the same as rows). Applied to
+    # the ungrouped path in the r14 optimization round.
+    chunk_rows = 1 << 18
+
     def summarize(batches):
         counts: dict = {}
-        for batch in batches:
-            vc = pa.compute.value_counts(batch.column(0))
+
+        def flush(buf):
+            vc = pa.compute.value_counts(
+                pa.chunked_array([b.column(0) for b in buf])
+            )
             _mg_merge_pairs(
                 counts,
                 zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()),
                 k,
             )
+
+        buf, buffered = [], 0
+        for batch in batches:
+            buf.append(batch)
+            buffered += batch.num_rows
+            if buffered >= chunk_rows:
+                flush(buf)
+                buf, buffered = [], 0
+        if buf:
+            flush(buf)
         # yield nothing for empty summaries (equal-counts compression
         # can drop every held item): an empty python list would
         # type-infer as null and fight the declared schema
