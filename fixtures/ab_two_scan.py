@@ -138,9 +138,63 @@ def b_bm25(spark, sf_dir):
     )
 
 
+def b_bigram_lift(spark, sf_dir):
+    """bigram-lift-topk pre-r14: un-pinned unigram table — its three
+    consumers (total, x-join, y-join) each re-ran the corpus explode
+    (four Generate passes)."""
+    from reverse_etl_homebrew_spark.functions import text as TX
+    from reverse_etl_homebrew_spark.functions.exactmath import (
+        guard_den_mul,
+        guard_mul,
+        round6_int_ratio,
+    )
+    from reverse_etl_homebrew_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("long").alias("n"))
+    t = F.col("t")
+    pairs = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .withColumn("x", F.element_at(F.split("bigram", " "), 1))
+        .withColumn("y", F.element_at(F.split("bigram", " "), 2))
+    )
+    ux = uni.select(F.col("w").alias("x"), F.col("c1").alias("cx"))
+    uy = uni.select(F.col("w").alias("y"), F.col("c1").alias("cy"))
+    return (
+        bi.filter(F.col("cxy") >= 5)
+        .join(ux, ["x"])
+        .join(uy, ["y"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bigram",
+            "cxy",
+            round6_int_ratio(
+                guard_mul("cxy", "n"), guard_den_mul("cx", "cy")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(50)
+    )
+
+
 B_ARMS = {
     "trigram-lm-score": b_trigram,
     "bm25-topk": b_bm25,
+    "bigram-lift-topk": b_bigram_lift,
 }
 
 

@@ -491,10 +491,22 @@ def incremental_dedup(
     narrow string per historical doc — in production a bucketed
     fingerprint table, so the anti-join co-locates without a fact
     shuffle); the batch side is a single hash-partitioned pass. No
-    full-corpus re-dedup per ingest."""
+    full-corpus re-dedup per ingest.
+
+    The inline-derived index is PINNED (r14 optimization round): the
+    anti-join gets pushed through a multi-branch batch union, and each
+    branch then re-derived the whole seen-corpus scan→sha256→distinct
+    subtree — the registered incremental-dedup plan executed the seen
+    corpus SIX times (3 union branches × the survivor join's double
+    consumption; AQE exchange reuse did not fire on the post-pushdown
+    subtrees). In production the index IS a persisted table
+    (build_fingerprint_index docstring), so the pin is the local
+    stand-in, not an extra cost."""
     return incremental_dedup_against_index(
         new_batch,
-        build_fingerprint_index(seen, text_col, fp_col="__fp"),
+        build_fingerprint_index(seen, text_col, fp_col="__fp").localCheckpoint(
+            eager=False
+        ),
         text_col,
         id_col,
         fp_col="__fp",
@@ -551,6 +563,16 @@ def incremental_dedup_against_index(
     bucketed layout exists to keep in place)."""
     seen_fp = fp_index.select(F.col(fp_col).alias("__fp"))
     batch = new_batch.withColumn("__fp", TX.sha_fingerprint(text_col))
+    # ``fresh`` is deliberately NOT pinned here even though the
+    # survivor election consumes it twice (min-id per fingerprint +
+    # the join back onto the batch rows): the differential plan pins
+    # in tests/test_refresh_pipeline.py count the index-side Exchanges
+    # through this exact subtree (it is planned twice in the
+    # un-deduplicated plan text — their docstrings rely on that), and
+    # at scale the double consumption is of the DELTA, not the corpus.
+    # The local composite ``incremental_dedup`` pins the inline-built
+    # INDEX instead — the corpus-proportional term (r14 optimization
+    # round).
     fresh = batch.join(seen_fp, ["__fp"], "left_anti")
     w_min = (
         fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col, "__fp")

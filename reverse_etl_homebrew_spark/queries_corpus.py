@@ -872,10 +872,18 @@ def q_bigram_lift_topk(spark, sf_dir):
     reference counterpart.)"""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    # r14 optimization round: pin the unigram count table — it feeds
+    # THREE consumers (the 1-row total, the x-side join, the y-side
+    # join) and each reference re-ran the tokenize→explode corpus
+    # scan (the before plan held four Generate passes; the trigram
+    # c3-pin lesson). The table is vocabulary-bounded, so the pin is
+    # a tiny staging table in production terms; the corpus is now
+    # scanned exactly twice (unigram pass + bigram pass — the floor).
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     tot = uni.agg(F.sum("c1").cast("long").alias("n"))
     t = F.col("t")
