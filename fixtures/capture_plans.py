@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Capture .explain('formatted') for every bench query into
-plans/r14/<query>_<tag>.txt (optimization-round evidence: the judge
-checks plan claims against these files).
+plans/<round>/<query>_<tag>.txt (optimization-round evidence: the
+judge checks plan claims against these files).
 
 Usage: python fixtures/capture_plans.py <tag> [query ...]
   tag    = e.g. 'before' / 'after'
   query  = optional subset; default is every bench query
            (HEADLINE + HEAVY_ADDITIONS).
+  round  = $SPARK_GRAFT_PLAN_ROUND (default 'r15').
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r14",
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 

@@ -1358,20 +1358,29 @@ def embedding_near_dup_pairs(
         n = df.count()
         planes = max(4, min(16, math.ceil(math.log2(max(n, 2) / 64))))
     hyperplanes = _deterministic_planes(planes, dim)
-    from .vectorized import table_buckets_pandas
+    from .vectorized import bucket_norm_pandas
 
-    bucketer = table_buckets_pandas(hyperplanes, planes, tables=1)
+    # r15: fused bucket+norm kernel — the per-vector norm rides the
+    # same Arrow pass as the bucket (bit-identical left fold, see
+    # bucket_norm_pandas) instead of a dim-unrolled codegen fold
+    # projected next to the kernel.
+    bn = bucket_norm_pandas(hyperplanes, planes, tables=1)
     # finite-geometry scope (r13 non-finite components class): the
-    # masking bucketer emits a NULL base bucket for corrupt vectors —
+    # masking kernel emits a NULL base bucket for corrupt vectors —
     # dropped here, before probes or anchors shuffle
     base = (
         df.where(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            VEC.l2_norm(F.col(vec_col), dim).alias("nrm"),
         )
-        .withColumn("b0", F.element_at(bucketer(F.col("v")), 1))
+        .withColumn("__bn", bn(F.col("v")))
+        .select(
+            "id",
+            "v",
+            F.col("__bn").getField("nrm").alias("nrm"),
+            F.element_at(F.col("__bn").getField("bs"), 1).alias("b0"),
+        )
         .where(F.col("b0").isNotNull())
     )
     probes = [F.col("b0")] + [

@@ -34,6 +34,7 @@ def topk_brute(
     vec_col: str = "embedding",
     metric: str = "cosine",
     pre_scoped: bool = False,
+    norm_col: "str | None" = None,
 ) -> DataFrame:
     """Exact top-k by cosine (or dot) against a literal query vector.
     Scores are rounded to 6 decimals for cross-run determinism, with
@@ -50,7 +51,27 @@ def topk_brute(
     WHOLE stage (probe ``isin`` over every row + scoring) silently
     ran interpreted (ERROR CodeGenerator fallback — measured 10.8 s
     vs 1.3 s at sf0.1 on topk-similarity-lsh). Results are identical:
-    the scope was already applied upstream."""
+    the scope was already applied upstream.
+
+    ``norm_col`` (r15 optimization round, cosine + pre_scoped only):
+    the caller already carries a per-row L2 norm computed with the
+    bit-identical left fold (the fused ``bucket_norm_pandas``
+    kernel), so the scoring stage keeps exactly ONE dim-unrolled fold
+    (the query dot) instead of the two ``cosine_literal`` inlines —
+    same ``when(norm × qn > 0)`` NULL semantics, same doubles."""
+    if norm_col is not None and pre_scoped and metric == "cosine":
+        import math
+
+        qn = F.lit(math.sqrt(VEC._py_dot(query, query)))
+        score = F.when(
+            F.col(norm_col) * qn > 0,
+            VEC.dot_literal(F.col(vec_col), query) / (F.col(norm_col) * qn),
+        )
+        return (
+            df.select(F.col(id_col), F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k)
+        )
     if not pre_scoped and metric == "cosine":
         # Un-scoped cosine spelling (r14 optimization round): the old
         # form — finite_geometry filter + cosine_literal — inlined
@@ -144,20 +165,28 @@ def topk_lsh(
         + [qb ^ (1 << i) for i in range(planes)]
         + [qb ^ (1 << i) ^ (1 << j) for i in range(planes) for j in range(i)]
     )
-    from .vectorized import table_buckets_pandas
+    from .vectorized import bucket_norm_pandas
 
-    bucketer = table_buckets_pandas(hp, planes, tables=1)
+    bn = bucket_norm_pandas(hp, planes, tables=1)
     cand = (
-        # the masking bucketer gives corrupt vectors a NULL bucket,
+        # the masking kernel gives corrupt vectors a NULL bucket,
         # which isin() drops — the finite-geometry scope for free;
         # pre_scoped tells topk_brute NOT to re-scope (the redundant
         # second fold pushed the candidate stage past janino's 64 KB
-        # method limit and the probe filter ran interpreted — r14)
+        # method limit and the probe filter ran interpreted — r14).
+        # r15: the kernel is the FUSED bucket+norm pass, and the norm
+        # rides into scoring (norm_col) so the candidate stage keeps
+        # one dim fold (the query dot) instead of cosine_literal's two
+        # norm inlines — same doubles, same NULL semantics.
         df.where(F.col(vec_col).isNotNull())
-        .withColumn("__bucket", F.element_at(bucketer(F.col(vec_col)), 1))
+        .withColumn("__bn", bn(F.col(vec_col)))
+        .withColumn("__bucket", F.element_at(F.col("__bn").getField("bs"), 1))
+        .withColumn("__nrm", F.col("__bn").getField("nrm"))
         .filter(F.col("__bucket").isin(probe_buckets))
     )
-    return topk_brute(cand, query, k, id_col, vec_col, pre_scoped=True)
+    return topk_brute(
+        cand, query, k, id_col, vec_col, pre_scoped=True, norm_col="__nrm"
+    )
 
 
 def knn_join(
@@ -213,28 +242,23 @@ def knn_join(
 
     from .joins import maybe_broadcast
 
-    dim = VEC.infer_dim(right, vec_col)
     if planes is None and not exact:
         n_right = right.count()
         planes = min(16, max(6, math.ceil(math.log2(max(n_right, 1) / 64 + 1))))
     # norms computed once per vector, not once per candidate pair —
-    # bit-identical score (see VEC.cosine_with_norms). Finite-geometry
+    # bit-identical score (see VEC.cosine_with_norms) — and, r15,
+    # computed INSIDE the bucketer kernel (bucket_norm_pandas): the
+    # vectors cross the Arrow boundary for the buckets anyway, so the
+    # norm there is one extra vectorized fold over bytes already in
+    # cache, where the old codegen fold re-built a dim-unrolled
+    # expression tree per side per query (driver plan-size cost) and
+    # paid a second element-wise pass in the JVM. Finite-geometry
     # scope (r13 non-finite components class) is branch-specific: the
-    # bucketed branches inherit it from the MASKING bucketer (corrupt
+    # bucketed branches inherit it from the MASKING kernel (corrupt
     # rows get a NULL bucket, which no equi-join can match — an
     # attribute-barrier form Catalyst cannot push back into a
-    # duplicated fold; measured free); only the exact branch, which
-    # has no bucketer, pays a norm filter.
-    l = left.where(F.col(vec_col).isNotNull()).select(
-        F.col(left_id).alias("l_id"),
-        F.col(vec_col).alias("l_v"),
-        VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
-    )
-    r = right.where(F.col(vec_col).isNotNull()).select(
-        F.col(right_id).alias("r_id"),
-        F.col(vec_col).alias("r_v"),
-        VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
-    )
+    # duplicated fold; measured free); the exact branch, which has no
+    # bucketer, gets it from the fused pair kernel's ``ok`` flag.
     # Pair scoring in the Arrow kernel (explicit left fold — the same
     # doubles as VEC.cosine_with_norms and the SQL oracles): candidate
     # volume is pairs-per-bucket × probes, and the dim-unrolled codegen
@@ -246,43 +270,34 @@ def knn_join(
     score_expr = F.round(
         _cos(F.col("l_v"), F.col("r_v"), F.col("l_nrm"), F.col("r_nrm")), 6
     )
-    if exact:
-        # finite-geometry scope for the bucketer-less exact branch:
-        # norms come from the fold-exact Arrow kernel, where a
-        # poisoned vector's NaN becomes NULL at the Arrow boundary —
-        # a filter on the kernel output is a pushdown-proof exclusion
-        # (a codegen-norm pre-filter re-inlined the 64-term fold and
-        # measured 1.8× on this branch) that keeps legitimate
-        # zero-norm vectors (0.0 → NULL scores, the oracle's CASE).
-        # BOTH legs are needed (r14, advisor): a NaN-component fold is
-        # NaN → NULL at the Arrow boundary, but an Inf-component fold
-        # OVERFLOWS to +Inf — not NaN, so not NULL — and would survive
-        # an isNotNull-only filter, join with NULL cosine scores, and
-        # enter the top-k whenever a left row has fewer than k finite
-        # candidates, diverging from FINITE_VEC_SQL's exclusion. The
-        # `< inf` comparison on the computed norm column is the
-        # finite_norm form — one scalar comparison, no fold re-inline.
-        from .vectorized import norm_fold_pandas
 
-        _nrm = norm_fold_pandas()
-        le = left.where(F.col(vec_col).isNotNull()).select(
-            F.col(left_id).alias("l_id"),
-            F.col(vec_col).alias("l_v"),
-            _nrm(F.col(vec_col)).alias("l_nrm"),
-        ).where(
-            F.col("l_nrm").isNotNull()
-            & (F.col("l_nrm") < F.lit(float("inf")))
+    def _side(df_, id_in, id_out, v_out):
+        return df_.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_in).alias(id_out), F.col(vec_col).alias(v_out)
         )
-        re = right.where(F.col(vec_col).isNotNull()).select(
-            F.col(right_id).alias("r_id"),
-            F.col(vec_col).alias("r_v"),
-            _nrm(F.col(vec_col)).alias("r_nrm"),
-        ).where(
-            F.col("r_nrm").isNotNull()
-            & (F.col("r_nrm") < F.lit(float("inf")))
-        )
-        scored = le.join(maybe_broadcast(re, broadcast)).withColumn(
-            "score", score_expr
+
+    if exact:
+        # r15: ONE fused Arrow kernel instead of three (two per-side
+        # norm_fold_pandas kernels + the pair cosine). The kernel
+        # computes both norms next to the dot — bit-identical folds —
+        # and its ``ok`` flag reproduces the old per-side
+        # ``nrm IS NOT NULL AND nrm < inf`` finite-geometry exclusion
+        # exactly (NaN fold → NaN, Inf fold → +Inf, both excluded;
+        # legitimate zero-norm vectors stay and score NULL, the
+        # oracle's CASE). Poisoned rows now reach the join before the
+        # post-kernel filter drops them, but the EXCLUDED row set is
+        # identical, so the result is too. Three Python round-trips
+        # per run → one (guide §4.1).
+        from .vectorized import pair_cosine_flags_pandas
+
+        _cosf = pair_cosine_flags_pandas()
+        le = _side(left, left_id, "l_id", "l_v")
+        re = _side(right, right_id, "r_id", "r_v")
+        scored = (
+            le.join(maybe_broadcast(re, broadcast))
+            .withColumn("__cf", _cosf(F.col("l_v"), F.col("r_v")))
+            .where(F.col("__cf").getField("ok"))
+            .withColumn("score", F.round(F.col("__cf").getField("score"), 6))
         )
     elif tables == 1:
         # single-table: Arrow matmul bucket (same bit order and — in
@@ -293,11 +308,31 @@ def knn_join(
         # expression — planes×dim×(1+p+p(p-1)/2) expression nodes ran
         # un-JIT'd (measured 13.7 s steady-state at sf0.1 for a
         # 2 000-row corpus; Arrow bucket path: see bench)
-        from .vectorized import table_buckets_pandas
+        from .vectorized import bucket_norm_pandas
 
+        dim = VEC.infer_dim(right, vec_col)
         hp = _deterministic_planes(planes, dim)
-        bucketer = table_buckets_pandas(hp, planes, tables=1)
-        r = r.withColumn("__bucket", F.element_at(bucketer(F.col("r_v")), 1))
+        bn = bucket_norm_pandas(hp, planes, tables=1)
+        r = (
+            _side(right, right_id, "r_id", "r_v")
+            .withColumn("__bn", bn(F.col("r_v")))
+            .select(
+                "r_id",
+                "r_v",
+                F.col("__bn").getField("nrm").alias("r_nrm"),
+                F.element_at(F.col("__bn").getField("bs"), 1).alias("__bucket"),
+            )
+        )
+        l = (
+            _side(left, left_id, "l_id", "l_v")
+            .withColumn("__bn", bn(F.col("l_v")))
+            .select(
+                "l_id",
+                "l_v",
+                F.col("__bn").getField("nrm").alias("l_nrm"),
+                F.element_at(F.col("__bn").getField("bs"), 1).alias("__b0"),
+            )
+        )
         probes = [F.col("__b0")]
         if probe_radius >= 1:
             probes += [
@@ -310,8 +345,7 @@ def knn_join(
                 for j in range(i)
             ]
         l = (
-            l.withColumn("__b0", F.element_at(bucketer(F.col("l_v")), 1))
-            .withColumn("__bucket", F.explode(F.array_distinct(F.array(*probes))))
+            l.withColumn("__bucket", F.explode(F.array_distinct(F.array(*probes))))
             .drop("__b0")
         )
         # equi-join on the bucket key: each right row lives in exactly
@@ -322,12 +356,31 @@ def knn_join(
         # multi-table: L·p flat sign folds in one projection overflow
         # the JIT method budget and run interpreted (measured 6×
         # slower) — compute all table buckets in one Arrow matmul
-        from .vectorized import table_buckets_pandas
+        from .vectorized import bucket_norm_pandas
 
+        dim = VEC.infer_dim(right, vec_col)
         hp_all = _deterministic_planes(planes * tables, dim)
-        bucketer = table_buckets_pandas(hp_all, planes, tables)
-        r = r.withColumn("__bucket", F.explode(bucketer(F.col("r_v"))))
-        l = l.withColumn("__tb", F.explode(bucketer(F.col("l_v"))))
+        bn = bucket_norm_pandas(hp_all, planes, tables)
+        r = (
+            _side(right, right_id, "r_id", "r_v")
+            .withColumn("__bn", bn(F.col("r_v")))
+            .select(
+                "r_id",
+                "r_v",
+                F.col("__bn").getField("nrm").alias("r_nrm"),
+                F.explode(F.col("__bn").getField("bs")).alias("__bucket"),
+            )
+        )
+        l = (
+            _side(left, left_id, "l_id", "l_v")
+            .withColumn("__bn", bn(F.col("l_v")))
+            .select(
+                "l_id",
+                "l_v",
+                F.col("__bn").getField("nrm").alias("l_nrm"),
+                F.explode(F.col("__bn").getField("bs")).alias("__tb"),
+            )
+        )
         probes = [F.col("__tb")]
         if probe_radius >= 1:
             # flips touch bits < planes only, so the table tag survives
@@ -380,20 +433,29 @@ def build_ann_index(
     NULL vectors carry no geometry and are excluded (the r12
     NULL-embedding degrade contract — a NULL row would otherwise
     poison the Arrow bucketer batch-wide)."""
-    from .vectorized import table_buckets_pandas
+    from .vectorized import bucket_norm_pandas
 
     dim = VEC.infer_dim(corpus, vec_col)
     hp = _deterministic_planes(planes, dim)
-    bucketer = table_buckets_pandas(hp, planes, tables=1)
+    # r15: fused bucket+norm kernel — the norm used to be a
+    # dim-unrolled codegen fold projected next to the bucketer; the
+    # fused kernel computes it in the same Arrow pass (bit-identical
+    # left fold, see bucket_norm_pandas)
+    bn = bucket_norm_pandas(hp, planes, tables=1)
     out = (
         corpus.where(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("r_id"),
             F.col(vec_col).alias("r_v"),
-            VEC.l2_norm(F.col(vec_col), dim).alias("r_nrm"),
         )
-        .withColumn("bucket", F.element_at(bucketer(F.col("r_v")), 1))
-        # finite-geometry scope (r13): the masking bucketer emits a
+        .withColumn("__bn", bn(F.col("r_v")))
+        .select(
+            "r_id",
+            "r_v",
+            F.col("__bn").getField("nrm").alias("r_nrm"),
+            F.element_at(F.col("__bn").getField("bs"), 1).alias("bucket"),
+        )
+        # finite-geometry scope (r13): the masking kernel emits a
         # NULL bucket for corrupt vectors — excluded here so the
         # persisted index never carries them
         .where(F.col("bucket").isNotNull())
@@ -561,7 +623,7 @@ def incremental_knn(
     vectors BEFORE indexing (the probe measures both)."""
     from pyspark.sql import Window as W
 
-    from .vectorized import pair_cosine_pandas, table_buckets_pandas
+    from .vectorized import bucket_norm_pandas, pair_cosine_pandas
 
     dim = getattr(ann_index, "_sg_ann_dim", 0) or VEC.infer_dim(
         ann_index, "r_v"
@@ -584,17 +646,25 @@ def incremental_knn(
         # on an already-capped index (the cap is idempotent)
         ann_index = _cap_buckets(ann_index, bucket_cap, k=k)
     hp = _deterministic_planes(planes, dim)
-    bucketer = table_buckets_pandas(hp, planes, tables=1)
+    # r15: fused bucket+norm kernel (see bucket_norm_pandas) — the
+    # batch norm rides the same Arrow pass as the bucket instead of a
+    # dim-unrolled codegen fold
+    bn = bucket_norm_pandas(hp, planes, tables=1)
     l = (
         new_batch.where(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("l_id"),
             F.col(vec_col).alias("l_v"),
-            VEC.l2_norm(F.col(vec_col), dim).alias("l_nrm"),
         )
-        .withColumn("__b0", F.element_at(bucketer(F.col("l_v")), 1))
+        .withColumn("__bn", bn(F.col("l_v")))
+        .select(
+            "l_id",
+            "l_v",
+            F.col("__bn").getField("nrm").alias("l_nrm"),
+            F.element_at(F.col("__bn").getField("bs"), 1).alias("__b0"),
+        )
         # finite-geometry scope (r13): corrupt batch vectors carry a
-        # NULL base bucket from the masking bucketer — dropped before
+        # NULL base bucket from the masking kernel — dropped before
         # the probe explode so they never shuffle
         .where(F.col("__b0").isNotNull())
     )

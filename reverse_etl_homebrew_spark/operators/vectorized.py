@@ -50,7 +50,19 @@ def _vector_matrix(vecs: "pd.Series", kernel: str):
     # components yields NaN scores (numpy semantics), the documented
     # garbage-in boundary; the NULL guard above stays because a ragged
     # batch CRASHES numpy rather than degrading.
-    return np.asarray(vecs.tolist(), dtype=np.float64)
+    try:
+        return np.asarray(vecs.tolist(), dtype=np.float64)
+    except ValueError as exc:
+        # ragged batch (mixed vector lengths): numpy's raw error names
+        # neither the kernel nor the contract — re-raise as the same
+        # SchemaContractError the NULL guard uses (r14 advisor)
+        from ..sources.catalog import SchemaContractError
+
+        raise SchemaContractError(
+            f"ragged embedding batch reached the {kernel} kernel — "
+            f"vector dimensionality is a table property (the ingress "
+            f"dimension rule); fix the producer"
+        ) from exc
 
 
 def cosine_scores_pandas(
@@ -215,6 +227,72 @@ def pair_cosine_pandas():
         return res
 
     return cos
+
+
+def pair_cosine_flags_pandas():
+    """Fused pair-cosine for the bucketer-less EXACT knn branch
+    (r15 optimization round): computes BOTH vector norms inside the
+    kernel and emits ``struct<score: double, ok: boolean>`` — ``ok``
+    is the finite-geometry scope (both norms finite), evaluated where
+    the vectors already are instead of as two per-side
+    ``norm_fold_pandas`` kernels plus scalar filters.
+
+    Why: the exact branch paid THREE Python round-trips per query
+    (left norm, right norm, pair cosine), each a fixed worker/Arrow
+    cost that dominates at low row counts and adds three
+    serialization passes at any size; the vectors cross the boundary
+    for the cosine anyway, so the norms are two extra vectorized
+    folds over bytes already in cache — one ArrowEvalPython node
+    instead of three (guide §4.1: you control how many times you
+    cross, cross once).
+
+    Bit-identical to the unfused spelling: the norm is the same
+    sequential left fold as ``norm_fold_pandas`` / the codegen
+    ``l2_norm`` (float32→float64 widening is exact, IEEE sqrt is
+    correctly rounded), the score is the same ``acc / (l_nrm*r_nrm)``
+    with NULL when the denominator is not > 0, and ``ok`` reproduces
+    the old per-side ``nrm IS NOT NULL AND nrm < inf`` filter: a
+    NaN-component fold is NaN, an Inf-component fold overflows to
+    +Inf — both legs non-finite, both excluded (the r14 advisor
+    contract), while legitimate zero-norm vectors stay (ok=true,
+    score NULL — the oracle's CASE)."""
+    import numpy as np
+
+    ret = T.StructType(
+        [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def cosf(v: pd.Series, bv: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"score": pd.Series([], dtype="float64"),
+                                 "ok": pd.Series([], dtype="bool")})
+        A = _vector_matrix(v, "pair_cosine_flags")
+        B = _vector_matrix(bv, "pair_cosine_flags")
+        la = A[:, 0] * A[:, 0]
+        lb = B[:, 0] * B[:, 0]
+        acc = A[:, 0] * B[:, 0]
+        for i in range(1, A.shape[1]):
+            la = la + A[:, i] * A[:, i]
+            lb = lb + B[:, i] * B[:, i]
+            acc = acc + A[:, i] * B[:, i]
+        ln = np.sqrt(la)
+        rn = np.sqrt(lb)
+        ok = np.isfinite(ln) & np.isfinite(rn)
+        den = ln * rn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = acc / den
+        score = pd.Series(out)
+        score[~(den > 0)] = None
+        return pd.DataFrame({"score": score, "ok": pd.Series(ok)})
+
+    # nondeterministic mark: see table_buckets_pandas — the exact knn
+    # branch filters on the ``ok`` field of this output, and predicate
+    # pushdown would otherwise re-plan the kernel below the filter
+    return cosf.asNondeterministic()
 
 
 def norm_fold_pandas():
@@ -395,6 +473,90 @@ def table_buckets_pandas(planes_flat, planes_per_table: int, tables: int):
     # those moves: the filter stays ABOVE the projection and the
     # kernel runs once.
     return buckets.asNondeterministic()
+
+
+def bucket_norm_pandas(planes_flat, planes_per_table: int, tables: int):
+    """Fused bucketer + per-vector L2 norm (r15 optimization round):
+    one Arrow pass emitting ``struct<bs: array<long>, nrm: double>``
+    — the same bucket ids as ``table_buckets_pandas`` (same hybrid
+    sign-fold guarantee, same masking: corrupt rows get NULL fields)
+    plus the same norm double as the codegen ``l2_norm`` fold
+    (sequential left fold, float32→float64 exact, IEEE sqrt).
+
+    Why fused: every bucketed vector path (knn_join, build_ann_index,
+    incremental_knn, embedding_near_dup_pairs) projected the norm as
+    a dim-unrolled codegen fold NEXT TO the bucketer kernel — the
+    vectors cross the Python boundary for the buckets anyway, so the
+    norm there is one extra vectorized fold over bytes already in
+    cache, while the codegen spelling re-built a 64-term expression
+    tree per side per query (driver analysis/optimizer time scales
+    with it — the plan text was dominated by two such folds) and a
+    second full pass over the array elements in the JVM. The fold
+    arithmetic is bit-identical, so scores are unchanged.
+
+    Masking contract is table_buckets_pandas's, verbatim: NULL
+    vector / NULL / NaN / Inf component ⇒ NULL ``bs`` AND NULL
+    ``nrm`` — consumers' bucket filters exclude those rows before
+    anything shuffles, and the NULL nrm can never reach a score."""
+    import numpy as np
+
+    P = np.asarray([list(p) for p in planes_flat], dtype=np.float64)  # (L*p, d)
+    weights = (
+        np.left_shift(
+            np.int64(1), np.arange(planes_per_table - 1, -1, -1, dtype=np.int64)
+        )
+    )
+    tags = np.arange(tables, dtype=np.int64) << planes_per_table
+    ret = T.StructType(
+        [
+            T.StructField("bs", T.ArrayType(T.LongType())),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def bucket_norm(vecs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        isnull = vecs.isna().to_numpy()
+        if isnull.any():
+            dim = P.shape[1]
+            safe = vecs.copy()
+            safe[isnull] = pd.Series([[float("nan")] * dim] * int(isnull.sum()),
+                                     index=safe.index[isnull])
+            m = np.asarray(safe.tolist(), dtype=np.float64)
+        else:
+            m = np.asarray(vecs.tolist(), dtype=np.float64)
+        finite = np.isfinite(m).all(axis=1)
+        if not finite.all():
+            m = np.where(finite[:, None], m, 0.0)
+        # exact left-fold self-dot (same doubles as l2_norm / the SQL
+        # oracle's list_sum fold), then IEEE sqrt
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        nrm = np.sqrt(acc)
+        signs = hybrid_fold_signs(m, P)
+        bs = signs.reshape(len(m), tables, planes_per_table).astype(np.int64) @ weights
+        bs = bs + tags
+        if finite.all():
+            return pd.DataFrame(
+                {"bs": pd.Series(list(bs)), "nrm": pd.Series(nrm)}
+            )
+        return pd.DataFrame(
+            {
+                "bs": pd.Series(
+                    [row if ok else None for row, ok in zip(bs, finite)]
+                ),
+                "nrm": pd.Series(
+                    [float(x) if ok else None for x, ok in zip(nrm, finite)]
+                ),
+            }
+        )
+
+    # nondeterministic mark: see table_buckets_pandas (filter pushdown
+    # would re-plan the kernel below its consumers' bucket filters)
+    return bucket_norm.asNondeterministic()
 
 
 def hybrid_fold_signs(m, P):

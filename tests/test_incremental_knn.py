@@ -363,10 +363,13 @@ def test_masking_kernels_run_once(spark):
     from reverse_etl_homebrew_spark import queries as Q
 
     expected = {
-        # 2 bucketers (index + batch) + 1 pair-cosine
+        # 2 fused bucket+norm kernels (index + batch) + 1 pair-cosine
         "incremental-knn": 3,
         "knn-join-lsh": 3,
-        "knn-join": 3,
+        # r15: the exact branch fused both per-side norm kernels into
+        # the pair-cosine (pair_cosine_flags_pandas) — one Python
+        # round-trip instead of three
+        "knn-join": 1,
         # 1 centroid-distance kernel per assignment pass
         "kmeans-assign": 1,
         # 2 bucketers + pair-cosine verify + scoring kernel
