@@ -816,7 +816,11 @@ def bloom_candidate_grams(tg: DataFrame, bg: DataFrame, m: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def token_span_windows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    spread: bool = True,
 ) -> DataFrame:
     """One row per length-``n`` whitespace-token window: ``(id_col,
     win)``, every occurrence kept (overlaps and within-doc repeats
@@ -828,8 +832,23 @@ def token_span_windows(
     and an inline split would re-evaluate the whole tokenize per
     window (the trigram-lm-score r9 lesson; plan-verified — `split`
     appears only in the Project/pushed Filter, never inside the
-    lambda)."""
-    toks = df.select(
+    lambda).
+
+    r15: the window explode fans each doc into ~10² rows, so the
+    narrow doc rows are spread across the session's parallelism first
+    (scans.spread_for_fanout — a no-op once the scan itself exceeds
+    core count). ``spread=False`` opts out for callers whose input is
+    NOT a scan-rooted frame: the guard's partition probe (``df.rdd``)
+    materializes AQE query stages when the plan already holds
+    exchanges or pins, turning a cheap check into a driver-side job —
+    the refresh composite measured 0.88× with the guard on its
+    pinned-batch window streams."""
+    base = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        from .scans import spread_for_fanout
+
+        base = spread_for_fanout(base)
+    toks = base.select(
         F.col(id_col), TX.tokens(F.col(text_col)).alias("__tt")
     ).where(F.size("__tt") >= n)
     return toks.select(
@@ -1041,6 +1060,7 @@ def build_span_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    spread: bool = True,
 ) -> DataFrame:
     """The accepted-corpus span index: the DISTINCT length-``n`` token
     windows of the corpus, one narrow string column ``win``. In
@@ -1049,8 +1069,14 @@ def build_span_index(
     ``incremental_dup_spans`` probe then joins batch windows against
     it WITHOUT shuffling the index — only the (small) new batch's
     windows move. Append-only maintenance: union the accepted batch's
-    windows and re-distinct within buckets."""
-    return token_span_windows(corpus, text_col, id_col, n).select("win").distinct()
+    windows and re-distinct within buckets. ``spread`` passes through
+    to ``token_span_windows`` (False for non-scan-rooted corpora —
+    see its note)."""
+    return (
+        token_span_windows(corpus, text_col, id_col, n, spread=spread)
+        .select("win")
+        .distinct()
+    )
 
 
 def append_to_span_index(
@@ -1082,6 +1108,7 @@ def incremental_dup_spans(
     n: int = 8,
     index_win_col: str = "win",
     index_is_set: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """Span-level incremental dedup — the nightly-ingest twin of
     ``duplicate_spans``, completing the ``exact-dedup →
@@ -1113,7 +1140,7 @@ def incremental_dup_spans(
     by construction) or a persisted bucketed index table maintained
     through them, pass True and the probe skips the re-distinct —
     the join then reads the index in place, scan-only."""
-    wins = token_span_windows(new_batch, text_col, id_col, n)
+    wins = token_span_windows(new_batch, text_col, id_col, n, spread=spread)
     idx = span_index.select(F.col(index_win_col).alias("win")).where(
         F.col("win").isNotNull()
     )

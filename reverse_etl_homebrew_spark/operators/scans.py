@@ -16,6 +16,34 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
+def spread_for_fanout(df: DataFrame) -> DataFrame:
+    """Pre-explode parallelism guard for heavy row-expansion stages
+    (r15 optimization round; guide §2.5 input parallelism / §6 split
+    sizing). Spark sizes scan tasks by INPUT bytes
+    (``spark.sql.files.maxPartitionBytes``), but a shingling/windowing
+    explode fans each document into ~10²-10³ rows, so the expansion
+    stage inherits a partitioning that is orders of magnitude
+    undersized for its OUTPUT: locally the whole test corpus is one
+    parquet split and the gram stream ran on ONE core (measured: the
+    sf0.1 trigram stream alone 1.16 s serial → 0.45 s spread); at
+    cluster scale a 128 MB text split still explodes into ~100 GB of
+    gram work inside a single task. When the input carries fewer
+    partitions than the session's parallelism, round-robin the (still
+    narrow, pre-explode) rows across it; when the scan already
+    exceeds core count — the 100 TB case — this is a NO-OP, so the
+    guard is scale-adaptive, never a local-core constant. The
+    round-robin is deterministic under retries (sort-before-
+    repartition is on by default, SPARK-23207) and semantically
+    invisible: everything downstream of an explode is keyed
+    aggregation/window work, which never depends on input partition
+    placement (partition-invariance pinned in tests)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def full_scan(df: DataFrame, columns: Optional[Sequence[str]] = None) -> DataFrame:
     """SELECT <cols|*> FROM t (main.py:539-541). Unlike the reference's
     SELECT *, callers pass the consumed column list so the parquet

@@ -749,6 +749,12 @@ def bm25_topk(
     from ..functions import text as TX
 
     terms = [t.lower() for t in query_terms]
+    # r15: a pre-explode spread_for_fanout was MEASURED here and
+    # rejected (0.62× interleaved): the masked regroup's groups are
+    # few-per-doc and heavily repeated, so round-robin spreading puts
+    # every group in every partition and multiplies the partial-agg
+    # shuffle rows by the core count — the opposite of the char-gram
+    # keys, whose vocabulary is tiny and whose fan-out is 10× larger.
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(TX.normalized_text(F.col(text_col)), " ")).alias("term"),
@@ -882,14 +888,21 @@ def trigram_lm_score(
     after the 6-decimal round)."""
     from ..functions import text as TX
 
+    from .scans import spread_for_fanout
+
     # char_array MUST be a projected column before char_ngrams_from:
     # an inline split inside the transform lambda re-evaluates the
     # whole normalize+split per CHARACTER (the functions/text.py
     # caveat this operator itself violated until r9 — measured 19.6 s
     # vs 0.35 s for the gram explode at sf0.01, and this stream is
-    # consumed twice: model build + per-doc join)
-    grams = docs.select(
-        F.col(id_col).alias("id"),
+    # consumed twice: model build + per-doc join).
+    # r15: spread the narrow doc rows BEFORE the ~10³× gram fan-out —
+    # the scan's input-byte partitioning serialized both gram scans on
+    # one core locally (no-op once the scan exceeds core count).
+    grams = spread_for_fanout(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(
+        "id",
         TX.char_array(TX.normalized_text(F.col(text_col))).alias("__ch"),
     ).select(
         "id",

@@ -85,8 +85,12 @@ def q_ngram_topk(spark, sf_dir):
         F.slice(t, 2, F.size(t) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
+    # r15: pre-explode spread_for_fanout measured 0.69× here and NOT
+    # adopted — word bigrams repeat heavily, so spreading multiplies
+    # the partial-agg shuffle rows by the core count (see bm25_topk)
     return (
-        d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+        d.select("text")
+        .select(TX.tokens(F.lower(F.col("text"))).alias("t"))
         .filter(F.size("t") >= 2)
         .select(F.explode(pairs).alias("bigram"))
         .groupBy("bigram")
@@ -734,10 +738,14 @@ def q_ngram_topk_sketch(spark, sf_dir):
     # form is O(position) on UTF8 strings — measured 1.44 s for the
     # explode alone at sf0.1, and this operator pays the gram stream
     # TWICE by design: sketch scan + recount scan) — all map-side
-    # inside codegen, no Python until the sketch itself
+    # inside codegen, no Python until the sketch itself. r15: the doc
+    # rows are spread before the ~10³× gram fan-out (the single-split
+    # scan serialized BOTH gram scans on one core — gram stream alone
+    # 1.16 s → 0.45 s; scans.spread_for_fanout, no-op at scale).
+    from .operators.scans import spread_for_fanout
+
     grams = (
-        d.select(t.alias("t"))
-        .filter(F.length("t") >= 3)
+        spread_for_fanout(d.select(t.alias("t")).filter(F.length("t") >= 3))
         .select(TX.char_array(F.col("t")).alias("ch"))
         .select(F.explode(TX.char_ngrams_from(F.col("ch"), 3)).alias("gram"))
     )
@@ -787,9 +795,13 @@ def q_heavy_hitters_by_group(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     t = F.lower(F.trim(F.col("text")))
+    # r15: spread the doc rows before the gram fan-out (see
+    # q_ngram_topk_sketch — same single-split serialization, measured
+    # 4.0 → 2.3 s on this key)
+    from .operators.scans import spread_for_fanout
+
     grams = (
-        d.select("lang", t.alias("t"))
-        .filter(F.length("t") >= 3)
+        spread_for_fanout(d.select("lang", t.alias("t")).filter(F.length("t") >= 3))
         .select("lang", TX.char_array(F.col("t")).alias("ch"))
         .select(
             "lang", F.explode(TX.char_ngrams_from(F.col("ch"), 3)).alias("gram")
@@ -871,6 +883,8 @@ def q_bigram_lift_topk(spark, sf_dir):
     Information, and Lexicography"; extension-tier operator — no
     reference counterpart.)"""
     d = _t(spark, sf_dir, "documents")
+    # r15: pre-explode spread_for_fanout measured 0.74× here and NOT
+    # adopted (repeated-unigram partial-agg inflation; see bm25_topk)
     toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
     # r14 optimization round: pin the unigram count table — it feeds
     # THREE consumers (the 1-row total, the x-side join, the y-side
