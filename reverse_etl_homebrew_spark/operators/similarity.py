@@ -51,7 +51,10 @@ def topk_brute(
     WHOLE stage (probe ``isin`` over every row + scoring) silently
     ran interpreted (ERROR CodeGenerator fallback — measured 10.8 s
     vs 1.3 s at sf0.1 on topk-similarity-lsh). Results are identical:
-    the scope was already applied upstream.
+    the scope was already applied upstream. This is a CONTRACT, not a
+    hint (r14 advisor): passing it without an upstream masking kernel
+    lets NaN/Inf-component vectors reach scoring, where NaN scores
+    rank differently cross-engine — the r13 bug class.
 
     ``norm_col`` (r15 optimization round, cosine + pre_scoped only):
     the caller already carries a per-row L2 norm computed with the
@@ -953,6 +956,13 @@ def trigram_lm_score(
         # shuffles every gram occurrence by its trigram). With the
         # hint the occurrence stream never shuffles: explode → probe
         # the broadcast model → partial-agg per doc.
+        # PRECONDITION (r14 advisor): the hint assumes a bounded
+        # alphabet — the model is ≤ V³ rows, which for a-z0-9-space
+        # corpora is ≤ 50k but for a large-alphabet corpus (CJK,
+        # V ~ 10⁴) can reach 10¹² and must NOT be broadcast; such a
+        # deployment drops the hint and accepts the gram shuffle (or
+        # gates it on a driver-side count of the pinned c3, one cheap
+        # job on an already-materialized table).
         grams.join(F.broadcast(model), ["g"])
         .groupBy("id")
         .agg(

@@ -45,8 +45,15 @@ _RUNTIME_CONFS = {
     # batch in every Pandas-UDF kernel; the Spark 4 byte bound splits
     # the stream regardless of row width. Ordinary corpora never hit
     # it (the row-count bound binds first), so plans and results are
-    # unchanged off the poison path.
-    "spark.sql.execution.arrow.maxBytesPerBatch": "67108864",
+    # unchanged off the poison path. r15 batch-size sweep (VERDICT r14
+    # #4): 64m cost ~7-10% on the refresh composite vs no cap
+    # (interleaved medians 6.10/5.70/5.51 s at 64m/256m/off, neutral
+    # on the knn/sketch/decode kernel classes); 256m recovers most of
+    # that while still bounding a 10 000×500 kB poison batch at 256 MB
+    # instead of multi-GB. maxRecordsPerBatch=65536 was ALSO measured
+    # and rejected (2.4× WORSE on knn-join-lsh — one giant batch per
+    # task removes the JVM↔Python pipeline overlap).
+    "spark.sql.execution.arrow.maxBytesPerBatch": "268435456",
 }
 
 
