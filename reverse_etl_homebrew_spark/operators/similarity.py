@@ -76,39 +76,32 @@ def topk_brute(
             .limit(k)
         )
     if not pre_scoped and metric == "cosine":
-        # Un-scoped cosine spelling (r14 optimization round): the old
-        # form — finite_geometry filter + cosine_literal — inlined
-        # THREE dim-term folds into one stage (filter self-dot + the
-        # when-condition norm + the denominator norm) and crossed
-        # janino's 64 KB method limit at dim 64, so the whole scoring
-        # stage ran interpreted (hybrid-rrf's vector leg: measured
-        # 8.8 s → 3.9 s at sf0.1 once compiled). The exact-knn-branch
-        # idiom fixes the width structurally: the per-row norm comes
-        # from the fold-exact Arrow kernel (bit-identical doubles,
-        # nondeterministic = pushdown barrier), the finite-geometry
-        # scope becomes a SCALAR filter on that column (NaN fold →
-        # NULL at the Arrow boundary; overflow → +Inf — both legs,
-        # the r14 advisor contract), and codegen keeps exactly ONE
-        # dim-term fold (the query dot). Scores are bit-identical:
-        # same fold doubles, same (norm × qn) denominator, same
-        # when(den > 0) NULL semantics for zero-norm vectors.
-        import math
+        # Un-scoped cosine spelling: the r9-r14 history of this branch
+        # is codegen width — the original finite_geometry +
+        # cosine_literal form inlined THREE dim-term folds and crossed
+        # janino's 64 KB method limit at dim 64 (the stage ran
+        # interpreted, measured 8.8 s → 3.9 s once fixed); the r14 fix
+        # kept ONE codegen fold (the query dot) next to a
+        # norm_fold_pandas kernel + scalar filter. r15 fuses the
+        # remaining fold INTO the kernel (query_cosine_flags_pandas):
+        # same kernel count, one fewer per-element JVM pass, and the
+        # dim-unrolled tree leaves the plan entirely. Scores are
+        # bit-identical (same left folds, same (norm × qn)
+        # denominator, same NULL for zero-norm rows) and the ``ok``
+        # flag reproduces the old `nrm IS NOT NULL AND < inf`
+        # finite-geometry exclusion exactly (NaN fold / Inf overflow —
+        # both legs, the r14 advisor contract).
+        from .vectorized import query_cosine_flags_pandas
 
-        from .vectorized import norm_fold_pandas
-
-        qn = F.lit(math.sqrt(VEC._py_dot(query, query)))
-        _nrm = norm_fold_pandas()
-        base = (
-            df.where(F.col(vec_col).isNotNull())
-            .select(F.col(id_col), F.col(vec_col), _nrm(F.col(vec_col)).alias("__nrm"))
-            .where(F.col("__nrm").isNotNull() & (F.col("__nrm") < F.lit(float("inf"))))
-        )
-        score = F.when(
-            F.col("__nrm") * qn > 0,
-            VEC.dot_literal(F.col(vec_col), query) / (F.col("__nrm") * qn),
-        )
+        _qc = query_cosine_flags_pandas(query)
         return (
-            base.select(F.col(id_col), F.round(score, 6).alias("score"))
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), _qc(F.col(vec_col)).alias("__cf"))
+            .where(F.col("__cf").getField("ok"))
+            .select(
+                F.col(id_col),
+                F.round(F.col("__cf").getField("score"), 6).alias("score"),
+            )
             .orderBy(F.desc("score"), F.col(id_col))
             .limit(k)
         )

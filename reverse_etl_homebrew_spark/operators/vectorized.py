@@ -295,6 +295,60 @@ def pair_cosine_flags_pandas():
     return cosf.asNondeterministic()
 
 
+def query_cosine_flags_pandas(query):
+    """Fused literal-query cosine for the UN-scoped brute branch (r15):
+    one Arrow pass emitting ``struct<score: double, ok: boolean>`` —
+    the dot against the fixed query vector AND the row norm computed
+    as the same sequential left folds as ``dot_literal`` /
+    ``l2_norm`` (bit-identical doubles), with ``ok`` the
+    finite-geometry scope on the norm (NaN fold → NaN, Inf fold →
+    +Inf, both excluded; finite zero-norm rows stay and score NULL —
+    the oracle's CASE). Replaces norm_fold_pandas + a 64-term codegen
+    dot in topk_brute's cosine path: same kernel count, one fewer
+    per-element JVM pass, and the dim-unrolled expression tree leaves
+    the plan."""
+    import math
+
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    # qn as the strict left fold (matches VEC._py_dot + math.sqrt)
+    acc = 0.0
+    for x in query:
+        acc += float(x) * float(x)
+    qn = math.sqrt(acc)
+    ret = T.StructType(
+        [
+            T.StructField("score", T.DoubleType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def qcos(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"score": pd.Series([], dtype="float64"),
+                                 "ok": pd.Series([], dtype="bool")})
+        A = _vector_matrix(v, "query_cosine_flags")
+        nrm_acc = A[:, 0] * A[:, 0]
+        dot = A[:, 0] * q[0]
+        for i in range(1, A.shape[1]):
+            nrm_acc = nrm_acc + A[:, i] * A[:, i]
+            dot = dot + A[:, i] * q[i]
+        nrm = np.sqrt(nrm_acc)
+        ok = np.isfinite(nrm)
+        den = nrm * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dot / den
+        score = pd.Series(out)
+        score[~(den > 0)] = None
+        return pd.DataFrame({"score": score, "ok": pd.Series(ok)})
+
+    # nondeterministic mark: the caller filters on ``ok`` — see
+    # table_buckets_pandas
+    return qcos.asNondeterministic()
+
+
 def norm_fold_pandas():
     """Scalar Pandas UDF: per-row L2 norm as the SAME sequential
     left fold as functions/vectors.l2_norm (bit-identical doubles —
