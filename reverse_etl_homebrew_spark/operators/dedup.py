@@ -1409,6 +1409,16 @@ def embedding_near_dup_pairs(
             F.element_at(F.col("__bn").getField("bs"), 1).alias("b0"),
         )
         .where(F.col("b0").isNotNull())
+        # r15: pin — base feeds TWO consumers (probe explode + anchor
+        # side) and the bucket+norm kernel otherwise runs twice over
+        # the corpus (the kernel-once discipline; ArrowEvalPython
+        # 4 → 3 in the pair plans). Local A/B reads 1.01-1.05×
+        # (within noise — the sf0.1 kernel pass is cheap), the saved
+        # term is a full corpus-side Arrow pass; in production this
+        # frame IS the persisted bucketed index (build_ann_index's
+        # layout), so the pin is the local stand-in, same as
+        # incremental_dedup's fingerprint pin.
+        .localCheckpoint(eager=False)
     )
     probes = [F.col("b0")] + [
         F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
